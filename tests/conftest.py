@@ -1,0 +1,14 @@
+"""Test configuration: force a virtual 8-device CPU platform for JAX.
+
+Tests validate numerics and multi-chip sharding without TPU hardware;
+the env vars must be set before jax is first imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
