@@ -1,0 +1,195 @@
+"""Declarative integer-lifting engine for reversible transforms.
+
+The reference implements its reversible DCT/lapping networks as thousands
+of lines of hand-unrolled scalar C (src/dct.c, src/filter.c), with the
+forward and inverse transforms maintained separately.  Here each network
+is written ONCE as a declarative program over named lanes; the exact
+inverse is derived mechanically by reversing the program and inverting
+each step.  The engine executes on batched arrays (numpy or jax.numpy),
+so a "scalar" network runs vectorized across every block in a frame —
+the TPU-native replacement for the reference's per-block loops and its
+SIMD kernels (src/x86/*).
+
+Primitive ops (all exactly invertible in int32):
+
+  ("lift", i, j, c, r, s, sgn)  t[i] += sgn * ((t[j]*c + r) >> s)
+  ("add", i, j)                 t[i] += t[j]
+  ("sub", i, j)                 t[i] -= t[j]
+  ("rsub", i, j)                t[i] = t[j] - t[i]          (involution)
+  ("addh", i, j)                t[i] += hrnd(t[j])
+  ("subh", i, j)                t[i] -= hrnd(t[j])
+  ("rsubh", i, j)               t[i] = hrnd(t[j]) - t[i]    (involution)
+  ("neg", i)                    t[i] = -t[i]                (involution)
+
+where hrnd(x) is the unbiased right shift by 1 (round toward zero,
+filter.h:40-43).  A program is a list of ops; lanes are arbitrary
+hashable names.  Sub-networks compose via `inline(prog, mapping)`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, List, Sequence, Tuple
+
+Op = Tuple
+Program = List[Op]
+
+
+def lift(i, j, c: int, r: int, s: int) -> Op:
+    """t[i] += (t[j]*c + r) >> s."""
+    return ("lift", i, j, c, r, s, 1)
+
+
+def liftm(i, j, c: int, r: int, s: int) -> Op:
+    """t[i] -= (t[j]*c + r) >> s."""
+    return ("lift", i, j, c, r, s, -1)
+
+
+def add(i, j) -> Op:
+    return ("add", i, j)
+
+
+def sub(i, j) -> Op:
+    return ("sub", i, j)
+
+
+def rsub(i, j) -> Op:
+    return ("rsub", i, j)
+
+
+def addh(i, j) -> Op:
+    return ("addh", i, j)
+
+
+def subh(i, j) -> Op:
+    return ("subh", i, j)
+
+
+def rsubh(i, j) -> Op:
+    return ("rsubh", i, j)
+
+
+def neg(i) -> Op:
+    return ("neg", i)
+
+
+def hrnd(x):
+    """Unbiased right shift by 1: x/2 rounded toward zero.
+
+    Works on numpy/jnp signed integer arrays (arithmetic >>).
+    """
+    return (x + ((x >> 31) & 1)) >> 1
+
+
+def inline(prog: Program, mapping: Dict[Hashable, Hashable]) -> Program:
+    """Rename program lanes through `mapping` (identity if missing)."""
+    out: Program = []
+    for op in prog:
+        kind = op[0]
+        if kind == "neg":
+            out.append(("neg", mapping.get(op[1], op[1])))
+        elif kind == "lift":
+            _, i, j, c, r, s, sgn = op
+            out.append(
+                ("lift", mapping.get(i, i), mapping.get(j, j), c, r, s, sgn)
+            )
+        else:
+            _, i, j = op
+            out.append((kind, mapping.get(i, i), mapping.get(j, j)))
+    return out
+
+
+_INVERSE_KIND = {
+    "add": "sub",
+    "sub": "add",
+    "addh": "subh",
+    "subh": "addh",
+    "rsub": "rsub",
+    "rsubh": "rsubh",
+    "neg": "neg",
+}
+
+
+def invert(prog: Program) -> Program:
+    """Exact inverse program: reversed order, each op inverted."""
+    out: Program = []
+    for op in reversed(prog):
+        kind = op[0]
+        if kind == "lift":
+            _, i, j, c, r, s, sgn = op
+            out.append(("lift", i, j, c, r, s, -sgn))
+        else:
+            out.append((_INVERSE_KIND[kind],) + tuple(op[1:]))
+    return out
+
+
+def run(prog: Program, t: Dict[Hashable, object]) -> None:
+    """Execute a program, mutating the lane dict in place.
+
+    Lane values may be numpy/jnp arrays (any shape) or int32 scalars;
+    all ops are elementwise.
+    """
+    for op in prog:
+        kind = op[0]
+        if kind == "lift":
+            _, i, j, c, r, s, sgn = op
+            v = (t[j] * c + r) >> s
+            t[i] = t[i] + v if sgn > 0 else t[i] - v
+        elif kind == "add":
+            t[op[1]] = t[op[1]] + t[op[2]]
+        elif kind == "sub":
+            t[op[1]] = t[op[1]] - t[op[2]]
+        elif kind == "rsub":
+            t[op[1]] = t[op[2]] - t[op[1]]
+        elif kind == "addh":
+            t[op[1]] = t[op[1]] + hrnd(t[op[2]])
+        elif kind == "subh":
+            t[op[1]] = t[op[1]] - hrnd(t[op[2]])
+        elif kind == "rsubh":
+            t[op[1]] = hrnd(t[op[2]]) - t[op[1]]
+        elif kind == "neg":
+            t[op[1]] = -t[op[1]]
+        else:  # pragma: no cover
+            raise ValueError(f"unknown op {kind}")
+
+
+class LanedTransform:
+    """A 1D reversible transform defined by (loads, program, stores).
+
+    loads:  loads[lane] = input index (the initial permutation).
+    stores: stores[k] = lane whose final value is output k.
+    The inverse transform is derived automatically.
+    """
+
+    def __init__(self, n: int, loads: Dict[Hashable, int],
+                 prog: Program, stores: Sequence[Hashable]):
+        assert len(loads) == n and len(stores) == n
+        self.n = n
+        self.loads = loads
+        self.prog = prog
+        self.iprog = invert(prog)
+        self.stores = list(stores)
+
+    def forward(self, x):
+        """x: array (..., n) -> (..., n).  Stacks on the caller's backend."""
+        t = {lane: x[..., idx] for lane, idx in self.loads.items()}
+        run(self.prog, t)
+        cols = [t[lane] for lane in self.stores]
+        return _stack(cols)
+
+    def inverse(self, y):
+        t = {lane: y[..., k] for k, lane in enumerate(self.stores)}
+        run(self.iprog, t)
+        inv = sorted(self.loads.items(), key=lambda kv: kv[1])
+        cols = [t[lane] for lane, _ in inv]
+        return _stack(cols)
+
+
+def _stack(cols):
+    import numpy as np
+
+    first = cols[0]
+    if isinstance(first, np.ndarray) or np.isscalar(first):
+        return np.stack(cols, axis=-1)
+    import jax.numpy as jnp
+
+    return jnp.stack(cols, axis=-1)
