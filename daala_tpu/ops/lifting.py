@@ -72,6 +72,24 @@ def neg(i) -> Op:
     return ("neg", i)
 
 
+def addf(i, j) -> Op:
+    """t[i] += t[j] >> 1 (floor shift, used by the lapped filters)."""
+    return ("addf", i, j)
+
+
+def subf(i, j) -> Op:
+    return ("subf", i, j)
+
+
+def scale6(i, s: int) -> Op:
+    """Biorthogonal scaling: t[i] = (t[i]*s) >> 6, then +1 if positive.
+
+    The positive-increment makes the step exactly invertible by the
+    truncating division in `unscale6` (filter.c:190-204).
+    """
+    return ("scale6", i, s)
+
+
 def hrnd(x):
     """Unbiased right shift by 1: x/2 rounded toward zero.
 
@@ -92,6 +110,9 @@ def inline(prog: Program, mapping: Dict[Hashable, Hashable]) -> Program:
             out.append(
                 ("lift", mapping.get(i, i), mapping.get(j, j), c, r, s, sgn)
             )
+        elif kind in ("scale6", "unscale6"):
+            # op[2] is a scale constant, not a lane.
+            out.append((kind, mapping.get(op[1], op[1]), op[2]))
         else:
             _, i, j = op
             out.append((kind, mapping.get(i, i), mapping.get(j, j)))
@@ -106,6 +127,10 @@ _INVERSE_KIND = {
     "rsub": "rsub",
     "rsubh": "rsubh",
     "neg": "neg",
+    "addf": "subf",
+    "subf": "addf",
+    "scale6": "unscale6",
+    "unscale6": "scale6",
 }
 
 
@@ -148,8 +173,33 @@ def run(prog: Program, t: Dict[Hashable, object]) -> None:
             t[op[1]] = hrnd(t[op[2]]) - t[op[1]]
         elif kind == "neg":
             t[op[1]] = -t[op[1]]
+        elif kind == "addf":
+            t[op[1]] = t[op[1]] + (t[op[2]] >> 1)
+        elif kind == "subf":
+            t[op[1]] = t[op[1]] - (t[op[2]] >> 1)
+        elif kind == "scale6":
+            v = (t[op[1]] * op[2]) >> 6
+            t[op[1]] = v + (v > 0)
+        elif kind == "unscale6":
+            v = t[op[1]]
+            av = abs(v)
+            q = (av << 6) // op[2]
+            t[op[1]] = _copysign(q, v)
         else:  # pragma: no cover
             raise ValueError(f"unknown op {kind}")
+
+
+def _copysign(q, v):
+    """q with the sign of v (q >= 0), elementwise."""
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return np.where(v < 0, -q, q)
+    if isinstance(v, (int, np.integer)):
+        return -q if v < 0 else q
+    import jax.numpy as jnp
+
+    return jnp.where(v < 0, -q, q)
 
 
 class LanedTransform:
