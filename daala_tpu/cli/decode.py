@@ -1,0 +1,45 @@
+"""Decoder CLI: .dtp stream -> y4m out (the dump_video equivalent,
+examples/dump_video.c).
+
+  python -m daala_tpu.cli.decode -o out.y4m in.dtp
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..io.container import read_stream
+from ..io.y4m import Y4MHeader, Y4MWriter
+from ..pipeline.intra import decode_keyframe
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="daala_tpu decoder")
+    ap.add_argument("input", help="input .dtp stream")
+    ap.add_argument("-o", "--output", required=True, help="output .y4m")
+    args = ap.parse_args(argv)
+
+    info, comment, packets = read_stream(args.input)
+    cs = {1: "mono", 3: "420" if info.xdec[1] else "444"}[info.nplanes]
+    hdr = Y4MHeader(width=info.pic_width, height=info.pic_height,
+                    fps_num=info.timebase_num, fps_den=info.timebase_den,
+                    colorspace=cs)
+    t0 = time.time()
+    with open(args.output, "wb") as f:
+        wr = Y4MWriter(f, hdr)
+        for i, p in enumerate(packets):
+            if p.use_haar:
+                from ..pipeline.wavelet import decode_keyframe_lossless
+                planes = decode_keyframe_lossless(p.data, info)
+            else:
+                planes = decode_keyframe(p.data, info, bs_luma=p.bs_luma)
+            wr.write_frame(planes)
+            sys.stderr.write(f"\rframe {i}")
+    dt = time.time() - t0
+    sys.stderr.write(f"\n{len(packets)} frames in {dt:.2f}s\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Encoder CLI: y4m in -> .dtp stream out.
+
+The encoder_example equivalent (examples/encoder_example.c): quality,
+keyframe rate, block size, masking knobs.
+
+  python -m daala_tpu.cli.encode -v 25 -o out.dtp in.y4m
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..core.state import FrameInfo
+from ..io.container import FramePacket, write_stream
+from ..io.y4m import Y4MReader
+from ..pipeline.intra import encode_keyframe
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="daala_tpu encoder")
+    ap.add_argument("input", help="input .y4m file")
+    ap.add_argument("-o", "--output", required=True, help="output .dtp")
+    ap.add_argument("-v", "--quality", type=int, default=25,
+                    help="coded quantizer 0..63 (0 = lossless)")
+    ap.add_argument("-k", "--keyframe-rate", type=int, default=256)
+    ap.add_argument("--bs", type=int, default=1, choices=[0, 1, 2, 3],
+                    help="log block size - 2 (1 = 8x8)")
+    ap.add_argument("--masking", action="store_true",
+                    help="enable activity masking")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="max frames to encode (0 = all)")
+    args = ap.parse_args(argv)
+
+    with open(args.input, "rb") as f:
+        rd = Y4MReader(f)
+        hdr = rd.header
+        info = FrameInfo(
+            pic_width=hdr.width, pic_height=hdr.height,
+            nplanes=hdr.nplanes, xdec=hdr.xdec, ydec=hdr.ydec,
+            keyframe_rate=args.keyframe_rate,
+            timebase_num=hdr.fps_num, timebase_den=hdr.fps_den,
+        )
+        packets = []
+        t0 = time.time()
+        for i, planes in enumerate(rd.frames()):
+            if args.limit and i >= args.limit:
+                break
+            if args.quality == 0:
+                from ..pipeline.wavelet import encode_keyframe_lossless
+                pkt = encode_keyframe_lossless(planes, info)
+                packets.append(FramePacket(pkt, keyframe=True,
+                                           use_haar=True, bs_luma=3))
+            else:
+                pkt = encode_keyframe(planes, info, args.quality,
+                                      use_masking=args.masking,
+                                      bs_luma=args.bs)
+                packets.append(FramePacket(pkt, keyframe=True,
+                                           bs_luma=args.bs))
+            sys.stderr.write(f"\rframe {i} ({len(packets[-1].data)} bytes)")
+        dt = time.time() - t0
+        sys.stderr.write(
+            f"\n{len(packets)} frames in {dt:.2f}s "
+            f"({len(packets) / max(dt, 1e-9):.2f} fps)\n")
+    write_stream(args.output, info, packets)
+
+
+if __name__ == "__main__":
+    main()

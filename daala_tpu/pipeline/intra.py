@@ -1,0 +1,502 @@
+"""Keyframe (intra) encode/decode pipeline.
+
+Structure (reference flow: od_encode_coefficients encode.c:2389-2707 /
+od_decode_coefficients decode.c:962-1150, restructured into whole-frame
+passes):
+
+  1. pixels -> coeff domain ((v-128) << 4, state.c:1209-1249), padded to
+     the 64-aligned frame size with edge replication.
+  2. whole-frame lapped prefilter across every block edge.
+  3. batched forward DCT of all blocks (fixed block size this round).
+  4. per-superblock Haar DC tree (bottom-up kernel over block DCs,
+     od_compute_dcts encode.c:1286-1351).
+  5. sequential coding pass in SB raster order: SB DC with W/NW/N/NE
+     prediction (encode.c:1368-1421), per-level Haar AC with gradient
+     feed-forward (encode.c:1424-1489), per block: split-symbol
+     plumbing, H/V intra pred (intra.c:37-61) or CfL (intra.c:72-109),
+     PVQ band coding, decoded coeffs written back for later predictors.
+  6. batched inverse DCT, whole-frame postfilter, coeff -> pixels.
+
+The decoder mirrors pass 5 exactly and shares passes 1-4/6 machinery.
+Block size is fixed per frame this round (the reference supports forced
+uniform splits, state.c:1023); the RDO splitter arrives with the
+variable-size grid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.quant import (
+    DC_QM,
+    N_CODED_QUANTIZERS,
+    QM8_HVS,
+    codedquantizer_to_quantizer,
+    init_qm,
+)
+from ..core.state import QM_SIZE, AdaptState, FrameInfo, interp_pvq_qm
+from ..entropy import (
+    RangeDecoder,
+    RangeEncoder,
+    decode_cdf_adapt,
+    encode_cdf_adapt,
+    generic_decode,
+    generic_encode,
+)
+from ..ops.dct import fdct2d, idct2d
+from ..ops.lapping import postfilter_frame, prefilter_frame
+from ..pvq.coding import pvq_decode_block, pvq_encode_block
+from ..pvq.scan import (
+    BAND_OFFSETS,
+    coding_to_raster,
+    qm_get_index,
+    raster_to_coding,
+)
+
+__all__ = ["encode_keyframe", "decode_keyframe"]
+
+LOG_BSIZE0 = 2
+NBSIZES = 4
+BSIZE_MAX = 32
+
+# Activity-masking beta per band (OD_PVQ_BETA, pvq.c:205-255); masking
+# off => 1.0 everywhere.
+def pvq_betas(use_masking: bool, pli: int, bs: int):
+    nb = BAND_OFFSETS[bs][0]
+    if use_masking and pli == 0:
+        return [1.5] * nb
+    return [1.0] * nb
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C-style truncating integer division."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _div_r0(x: int, q: int) -> int:
+    if x < 0:
+        return -((-x + (q >> 1)) // q)
+    return (x + (q >> 1)) // q
+
+
+def to_coeff(plane: np.ndarray, lossless: bool) -> np.ndarray:
+    shift = 0 if lossless else 4
+    return (plane.astype(np.int32) - 128) << shift
+
+
+def from_coeff(c: np.ndarray, lossless: bool) -> np.ndarray:
+    if lossless:
+        v = c + 128
+    else:
+        v = ((c + 8) >> 4) + 128
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def pad_plane(plane: np.ndarray, fw: int, fh: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, fh - h), (0, fw - w)), mode="edge")
+
+
+def haar_dc_tree(d: np.ndarray, blocksize: int) -> np.ndarray:
+    """Bottom-up Haar combine of block DCs up to the 32x32 SB level,
+    vectorized over the whole plane (od_compute_dcts keyframe path).
+    Kernel arg order is (ll, down, right, diag) on this side."""
+    from ..ops.dct import _haar_kernel
+
+    d = d.copy()
+    step = blocksize
+    while step < BSIZE_MAX:
+        g = d[::step, ::step]
+        a = g[0::2, 0::2].copy()
+        right = g[0::2, 1::2].copy()
+        down = g[1::2, 0::2].copy()
+        diag = g[1::2, 1::2].copy()
+        a, down, right, diag = _haar_kernel(a, down, right, diag)
+        g[0::2, 0::2] = a
+        g[0::2, 1::2] = right
+        g[1::2, 0::2] = down
+        g[1::2, 1::2] = diag
+        step *= 2
+    return d
+
+
+class _PlaneCtx:
+    """Per-plane coding context for the sequential pass."""
+
+    def __init__(self, info: FrameInfo, pli: int, bs_luma: int,
+                 quantizer: int, lossless: bool):
+        self.pli = pli
+        self.xdec = info.xdec[pli]
+        self.w = info.frame_width >> self.xdec
+        self.h = info.frame_height >> info.ydec[pli]
+        self.bs = max(bs_luma, self.xdec) - self.xdec  # plane block size
+        self.n = 4 << self.bs
+        self.quantizer = quantizer
+        self.lossless = lossless
+        self.nhsb = self.w >> (5 - self.xdec)
+        self.nvsb = self.h >> (5 - self.xdec)
+        self.sb_dc_mem = np.zeros(self.nhsb * self.nvsb, dtype=np.int64)
+        self.d = None        # transform-domain plane
+        self.c = None        # spatial (lapped) plane
+
+
+def _sb_dc_code(ec, state, pc: _PlaneCtx, sbx, sby, has_ur, encoder: bool):
+    """SB DC with LS-optimized neighbor prediction
+    (encode.c:1368-1421 / decode.c:642-695).  Returns (hgrad, vgrad)."""
+    pli = pc.pli
+    dc_quant = 1 if pc.lossless else max(
+        1, pc.quantizer * int(state.pvq_qm_q4[pli][qm_get_index(3, 0)]) >> 4)
+    nhsb = pc.nhsb
+    mem = pc.sb_dc_mem
+    ln = 5 - pc.xdec
+    if sby > 0 and sbx > 0:
+        if has_ur:
+            pred = (22 * mem[sby * nhsb + sbx - 1]
+                    - 9 * mem[(sby - 1) * nhsb + sbx - 1]
+                    + 15 * mem[(sby - 1) * nhsb + sbx]
+                    + 4 * mem[(sby - 1) * nhsb + sbx + 1] + 16) >> 5
+        else:
+            pred = (23 * mem[sby * nhsb + sbx - 1]
+                    - 10 * mem[(sby - 1) * nhsb + sbx - 1]
+                    + 19 * mem[(sby - 1) * nhsb + sbx] + 16) >> 5
+    elif sby > 0:
+        pred = mem[(sby - 1) * nhsb + sbx]
+    elif sbx > 0:
+        pred = mem[sby * nhsb + sbx - 1]
+    else:
+        pred = 0
+    pred = int(pred)
+    y0 = sby << ln
+    x0 = sbx << ln
+    if encoder:
+        dc0 = int(pc.d[y0, x0]) - pred
+        quant = _div_r0(dc0, dc_quant)
+        new_ex = generic_encode(ec, state.model_dc[pli], abs(quant), -1,
+                                int(state.ex_sb_dc[pli]), 2)
+        state.ex_sb_dc[pli] = new_ex
+        if quant:
+            ec.encode_bits(int(quant < 0), 1)
+    else:
+        quant, new_ex = generic_decode(ec, state.model_dc[pli], -1,
+                                       int(state.ex_sb_dc[pli]), 2)
+        state.ex_sb_dc[pli] = new_ex
+        if quant and ec.decode_bits(1):
+            quant = -quant
+    sb_dc_curr = quant * dc_quant + pred
+    pc.d[y0, x0] = sb_dc_curr
+    mem[sby * nhsb + sbx] = sb_dc_curr
+    vgrad = hgrad = 0
+    if sby > 0:
+        vgrad = int(mem[(sby - 1) * nhsb + sbx]) - sb_dc_curr
+    if sbx > 0:
+        hgrad = int(mem[sby * nhsb + sbx - 1]) - sb_dc_curr
+    return hgrad, vgrad
+
+
+def _haar_dc_level(ec, state, pc: _PlaneCtx, bx, by, bsi, hgrad, vgrad,
+                   encoder: bool):
+    """Quantize/code the 3 Haar ACs at one split level and reconstruct
+    the 4 child DCs (encode.c:1424-1489 / decode.c:697-757).
+    bx/by are in units of the child node at bsi."""
+    from ..entropy.adapt import generic_encode_cost
+    from ..ops.dct import _haar_kernel
+    from ..pvq.core import PVQ_LAMBDA
+
+    pli = pc.pli
+    xdec = pc.xdec
+    dc_quant = 1 if pc.lossless else max(
+        1, pc.quantizer * int(state.pvq_qm_q4[pli][qm_get_index(3, 0)]) >> 4)
+    if pc.lossless:
+        ac_quant = [1, 1]
+    else:
+        ac_quant = [
+            (dc_quant * int(DC_QM[bsi - xdec][0]) + 8) >> 4,
+            (dc_quant * int(DC_QM[bsi - xdec][1]) + 8) >> 4,
+        ]
+    ln = bsi - xdec + 2
+    w = pc.w
+    d = pc.d
+    pos = [
+        (by << ln, bx << ln),
+        (by << ln, (bx + 1) << ln),
+        ((by + 1) << ln, bx << ln),
+        ((by + 1) << ln, (bx + 1) << ln),
+    ]
+    x = [int(d[p]) for p in pos]
+    if encoder:
+        x[1] -= _tdiv(hgrad, 5)
+        x[2] -= _tdiv(vgrad, 5)
+        for i in range(1, 4):
+            q = ac_quant[1 if i == 3 else 0]
+            sign = x[i] < 0
+            mag = abs(x[i])
+            quant = mag // q
+            # RDO: bump quant if the rate of +1 is worth the distortion.
+            cost = generic_encode_cost(
+                state.model_dc[pli], quant + 1, -1,
+                int(state.ex_dc[pli, bsi, i - 1]))
+            cost -= generic_encode_cost(
+                state.model_dc[pli], quant, -1,
+                int(state.ex_dc[pli, bsi, i - 1]))
+            if quant == 0:
+                cost += 1
+            if q * q - 2 * q * (mag - quant * q) \
+                    + q * q * PVQ_LAMBDA * cost < 0:
+                quant += 1
+            new_ex = generic_encode(ec, state.model_dc[pli], quant, -1,
+                                    int(state.ex_dc[pli, bsi, i - 1]), 2)
+            state.ex_dc[pli, bsi, i - 1] = new_ex
+            if quant:
+                ec.encode_bits(int(sign), 1)
+            x[i] = quant * ac_quant[1 if i == 3 else 0]
+            if sign:
+                x[i] = -x[i]
+    else:
+        for i in range(1, 4):
+            quant, new_ex = generic_decode(ec, state.model_dc[pli], -1,
+                                           int(state.ex_dc[pli, bsi, i - 1]),
+                                           2)
+            state.ex_dc[pli, bsi, i - 1] = new_ex
+            if quant and ec.decode_bits(1):
+                quant = -quant
+            x[i] = quant * ac_quant[1 if i == 3 else 0]
+    x[1] += _tdiv(hgrad, 5)
+    x[2] += _tdiv(vgrad, 5)
+    hgrad = x[1]
+    vgrad = x[2]
+    x0, x1, x2, x3 = _haar_kernel(x[0], x[1], x[2], x[3])
+    for p, v in zip(pos, (x0, x1, x2, x3)):
+        d[p] = v
+    return hgrad, vgrad
+
+
+def _hv_intra_pred(pc: _PlaneCtx, bx, by) -> np.ndarray:
+    """Keyframe luma H/V prediction from coded neighbors
+    (od_hv_intra_pred, intra.c:37-61).  bx/by in block units."""
+    n = pc.n
+    d = pc.d
+    y0 = by * n
+    x0 = bx * n
+    pred = np.zeros((n, n), dtype=np.int32)
+    top = by > 0
+    left = bx > 0
+    g1 = g2 = 0.0
+    if top:
+        row = d[y0 - n, x0:x0 + n].astype(np.float64)
+        g1 = float((row[1:4] ** 2).sum())
+        pred[0, 4:] = d[y0 - n, x0 + 4:x0 + n]
+    if left:
+        col = d[y0:y0 + n, x0 - n].astype(np.float64)
+        g2 = float((col[1:4] ** 2).sum())
+        pred[4:, 0] = d[y0 + 4:y0 + n, x0 - n]
+    if g1 > g2:
+        if top:
+            pred[0, 1:4] = d[y0 - n, x0 + 1:x0 + 4]
+    else:
+        if left:
+            pred[1:4, 0] = d[y0 + 1:y0 + 4, x0 - n]
+    return pred
+
+
+def _cfl_pred(luma_d: np.ndarray, pc: _PlaneCtx, bx, by,
+              bs_luma: int) -> np.ndarray:
+    """Chroma-from-luma: frequency-domain resample of the co-located
+    decoded luma coefficients (od_resample_luma_coeffs, intra.c:72-109).
+    Fixed-block-size path: copy the top-left n x n corner."""
+    n = pc.n
+    nl = 4 << bs_luma
+    ly = by * nl
+    lx = bx * nl
+    return luma_d[ly:ly + n, lx:lx + n].astype(np.int32)
+
+
+def _code_block(ec, state, pc: _PlaneCtx, luma_d, bx, by, bs_luma,
+                use_masking, encoder: bool, skip_in=0):
+    """Leaf coding: prediction + PVQ + writeback (od_block_encode
+    encode.c:1066-1285 / od_block_decode decode.c:528-636)."""
+    pli = pc.pli
+    n = pc.n
+    bs = pc.bs
+    y0 = by * n
+    x0 = bx * n
+    d = pc.d
+    if pli == 0:
+        pred = _hv_intra_pred(pc, bx, by)
+    else:
+        pred = _cfl_pred(luma_d, pc, bx, by, bs_luma)
+    predt = raster_to_coding(pred).astype(np.int32)
+    q0 = max(1, pc.quantizer)
+    qm = state.qm[bs]
+    qm_inv = state.qm_inv[bs]
+    beta = pvq_betas(use_masking, pli, bs)
+    if encoder:
+        dblock = raster_to_coding(
+            np.asarray(d[y0:y0 + n, x0:x0 + n])).astype(np.int32)
+        out, skip = pvq_encode_block(
+            ec, state, predt, dblock, q0, pli, bs, beta, True, True,
+            qm, qm_inv)
+        out[0] = dblock[0]
+    else:
+        out = pvq_decode_block(
+            ec, state, predt, q0, pli, bs, beta, True, True, skip_in,
+            qm, qm_inv)
+        out[0] = int(d[y0, x0])  # Haar-DC reconstructed DC
+    block = coding_to_raster(out, n)
+    block[0, 0] = out[0]
+    d[y0:y0 + n, x0:x0 + n] = block
+
+
+def _code_recursive(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi,
+                    bs_luma, use_masking, hgrad, vgrad, encoder: bool):
+    """Z-order walk with split signaling and Haar-DC levels
+    (od_encode_recursive encode.c:1491-1676 / od_decode_recursive
+    decode.c:767-870)."""
+    pli = pc.pli
+    xdec = pc.xdec
+    leaf_bsi = max(bs_luma, xdec)
+    if bsi == leaf_bsi:
+        skip = 0
+        if encoder:
+            _code_block(ec, state, pc, luma_d, bx, by, bs_luma,
+                        use_masking, True)
+        else:
+            nsym = 4 + (1 if (pli == 0 and pc.bs > 0) else 0)
+            skip = decode_cdf_adapt(
+                ec, state.skip_cdf[2 * pc.bs + (1 if pli else 0)][:nsym],
+                state.skip_increment)
+            # skip == 4 (split) cannot occur at leaf_bsi with a uniform
+            # grid; treat as stream error.
+            if skip >= 4:
+                ec.error = 1
+                skip = 0
+            _code_block(ec, state, pc, luma_d, bx, by, bs_luma,
+                        use_masking, False, skip)
+        return
+    # Split node.
+    bs_node = bsi - xdec
+    if pli == 0:
+        if encoder:
+            encode_cdf_adapt(ec, 4, state.skip_cdf[2 * bs_node][:5],
+                             state.skip_increment)
+        else:
+            skip = decode_cdf_adapt(ec, state.skip_cdf[2 * bs_node][:5],
+                                    state.skip_increment)
+            if skip != 4:
+                ec.error = 1
+    hgrad, vgrad = _haar_dc_level(ec, state, pc, 2 * bx, 2 * by, bsi - 1,
+                                  hgrad, vgrad, encoder)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            _code_recursive(ec, state, pc, luma_d, 2 * bx + dx, 2 * by + dy,
+                            bsi - 1, bs_luma, use_masking, hgrad, vgrad,
+                            encoder)
+
+
+def encode_keyframe(planes, info: FrameInfo, quality: int,
+                    use_masking: bool = False, bs_luma: int = 1,
+                    return_recon: bool = False):
+    """Encode one keyframe.  planes: list of uint8 arrays (pic size).
+    quality: coded quantizer index (0 = lossless -> not supported in the
+    PVQ path; use the wavelet coder).  Returns the frame packet, and the
+    encoder-side reconstruction if return_recon (must be pixel-exact
+    equal to the decoder output — the reference's --enable-encoder-check
+    invariant, encode.c:3204-3243)."""
+    assert 0 < quality < N_CODED_QUANTIZERS
+    cq = max(1, quality - 3)  # keyframe quality boost (encode.c:3059)
+    quantizer = codedquantizer_to_quantizer(cq)
+    nplanes = info.nplanes
+    state = AdaptState.reset(nplanes, True)
+    state.qm, state.qm_inv = init_qm(QM8_HVS)
+    for pli in range(nplanes):
+        state.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli, use_masking)
+    ec = RangeEncoder()
+    # Frame header fields.
+    for pli in range(nplanes):
+        for v in state.pvq_qm_q4[pli]:
+            ec.encode_bits(int(v), 8)
+    for pli in range(nplanes):
+        ec.encode_uint(cq, N_CODED_QUANTIZERS)
+    # Plane setup: pad, to coeff domain, lap, transform, DC tree.
+    pcs = []
+    for pli in range(nplanes):
+        pc = _PlaneCtx(info, pli, bs_luma, quantizer, False)
+        p = pad_plane(planes[pli], pc.w, pc.h)
+        c = to_coeff(p, False)
+        c = prefilter_frame(c, 4 << pc.bs)
+        blocks = _to_blocks(c, pc.n)
+        dblocks = fdct2d(blocks, pc.n)
+        d = _from_blocks(dblocks, c.shape, pc.n)
+        pc.d = haar_dc_tree(d, pc.n)
+        pc.c = c
+        pcs.append(pc)
+    # Sequential coding pass.
+    _code_frame(ec, state, pcs, info, bs_luma, use_masking, True)
+    pkt = ec.done()
+    if not return_recon:
+        return pkt
+    return pkt, _reconstruct(pcs, info)
+
+
+def _reconstruct(pcs, info: FrameInfo):
+    """Shared reconstruction: batched idct + postfilter + pixels."""
+    out = []
+    for pc in pcs:
+        dblocks = _to_blocks(np.asarray(pc.d, dtype=np.int32), pc.n)
+        blocks = idct2d(dblocks, pc.n)
+        c = _from_blocks(blocks, pc.d.shape, pc.n)
+        c = postfilter_frame(c, 4 << pc.bs)
+        pix = from_coeff(c, False)
+        out.append(pix[:info.pic_height >> info.ydec[pc.pli],
+                       :info.pic_width >> pc.xdec])
+    return out
+
+
+def decode_keyframe(packet: bytes, info: FrameInfo,
+                    use_masking: bool = False, bs_luma: int = 1):
+    """Decode a keyframe packet; returns list of uint8 planes."""
+    nplanes = info.nplanes
+    state = AdaptState.reset(nplanes, True)
+    state.qm, state.qm_inv = init_qm(QM8_HVS)
+    ec = RangeDecoder(packet)
+    for pli in range(nplanes):
+        qm = np.zeros(QM_SIZE, dtype=np.int32)
+        for i in range(QM_SIZE):
+            qm[i] = ec.decode_bits(8)
+        state.pvq_qm_q4[pli] = qm
+    cqs = [ec.decode_uint(N_CODED_QUANTIZERS) for _ in range(nplanes)]
+    quantizer = codedquantizer_to_quantizer(cqs[0])
+    pcs = []
+    for pli in range(nplanes):
+        pc = _PlaneCtx(info, pli, bs_luma, quantizer, False)
+        pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
+        pcs.append(pc)
+    _code_frame(ec, state, pcs, info, bs_luma, use_masking, False)
+    return _reconstruct(pcs, info)
+
+
+def _code_frame(ec, state, pcs, info, bs_luma, use_masking, encoder):
+    nhsb = pcs[0].nhsb
+    nvsb = pcs[0].nvsb
+    for sby in range(nvsb):
+        for sbx in range(nhsb):
+            for pli in range(len(pcs)):
+                pc = pcs[pli]
+                has_ur = sby > 0 and sbx < nhsb - 1
+                hgrad, vgrad = _sb_dc_code(ec, state, pc, sbx, sby, has_ur,
+                                           encoder)
+                luma_d = pcs[0].d if pli > 0 else None
+                _code_recursive(ec, state, pc, luma_d, sbx, sby, 3,
+                                bs_luma, use_masking, hgrad, vgrad, encoder)
+
+
+def _to_blocks(plane: np.ndarray, n: int) -> np.ndarray:
+    h, w = plane.shape
+    return (plane.reshape(h // n, n, w // n, n)
+            .transpose(0, 2, 1, 3).reshape(-1, n, n))
+
+
+def _from_blocks(blocks: np.ndarray, shape, n: int) -> np.ndarray:
+    h, w = shape
+    return (blocks.reshape(h // n, w // n, n, n)
+            .transpose(0, 2, 1, 3).reshape(h, w))

@@ -1,0 +1,168 @@
+"""End-to-end pipeline tests.
+
+The standing invariants from the reference test strategy:
+* encoder-check: encoder reconstruction == decoder output pixel-exact
+  (encode.c:3204-3243).
+* check_lossless: md5(decoded y4m payload) == md5(input) at quality 0
+  (tools/check_lossless.sh:41-57).
+"""
+
+import hashlib
+import io
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from daala_tpu.core.state import FrameInfo
+from daala_tpu.io.container import FramePacket, read_stream, write_stream
+from daala_tpu.io.y4m import Y4MHeader, read_y4m, write_y4m
+from daala_tpu.pipeline.intra import decode_keyframe, encode_keyframe
+from daala_tpu.pipeline.wavelet import (
+    decode_keyframe_lossless,
+    encode_keyframe_lossless,
+)
+
+
+def _synth_planes(W, H, fmt, seed=0):
+    rng = np.random.default_rng(seed)
+    planes = []
+    for pli in range(3):
+        xd = fmt[pli]
+        h, w = H >> xd, W >> xd
+        p = (128 + 45 * np.sin(np.arange(h)[:, None] / (5 + pli))
+             + 35 * np.cos(np.arange(w)[None, :] / (7 - pli))
+             + rng.normal(0, 5, (h, w)))
+        planes.append(np.clip(p, 0, 255).astype(np.uint8))
+    return planes
+
+
+@pytest.mark.parametrize("fmt", [(0, 1, 1), (0, 0, 0)])
+@pytest.mark.parametrize("q", [10, 35])
+def test_encoder_check_invariant(fmt, q):
+    W, H = 64, 64
+    planes = _synth_planes(W, H, fmt, seed=q)
+    info = FrameInfo(pic_width=W, pic_height=H,
+                     xdec=(0, fmt[1], fmt[1]), ydec=(0, fmt[2], fmt[2]))
+    pkt, recon = encode_keyframe(planes, info, quality=q, return_recon=True)
+    out = decode_keyframe(pkt, info)
+    for a, b in zip(recon, out):
+        assert np.array_equal(a, b)
+
+
+def test_quality_scales_rate_and_distortion():
+    W, H = 64, 64
+    planes = _synth_planes(W, H, (0, 1, 1), seed=3)
+    info = FrameInfo(pic_width=W, pic_height=H)
+    sizes = []
+    psnrs = []
+    for q in (5, 20, 40):
+        pkt = encode_keyframe(planes, info, quality=q)
+        out = decode_keyframe(pkt, info)
+        mse = ((planes[0].astype(float) - out[0]) ** 2).mean()
+        sizes.append(len(pkt))
+        psnrs.append(10 * np.log10(255 ** 2 / max(mse, 1e-9)))
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert psnrs[0] > psnrs[1] > psnrs[2]
+    assert psnrs[0] > 45
+
+
+def test_block_sizes():
+    W, H = 64, 64
+    planes = _synth_planes(W, H, (0, 1, 1), seed=5)
+    info = FrameInfo(pic_width=W, pic_height=H)
+    for bs in (0, 1, 2, 3):
+        pkt, recon = encode_keyframe(planes, info, quality=20, bs_luma=bs,
+                                     return_recon=True)
+        out = decode_keyframe(pkt, info, bs_luma=bs)
+        for a, b in zip(recon, out):
+            assert np.array_equal(a, b), bs
+
+
+def test_activity_masking_round_trip():
+    W, H = 64, 64
+    planes = _synth_planes(W, H, (0, 1, 1), seed=6)
+    info = FrameInfo(pic_width=W, pic_height=H)
+    pkt, recon = encode_keyframe(planes, info, quality=20,
+                                 use_masking=True, return_recon=True)
+    out = decode_keyframe(pkt, info, use_masking=True)
+    for a, b in zip(recon, out):
+        assert np.array_equal(a, b)
+
+
+def test_lossless_parity():
+    """check_lossless: decoded frame must hash identically to input."""
+    W, H = 64, 96
+    planes = _synth_planes(W, H, (0, 1, 1), seed=7)
+    info = FrameInfo(pic_width=W, pic_height=H)
+    pkt = encode_keyframe_lossless(planes, info)
+    out = decode_keyframe_lossless(pkt, info)
+    md5_in = hashlib.md5(b"".join(p.tobytes() for p in planes)).hexdigest()
+    md5_out = hashlib.md5(b"".join(p.tobytes() for p in out)).hexdigest()
+    assert md5_in == md5_out
+
+
+def test_container_round_trip(tmp_path):
+    info = FrameInfo(pic_width=352, pic_height=288, keyframe_rate=12)
+    pkts = [FramePacket(b"hello", keyframe=True, bs_luma=2),
+            FramePacket(b"\x00" * 1000, keyframe=False, use_haar=True)]
+    path = str(tmp_path / "t.dtp")
+    write_stream(path, info, pkts, comment="test")
+    info2, comment, pkts2 = read_stream(path)
+    assert info2.pic_width == 352 and info2.keyframe_rate == 12
+    assert comment == "test"
+    assert pkts2[0].data == b"hello" and pkts2[0].bs_luma == 2
+    assert pkts2[1].use_haar and not pkts2[1].keyframe
+
+
+def test_y4m_round_trip(tmp_path):
+    hdr = Y4MHeader(width=32, height=16, colorspace="420")
+    frames = [_synth_planes(32, 16, (0, 1, 1), seed=i) for i in range(3)]
+    path = str(tmp_path / "t.y4m")
+    write_y4m(path, hdr, frames)
+    hdr2, frames2 = read_y4m(path)
+    assert hdr2.width == 32 and hdr2.colorspace.startswith("420")
+    for fa, fb in zip(frames, frames2):
+        for a, b in zip(fa, fb):
+            assert np.array_equal(a, b)
+
+
+def test_cli_end_to_end(tmp_path):
+    """Full encoder_example / dump_video flow through the CLIs."""
+    from daala_tpu.cli.decode import main as dec_main
+    from daala_tpu.cli.encode import main as enc_main
+
+    W, H = 64, 64
+    hdr = Y4MHeader(width=W, height=H, colorspace="420")
+    frames = [_synth_planes(W, H, (0, 1, 1), seed=i) for i in range(2)]
+    src = str(tmp_path / "in.y4m")
+    stream = str(tmp_path / "s.dtp")
+    dst = str(tmp_path / "out.y4m")
+    write_y4m(src, hdr, frames)
+    enc_main([src, "-o", stream, "-v", "20"])
+    dec_main([stream, "-o", dst])
+    hdr2, out = read_y4m(dst)
+    assert len(out) == 2
+    mse = ((frames[0][0].astype(float) - out[0][0]) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse) > 30
+
+
+def test_cli_lossless_end_to_end(tmp_path):
+    from daala_tpu.cli.decode import main as dec_main
+    from daala_tpu.cli.encode import main as enc_main
+
+    W, H = 64, 64
+    hdr = Y4MHeader(width=W, height=H, colorspace="420")
+    frames = [_synth_planes(W, H, (0, 1, 1), seed=9)]
+    src = str(tmp_path / "in.y4m")
+    stream = str(tmp_path / "s.dtp")
+    dst = str(tmp_path / "out.y4m")
+    write_y4m(src, hdr, frames)
+    enc_main([src, "-o", stream, "-v", "0"])
+    dec_main([stream, "-o", dst])
+    # md5 of the decoded y4m payload equals the input payload.
+    _, out = read_y4m(dst)
+    a = b"".join(p.tobytes() for p in frames[0])
+    b = b"".join(p.tobytes() for p in out[0])
+    assert hashlib.md5(a).hexdigest() == hashlib.md5(b).hexdigest()
