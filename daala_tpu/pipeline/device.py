@@ -1,0 +1,247 @@
+"""Device (TPU) compute path: jittable whole-frame transform pipeline
+and the multi-chip sharded step.
+
+The encoder splits into:
+  * device compute — lapping, batched DCT, Haar-DC tree, quantization,
+    PVQ gain/shape preparation: everything batched over all blocks of a
+    frame (this module; pure jax, jit-compiled once per frame shape).
+  * host serialization — the sequential adaptive range coding of the
+    prepared symbols (pipeline/intra.py).
+
+Multi-chip: the frame is sharded in SB-row bands over a `tile` mesh
+axis; the 4-point lapped filter straddling band boundaries is resolved
+by exchanging 2-row halos with jax.lax.ppermute, so each device filters
+its own half of every boundary span (replacing the reference's
+single-threaded od_apply_*filter_frame_sbs with an ICI halo exchange —
+SURVEY.md section 2.11).  A `gop` axis shards independent frames
+(data parallel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.dct import fdct2d, idct2d
+from ..ops.lapping import post_filter, pre_filter
+
+__all__ = [
+    "transform_frame",
+    "inverse_transform_frame",
+    "encode_step",
+    "sharded_encode_step",
+    "make_mesh",
+]
+
+
+def _to_blocks(plane, n):
+    h, w = plane.shape[-2], plane.shape[-1]
+    return (plane.reshape(*plane.shape[:-2], h // n, n, w // n, n)
+            .swapaxes(-3, -2)
+            .reshape(*plane.shape[:-2], (h // n) * (w // n), n, n))
+
+
+def _from_blocks(blocks, h, w, n):
+    lead = blocks.shape[:-3]
+    return (blocks.reshape(*lead, h // n, w // n, n, n)
+            .swapaxes(-3, -2)
+            .reshape(*lead, h, w))
+
+
+def _lap_h_idx(h, block):
+    rows = np.arange(block, h, block, dtype=np.int32)
+    return rows[:, None] + np.arange(-2, 2)
+
+
+def lap_rows(plane, idx, inverse=False):
+    """Filter the given 4-row spans (vertically) of (..., h, w)."""
+    spans = plane[..., idx, :]            # (..., nedges, 4, w)
+    spans = spans.swapaxes(-1, -2)        # (..., nedges, w, 4)
+    out = post_filter(spans, 4) if inverse else pre_filter(spans, 4)
+    return plane.at[..., idx, :].set(out.swapaxes(-1, -2))
+
+
+def lap_cols(plane, idx, inverse=False):
+    spans = plane[..., :, idx]            # (..., h, nedges, 4)
+    out = post_filter(spans, 4) if inverse else pre_filter(spans, 4)
+    return plane.at[..., :, idx].set(out)
+
+
+def haar_dc_tree_fwd(d, n):
+    """Vectorized bottom-up Haar combine of block DCs (jit-friendly
+    version of pipeline.intra.haar_dc_tree)."""
+    from ..ops.dct import _haar_kernel
+
+    step = n
+    while step < 32:
+        g = d[..., ::step, ::step]
+        a = g[..., 0::2, 0::2]
+        right = g[..., 0::2, 1::2]
+        down = g[..., 1::2, 0::2]
+        diag = g[..., 1::2, 1::2]
+        a, down, right, diag = _haar_kernel(a, down, right, diag)
+        h2, w2 = a.shape[-2], a.shape[-1]
+        quad = jnp.stack([
+            jnp.stack([a, right], axis=-1),
+            jnp.stack([down, diag], axis=-1),
+        ], axis=-2)  # (..., h2, w2, 2, 2)
+        merged = (quad.swapaxes(-3, -2)
+                  .reshape(*a.shape[:-2], h2 * 2, w2 * 2))
+        d = d.at[..., ::step, ::step].set(merged)
+        step *= 2
+    return d
+
+
+def transform_frame(coeffs, bs: int):
+    """Lapped forward transform of one plane: prefilter every interior
+    block edge, batched 2D DCT, Haar-DC tree.  coeffs: (h, w) int32.
+    Returns the transform-domain plane."""
+    n = 4 << bs
+    h, w = coeffs.shape[-2], coeffs.shape[-1]
+    coeffs = lap_rows(coeffs, _lap_h_idx(h, n))
+    coeffs = lap_cols(coeffs, _lap_h_idx(w, n))
+    d = fdct2d(_to_blocks(coeffs, n), n)
+    d = _from_blocks(d, h, w, n)
+    return haar_dc_tree_fwd(d, n)
+
+
+def inverse_transform_frame(d, bs: int):
+    """Batched inverse DCT + postfilter (decoder-side reconstruction;
+    the Haar DC tree is undone during symbol decoding)."""
+    n = 4 << bs
+    h, w = d.shape[-2], d.shape[-1]
+    c = _from_blocks(idct2d(_to_blocks(d, n), n), h, w, n)
+    c = lap_cols(c, _lap_h_idx(w, n), inverse=True)
+    return lap_rows(c, _lap_h_idx(h, n), inverse=True)
+
+
+def quantize_blocks(d, bs: int, quantizer: int, qm_coding, qm_inv_coding):
+    """Uniform deadzone quantization in the magnitude-compensated
+    domain — the device-side approximation used for throughput
+    measurement and for the fast (non-RDO) coding mode."""
+    from ..pvq.scan import _FLAT
+
+    n = 4 << bs
+    h, w = d.shape[-2], d.shape[-1]
+    blocks = _to_blocks(d, n).reshape(-1, n * n)
+    vec = blocks[:, _FLAT[n]]
+    qmv = jnp.asarray(qm_coding, dtype=jnp.int32)
+    qmiv = jnp.asarray(qm_inv_coding, dtype=jnp.int32)
+    # x * qm in Q15 -> quantize -> dequantize -> / qm (Q12 inverse).
+    scaled = (vec * qmv) >> 15
+    q = jnp.int32(max(1, quantizer))
+    quant = jnp.sign(scaled) * ((jnp.abs(scaled) + (q >> 1)) // q)
+    deq = (quant * q * qmiv) >> 12
+    out = blocks.at[:, _FLAT[n]].set(deq)
+    return quant, _from_blocks(out.reshape(-1, n, n), h, w, n)
+
+
+def encode_step(plane, bs: int, quantizer: int, qm, qm_inv):
+    """One full single-chip encode compute step on a plane of pixels:
+    coeff conversion -> lapped transform -> quantize -> reconstruct.
+    Returns (quantized symbols, reconstructed pixels) — everything but
+    the host entropy pack."""
+    c = (plane.astype(jnp.int32) - 128) << 4
+    d = transform_frame(c, bs)
+    quant, dq = quantize_blocks(d, bs, quantizer, qm, qm_inv)
+    rec = inverse_transform_frame(dq, bs)
+    rec = jnp.clip(((rec + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
+    return quant, rec
+
+
+# -- multi-chip -----------------------------------------------------------
+
+
+def make_mesh(n_devices: int):
+    """Build a (gop, tile) mesh: frames data-parallel over `gop`,
+    SB-row bands over `tile`."""
+    devs = np.array(jax.devices()[:n_devices])
+    gop = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
+    tile = n_devices // gop
+    return jax.sharding.Mesh(devs.reshape(gop, tile), ("gop", "tile"))
+
+
+def _band_encode(band, bs, quantizer, qm, qm_inv, ntiles):
+    """Per-device body: halo exchange for boundary lapping, then the
+    local transform+quantize pipeline.
+
+    band: (frames_local, band_h, w) pixel rows owned by this device.
+    """
+    n = 4 << bs
+    c = (band.astype(jnp.int32) - 128) << 4
+    # -- vertical (row-edge) lapping with halo exchange ------------------
+    # Interior edges within the band.
+    h = c.shape[-2]
+    w = c.shape[-1]
+    inner = np.arange(n, h, n, dtype=np.int32)
+    c = lap_rows(c, inner[:, None] + np.arange(-2, 2))
+    # Boundary edge between tile t and t+1: rows [h-2, h) of t and
+    # [0, 2) of t+1.  Each device builds the full 4-row span from its
+    # neighbor's halo and keeps its half.
+    top2 = c[..., :2, :]
+    bot2 = c[..., -2:, :]
+    # from_next: neighbor below sends its top rows; from_prev: neighbor
+    # above sends its bottom rows.
+    perm_up = [(i, (i - 1) % ntiles) for i in range(ntiles)]
+    perm_dn = [(i, (i + 1) % ntiles) for i in range(ntiles)]
+    from_next = jax.lax.ppermute(top2, "tile", perm_up)
+    from_prev = jax.lax.ppermute(bot2, "tile", perm_dn)
+    t = jax.lax.axis_index("tile")
+    # Span at my bottom boundary: [my bot2 ; next top2].
+    span_b = jnp.concatenate([bot2, from_next], axis=-2).swapaxes(-1, -2)
+    fb = pre_filter(span_b, 4).swapaxes(-1, -2)
+    c = jnp.where((t < ntiles - 1),
+                  c.at[..., -2:, :].set(fb[..., :2, :]), c)
+    # Span at my top boundary: [prev bot2 ; my top2].
+    span_t = jnp.concatenate([from_prev, top2], axis=-2).swapaxes(-1, -2)
+    ft = pre_filter(span_t, 4).swapaxes(-1, -2)
+    c = jnp.where((t > 0), c.at[..., :2, :].set(ft[..., 2:, :]), c)
+    # -- horizontal (column-edge) lapping is tile-local ------------------
+    cols = np.arange(n, w, n, dtype=np.int32)
+    c = lap_cols(c, cols[:, None] + np.arange(-2, 2))
+    # -- batched DCT + quantize ------------------------------------------
+    d = fdct2d(_to_blocks(c, n), n)
+    from ..pvq.scan import _FLAT
+    blocks = d.reshape(*d.shape[:-2], n * n)
+    vec = blocks[..., _FLAT[n]]
+    scaled = (vec * qm) >> 15
+    q = jnp.int32(quantizer)
+    quant = jnp.sign(scaled) * ((jnp.abs(scaled) + (q >> 1)) // q)
+    deq = (quant * q * qm_inv) >> 12
+    out = blocks.at[..., _FLAT[n]].set(deq).reshape(d.shape)
+    rec = idct2d(out, n)
+    # Rate/distortion summaries ride the collectives.
+    nz = jax.lax.psum(jnp.sum(quant != 0), ("gop", "tile"))
+    err = jax.lax.psum(
+        jnp.sum(((rec - _to_blocks(c, n)).astype(jnp.float32)) ** 2),
+        ("gop", "tile"))
+    return quant, nz, err
+
+
+def sharded_encode_step(mesh, frames, bs: int, quantizer: int, qm, qm_inv):
+    """Jit a full multi-chip encode compute step.
+
+    frames: (nframes, h, w) uint8, sharded (gop, tile-of-rows).
+    Returns (quant symbols, global nonzero count, global sse)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    body = partial(_band_encode, bs=bs, quantizer=max(1, quantizer),
+                   qm=jnp.asarray(qm), qm_inv=jnp.asarray(qm_inv),
+                   ntiles=mesh.shape["tile"])
+    fn = jax.jit(
+        shard_map(
+            lambda fr: body(fr),
+            mesh=mesh,
+            in_specs=P("gop", "tile", None),
+            out_specs=(P("gop", "tile"), P(), P()),
+        )
+    )
+    return fn(frames)

@@ -6,7 +6,10 @@ the env vars must be set before jax is first imported anywhere.
 
 import os
 
+# JAX_PLATFORM_NAME (not JAX_PLATFORMS) is what the axon TPU plugin
+# honors in this environment.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
