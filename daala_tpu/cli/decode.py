@@ -26,15 +26,17 @@ def main(argv=None):
     hdr = Y4MHeader(width=info.pic_width, height=info.pic_height,
                     fps_num=info.timebase_num, fps_den=info.timebase_den,
                     colorspace=cs)
+    from ..pipeline.inter import DecoderSession
+
     t0 = time.time()
     with open(args.output, "wb") as f:
         wr = Y4MWriter(f, hdr)
+        sess = None
         for i, p in enumerate(packets):
-            if p.use_haar:
-                from ..pipeline.wavelet import decode_keyframe_lossless
-                planes = decode_keyframe_lossless(p.data, info)
-            else:
-                planes = decode_keyframe(p.data, info, bs_luma=p.bs_luma)
+            if sess is None:
+                sess = DecoderSession(info, bs_luma=p.bs_luma if
+                                      not p.use_haar else 1)
+            planes = sess.decode_frame(p.data, p.keyframe, p.use_haar)
             wr.write_frame(planes)
             sys.stderr.write(f"\rframe {i}")
     dt = time.time() - t0

@@ -42,22 +42,20 @@ def main(argv=None):
             keyframe_rate=args.keyframe_rate,
             timebase_num=hdr.fps_num, timebase_den=hdr.fps_den,
         )
+        from ..pipeline.inter import EncoderSession
+
+        sess = EncoderSession(info, args.quality,
+                              use_masking=args.masking, bs_luma=args.bs,
+                              keyframe_rate=args.keyframe_rate)
         packets = []
         t0 = time.time()
         for i, planes in enumerate(rd.frames()):
             if args.limit and i >= args.limit:
                 break
-            if args.quality == 0:
-                from ..pipeline.wavelet import encode_keyframe_lossless
-                pkt = encode_keyframe_lossless(planes, info)
-                packets.append(FramePacket(pkt, keyframe=True,
-                                           use_haar=True, bs_luma=3))
-            else:
-                pkt = encode_keyframe(planes, info, args.quality,
-                                      use_masking=args.masking,
-                                      bs_luma=args.bs)
-                packets.append(FramePacket(pkt, keyframe=True,
-                                           bs_luma=args.bs))
+            pkt, is_key, _ = sess.encode_frame(planes)
+            packets.append(FramePacket(
+                pkt, keyframe=is_key, use_haar=(args.quality == 0),
+                bs_luma=3 if args.quality == 0 else args.bs))
             sys.stderr.write(f"\rframe {i} ({len(packets[-1].data)} bytes)")
         dt = time.time() - t0
         sys.stderr.write(

@@ -88,6 +88,9 @@ class AdaptState:
     haar_split_increment: int = 128
     haar_bits_cdf: np.ndarray = None     # (3, 16)
     haar_bits_increment: int = 128
+    # Dering flag contexts by (up, left) neighbor flags (clpf_cdf).
+    clpf_cdf: np.ndarray = None          # (4, 2)
+    clpf_increment: int = 128
     pvq_qm_q4: list = None               # per plane, QM_SIZE entries
 
     @classmethod
@@ -104,6 +107,7 @@ class AdaptState:
         a.haar_coeff_cdf = cdf_init(15 * 3 * 5, 16, 32, 32)
         a.haar_split_cdf = cdf_init(15 * 2 * 5, 16, 32, 32)
         a.haar_bits_cdf = cdf_init(3, 16, 32, 32)
+        a.clpf_cdf = cdf_init(4, 2, 32, 32)
         a.pvq_qm_q4 = [np.full(QM_SIZE, 16, dtype=np.int32)
                        for _ in range(nplanes)]
         return a

@@ -1,0 +1,116 @@
+"""Motion compensation: 1/8-pel subpel interpolation + OBMC blending.
+
+Subpel: separable 6-tap windowed-sinc filters, one per fractional phase
+(OD_SUBPEL_FILTER_SET, mc.c:66-78), Q7 coefficients; horizontal pass
+into a 16-bit intermediate, vertical pass with Q14 rounding
+(od_mc_predict1fmv8_c, mc.c:94-203).
+
+OBMC: the MV mesh assigns a motion vector to each grid VERTEX; the
+block between 4 vertices is predicted by bilinearly blending the 4
+whole-block predictions translated by the corner MVs
+(od_mc_blend_full8_c, mc.c spec).  Adjacent blocks share corner MVs, so
+the prediction field is continuous — no block edges to deblock.
+
+Everything is batched over all mesh blocks of a frame: the per-corner
+subpel predictions are one gather + two einsum filter passes, and the
+blend is a fixed bilinear weighting — the TPU replacement for
+src/x86/sse2mc.c.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["SUBPEL_FILTERS", "subpel_predict_blocks", "obmc_predict",
+           "pad_ref"]
+
+# Q7 6-tap filters per 1/8-pel phase (set #2: sinc(x)*sinc(x/3)).
+SUBPEL_FILTERS = np.array([
+    [0, 0, 128, 0, 0, 0],
+    [1, -9, 122, 18, -5, 1],
+    [3, -15, 112, 37, -11, 2],
+    [3, -18, 97, 58, -15, 3],
+    [4, -20, 80, 80, -20, 4],
+    [3, -15, 58, 97, -18, 3],
+    [2, -11, 37, 112, -15, 3],
+    [1, -5, 18, 122, -9, 1],
+], dtype=np.int32)
+
+TOP_APRON = 2      # taps/2 - 1
+BOT_APRON = 3      # taps/2
+PAD = 80           # reference-frame padding (search range + filter apron)
+
+
+def pad_ref(plane: np.ndarray, pad: int = PAD) -> np.ndarray:
+    """Replicate-pad a reconstructed reference plane."""
+    return np.pad(plane, pad, mode="edge")
+
+
+def subpel_predict_blocks(ref_padded: np.ndarray, pad: int,
+                          ys: np.ndarray, xs: np.ndarray,
+                          mvs: np.ndarray, n: int) -> np.ndarray:
+    """Batched single-MV prediction of N blocks.
+
+    ref_padded: (H + 2*pad, W + 2*pad) uint8-ish int array.
+    ys, xs: (N,) top-left block positions in the unpadded frame.
+    mvs: (N, 2) 1/8-pel (mvy, mvx).
+    Returns (N, n, n) uint8 predictions."""
+    mvy = mvs[:, 0]
+    mvx = mvs[:, 1]
+    iy = ys + (mvy >> 3) + pad
+    ix = xs + (mvx >> 3) + pad
+    fy = (mvy & 7).astype(np.int32)
+    fx = (mvx & 7).astype(np.int32)
+    # Gather (n + 5) x (n + 5) windows starting at the top apron.
+    wy = iy[:, None] - TOP_APRON + np.arange(n + 5)[None, :]
+    wx = ix[:, None] - TOP_APRON + np.arange(n + 5)[None, :]
+    win = ref_padded[wy[:, :, None], wx[:, None, :]].astype(np.int32)
+    # Horizontal 6-tap with per-block phase filters.
+    fh = SUBPEL_FILTERS[fx]                    # (N, 6)
+    k = np.arange(6)
+    # h[b, r, c] = sum_k win[b, r, c + k] * fh[b, k], c in [0, n)
+    h = np.einsum("brck,bk->brc",
+                  np.lib.stride_tricks.sliding_window_view(win, 6, axis=2),
+                  fh) - (128 << 7)
+    # Vertical 6-tap (sliding window appends the tap axis last).
+    fv = SUBPEL_FILTERS[fy]
+    v = np.einsum("brck,bk->brc",
+                  np.lib.stride_tricks.sliding_window_view(h, 6, axis=1),
+                  fv)
+    out = (v + (1 << 13) + (128 << 14)) >> 14
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def obmc_predict(ref_padded: np.ndarray, pad: int, h: int, w: int,
+                 mv_grid: np.ndarray, blk_log: int) -> np.ndarray:
+    """Whole-frame OBMC prediction from a uniform MV vertex grid.
+
+    mv_grid: (nvy + 1, nvx + 1, 2) 1/8-pel (mvy, mvx) per vertex, where
+    nvy = h >> blk_log, nvx = w >> blk_log.
+    Returns (h, w) uint8 prediction."""
+    n = 1 << blk_log
+    nby = h >> blk_log
+    nbx = w >> blk_log
+    by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
+    ys = (by.ravel() << blk_log).astype(np.int64)
+    xs = (bx.ravel() << blk_log).astype(np.int64)
+    # Corner MVs per block: TL, TR, BR, BL.
+    corners = [
+        mv_grid[:-1, :-1], mv_grid[:-1, 1:], mv_grid[1:, 1:],
+        mv_grid[1:, :-1],
+    ]
+    preds = [
+        subpel_predict_blocks(
+            ref_padded, pad, ys, xs,
+            c.reshape(-1, 2).astype(np.int64), n).astype(np.int32)
+        for c in corners
+    ]
+    # Bilinear blend (od_mc_blend_full8_c weights).
+    i = np.arange(n)[None, None, :]
+    j = np.arange(n)[None, :, None]
+    a = (preds[0] << blk_log) + (preds[1] - preds[0]) * i
+    b = (preds[3] << blk_log) + (preds[2] - preds[3]) * i
+    blk2 = 2 * blk_log
+    out = ((a << blk_log) + (b - a) * j + (1 << (blk2 - 1))) >> blk2
+    out = out.reshape(nby, nbx, n, n).transpose(0, 2, 1, 3).reshape(h, w)
+    return np.clip(out, 0, 255).astype(np.uint8)

@@ -395,6 +395,7 @@ def _code_recursive(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi,
 
 def encode_keyframe(planes, info: FrameInfo, quality: int,
                     use_masking: bool = False, bs_luma: int = 1,
+                    use_dering: bool = True,
                     return_recon: bool = False):
     """Encode one keyframe.  planes: list of uint8 arrays (pic size).
     quality: coded quantizer index (0 = lossless -> not supported in the
@@ -432,28 +433,89 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
         pcs.append(pc)
     # Sequential coding pass.
     _code_frame(ec, state, pcs, info, bs_luma, use_masking, True)
+    _to_spatial(pcs)
+    if use_dering:
+        orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w, pcs[pli].h),
+                         False) for pli in range(nplanes)]
+        _dering_pass(ec, state, pcs, orig, True)
     pkt = ec.done()
     if not return_recon:
         return pkt
-    return pkt, _reconstruct(pcs, info)
+    return pkt, _crop(pcs, info)
 
 
-def _reconstruct(pcs, info: FrameInfo):
-    """Shared reconstruction: batched idct + postfilter + pixels."""
-    out = []
+def _to_spatial(pcs):
+    """Batched idct + whole-frame postfilter into pc.c."""
     for pc in pcs:
         dblocks = _to_blocks(np.asarray(pc.d, dtype=np.int32), pc.n)
         blocks = idct2d(dblocks, pc.n)
         c = _from_blocks(blocks, pc.d.shape, pc.n)
-        c = postfilter_frame(c, 4 << pc.bs)
-        pix = from_coeff(c, False)
+        pc.c = postfilter_frame(c, 4 << pc.bs)
+
+
+def _crop(pcs, info: FrameInfo):
+    out = []
+    for pc in pcs:
+        pix = from_coeff(pc.c, False)
         out.append(pix[:info.pic_height >> info.ydec[pc.pli],
                        :info.pic_width >> pc.xdec])
     return out
 
 
+def _dering_pass(ec, state, pcs, orig, encoder):
+    """Per-32x32 dering with RDO flags (encode.c:2550-2686 /
+    decode.c:1050-1121)."""
+    from ..ops.dering import dering_sb
+    from ..pvq.core import PVQ_LAMBDA
+
+    nhsb = pcs[0].nhsb
+    nvsb = pcs[0].nvsb
+    flags = np.zeros((nvsb, nhsb), dtype=np.int32)
+    etmp = [pc.c.copy() for pc in pcs]
+    q = max(1, pcs[0].quantizer)
+    for sby in range(nvsb):
+        for sbx in range(nhsb):
+            up = int(flags[sby - 1, sbx]) if sby > 0 else 0
+            left = int(flags[sby, sbx - 1]) if sbx > 0 else 0
+            ctx = (up << 1) + left
+            cdf = state.clpf_cdf[ctx]
+            if encoder:
+                buf, dirs = dering_sb(etmp[0], sbx, sby, nhsb, nvsb, q,
+                                      0, 0)
+                y0, x0 = sby << 5, sbx << 5
+                o = orig[0][y0:y0 + 32, x0:x0 + 32].astype(np.float64)
+                cur = pcs[0].c[y0:y0 + 32, x0:x0 + 32].astype(np.float64)
+                filt_err = float(((o - buf) ** 2).sum())
+                unfilt_err = float(((o - cur) ** 2).sum())
+                p1 = (int(cdf[1]) - int(cdf[0])) / int(cdf[1])
+                p0 = int(cdf[0]) / int(cdf[1])
+                filt = (filt_err + PVQ_LAMBDA * q * q * -np.log2(p1)
+                        < unfilt_err + PVQ_LAMBDA * q * q * -np.log2(p0))
+                filt = int(filt)
+                encode_cdf_adapt(ec, filt, cdf, state.clpf_increment)
+            else:
+                filt = decode_cdf_adapt(ec, cdf, state.clpf_increment)
+                dirs = None
+            flags[sby, sbx] = filt
+            if filt:
+                if not encoder:
+                    buf, dirs = dering_sb(etmp[0], sbx, sby, nhsb, nvsb,
+                                          q, 0, 0)
+                y0, x0 = sby << 5, sbx << 5
+                pcs[0].c[y0:y0 + 32, x0:x0 + 32] = buf
+                for pli in range(1, len(pcs)):
+                    pc = pcs[pli]
+                    xd = pc.xdec
+                    bufc, _ = dering_sb(etmp[pli], sbx, sby, nhsb, nvsb,
+                                        q, xd, pli, dirs=dirs)
+                    ln = 5 - xd
+                    cy, cx = sby << ln, sbx << ln
+                    pc.c[cy:cy + (1 << ln), cx:cx + (1 << ln)] = bufc
+
+
 def decode_keyframe(packet: bytes, info: FrameInfo,
-                    use_masking: bool = False, bs_luma: int = 1):
+                    use_masking: bool = False, bs_luma: int = 1,
+                    use_dering: bool = True):
     """Decode a keyframe packet; returns list of uint8 planes."""
     nplanes = info.nplanes
     state = AdaptState.reset(nplanes, True)
@@ -472,7 +534,10 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
         pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
         pcs.append(pc)
     _code_frame(ec, state, pcs, info, bs_luma, use_masking, False)
-    return _reconstruct(pcs, info)
+    _to_spatial(pcs)
+    if use_dering:
+        _dering_pass(ec, state, pcs, None, False)
+    return _crop(pcs, info)
 
 
 def _code_frame(ec, state, pcs, info, bs_luma, use_masking, encoder):

@@ -1,0 +1,147 @@
+"""Motion estimation: batched hierarchical search over the MV mesh.
+
+A TPU-first redesign of the reference's serial EPZS^2 + mesh-decimation
++ per-row Viterbi pipeline (od_mv_est, mcenc.c:6390-6548).  MVs are
+encoder-side choices — RD parity is measured, not bitstream parity
+(SURVEY.md section 7) — so the search is reformulated as dense batched
+work:
+
+  1. coarse: exhaustive full-pel search on a 4x-downsampled pyramid,
+     evaluated as whole-frame shifted-SAD maps (every candidate is one
+     vectorized subtract+boxsum over all vertex blocks at once);
+  2. refine: +-2 full-pel on the full resolution around the upscaled
+     coarse MVs;
+  3. subpel: +-4, +-2, +-1 eighth-pel steps using the real 6-tap
+     interpolation, batched across all vertices per step;
+  4. smooth: one mesh-median pass to favor coherent fields (the OBMC
+     blend rewards neighbor agreement the way the reference's
+     rate-aware DP refinement does).
+
+Vertex scoring uses the block centered on the vertex so that each MV
+serves the 4 mesh blocks that blend it (OBMC geometry, mc.h:39-59).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.mc import pad_ref, subpel_predict_blocks
+
+__all__ = ["motion_search"]
+
+
+def _downsample2(p):
+    p = p.astype(np.int32)
+    return ((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+             + p[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+
+
+def _block_sads(cur_blocks, ref_padded, pad, ys, xs, cands):
+    """SAD of every (block, candidate) pair at full-pel.
+
+    cur_blocks: (N, n, n); cands: (C, 2) integer-pel offsets.
+    Returns (N, C) int64."""
+    n = cur_blocks.shape[-1]
+    sads = np.empty((len(cur_blocks), len(cands)), dtype=np.int64)
+    for ci, (dy, dx) in enumerate(cands):
+        wy = ys + dy + pad
+        wx = xs + dx + pad
+        win = ref_padded[wy[:, None, None] + np.arange(n)[None, :, None],
+                         wx[:, None, None] + np.arange(n)[None, None, :]]
+        sads[:, ci] = np.abs(
+            cur_blocks.astype(np.int32) - win).sum(axis=(1, 2))
+    return sads
+
+
+def _vertex_blocks(plane, vy, vx, n):
+    """Blocks of size n centered on each vertex (clamped to the frame)."""
+    h, w = plane.shape
+    ys = np.clip(vy - n // 2, 0, h - n)
+    xs = np.clip(vx - n // 2, 0, w - n)
+    blocks = plane[ys[:, None, None] + np.arange(n)[None, :, None],
+                   xs[:, None, None] + np.arange(n)[None, None, :]]
+    return blocks, ys, xs
+
+
+def motion_search(cur: np.ndarray, ref: np.ndarray, blk_log: int,
+                  coarse_range: int = 12, lam: float = 0.0) -> np.ndarray:
+    """Estimate the uniform MV vertex grid for OBMC.
+
+    cur, ref: (h, w) uint8 planes.  Returns (nvy+1, nvx+1, 2) int
+    eighth-pel (mvy, mvx)."""
+    h, w = cur.shape
+    n = 1 << blk_log
+    nvy = (h >> blk_log) + 1
+    nvx = (w >> blk_log) + 1
+    vy, vx = np.meshgrid(np.arange(nvy) << blk_log,
+                         np.arange(nvx) << blk_log, indexing="ij")
+    vy = vy.ravel()
+    vx = vx.ravel()
+
+    # -- stage 1: coarse on 4x-down pyramid ------------------------------
+    cur4 = _downsample2(_downsample2(cur))
+    ref4 = _downsample2(_downsample2(ref))
+    pad4 = coarse_range + 4
+    ref4p = pad_ref(ref4, pad4).astype(np.int32)
+    n4 = max(4, n >> 2)
+    blocks4, ys4, xs4 = _vertex_blocks(cur4, vy >> 2, vx >> 2, n4)
+    cands = np.array([(dy, dx)
+                      for dy in range(-coarse_range, coarse_range + 1)
+                      for dx in range(-coarse_range, coarse_range + 1)],
+                     dtype=np.int32)
+    # Zero-bias: slight preference for small MVs (rate proxy).
+    bias = (np.abs(cands).sum(axis=1) * (n4 * n4 // 32)).astype(np.int64)
+    sads = _block_sads(blocks4, ref4p, pad4, ys4, xs4, cands) + bias
+    best = cands[np.argmin(sads, axis=1)] * 4            # full-res px
+
+    # -- stage 2: +-2 full-pel refine at full resolution -----------------
+    refp = pad_ref(ref, 64).astype(np.int32)
+    blocks, ys, xs = _vertex_blocks(cur, vy, vx, n)
+    steps = np.array([(dy, dx) for dy in range(-2, 3)
+                      for dx in range(-2, 3)], dtype=np.int32)
+    sads = np.empty((len(blocks), len(steps)), dtype=np.int64)
+    for si, (dy, dx) in enumerate(steps):
+        cy = np.clip(best[:, 0] + dy, -60, 60)
+        cx = np.clip(best[:, 1] + dx, -60, 60)
+        wy = ys + cy + 64
+        wx = xs + cx + 64
+        win = refp[wy[:, None, None] + np.arange(n)[None, :, None],
+                   wx[:, None, None] + np.arange(n)[None, None, :]]
+        sads[:, si] = np.abs(blocks.astype(np.int32) - win).sum(axis=(1, 2))
+    pick = steps[np.argmin(sads, axis=1)]
+    mv = np.clip(best + pick, -60, 60).astype(np.int64) * 8  # eighth-pel
+
+    # -- stage 3: subpel refinement (+-4, +-2, +-1 eighth-pel) -----------
+    refp8 = pad_ref(ref, 64)
+    for step in (4, 2, 1):
+        cands8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
+                           (0, step)], dtype=np.int64)
+        sads = np.empty((len(blocks), len(cands8)), dtype=np.int64)
+        for ci, d in enumerate(cands8):
+            p = subpel_predict_blocks(refp8, 64, ys, xs, mv + d, n)
+            sads[:, ci] = np.abs(
+                blocks.astype(np.int32) - p.astype(np.int32)
+            ).sum(axis=(1, 2))
+        mv = mv + cands8[np.argmin(sads, axis=1)]
+        mv = np.clip(mv, -60 * 8, 60 * 8)
+
+    grid = mv.reshape(nvy, nvx, 2)
+
+    # -- stage 4: coherence pass (3x3 median on each component) ----------
+    med = grid.copy()
+    gp = np.pad(grid, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    stack = np.stack([gp[dy:dy + nvy, dx:dx + nvx]
+                      for dy in range(3) for dx in range(3)])
+    med = np.median(stack, axis=0).astype(np.int64)
+    # Accept the median where it does not hurt SAD by more than 1/16.
+    p_cur = subpel_predict_blocks(refp8, 64, ys, xs,
+                                  grid.reshape(-1, 2), n)
+    p_med = subpel_predict_blocks(refp8, 64, ys, xs,
+                                  med.reshape(-1, 2), n)
+    s_cur = np.abs(blocks.astype(np.int32)
+                   - p_cur.astype(np.int32)).sum(axis=(1, 2))
+    s_med = np.abs(blocks.astype(np.int32)
+                   - p_med.astype(np.int32)).sum(axis=(1, 2))
+    keep_med = (s_med <= s_cur + (s_cur >> 4)).reshape(nvy, nvx)
+    grid = np.where(keep_med[..., None], med, grid)
+    return grid

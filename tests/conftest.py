@@ -12,6 +12,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
+    # optimization_level=0: XLA:CPU takes minutes to optimize the long
+    # integer-lifting chains at the default level; tests don't need it.
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
+        " --xla_backend_optimization_level=0"
     ).strip()

@@ -166,3 +166,66 @@ def test_cli_lossless_end_to_end(tmp_path):
     a = b"".join(p.tobytes() for p in frames[0])
     b = b"".join(p.tobytes() for p in out[0])
     assert hashlib.md5(a).hexdigest() == hashlib.md5(b).hexdigest()
+
+
+def test_dering_invariant_and_gain():
+    """Dering must keep the encoder-check invariant and help on sharp
+    edges at moderate rates."""
+    rng = np.random.default_rng(4)
+    W = H = 64
+    y = np.full((H, W), 80, np.uint8)
+    y[:, 32:] = 200
+    y[20:40, 10:50] = 30
+    y = np.clip(y.astype(float) + rng.normal(0, 2, (H, W)), 0,
+                255).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 100, np.uint8)
+    v = np.full((H // 2, W // 2), 150, np.uint8)
+    info = FrameInfo(pic_width=W, pic_height=H)
+    pkt, recon = encode_keyframe([y, u, v], info, quality=40,
+                                 return_recon=True)
+    out = decode_keyframe(pkt, info)
+    for a, b in zip(recon, out):
+        assert np.array_equal(a, b)
+    out_nd = decode_keyframe(
+        encode_keyframe([y, u, v], info, quality=40, use_dering=False),
+        info, use_dering=False)
+    def psnr(o):
+        return 10 * np.log10(255 ** 2 / ((y.astype(float) - o[0]) ** 2).mean())
+    assert psnr(out) >= psnr(out_nd) - 0.05
+
+
+def test_inter_pframes():
+    """P-frame round trip with global motion: encoder-check holds and
+    P-frames are much cheaper than keyframes."""
+    from daala_tpu.pipeline.inter import DecoderSession, EncoderSession
+
+    rng = np.random.default_rng(0)
+    W = H = 64
+    base = np.clip(
+        128 + 60 * np.sin(np.arange(H + 32)[:, None] / 9)
+        + 40 * np.cos(np.arange(W + 32)[None, :] / 7)
+        + rng.normal(0, 4, (H + 32, W + 32)), 0, 255).astype(np.uint8)
+    bu = np.full(((H + 32) // 2, (W + 32) // 2), 110, np.uint8)
+    bv = np.full(((H + 32) // 2, (W + 32) // 2), 140, np.uint8)
+    frames = []
+    for t in range(3):
+        dy, dx = 2 * t, 3 * t
+        frames.append([
+            base[dy:dy + H, dx:dx + W],
+            bu[dy // 2:dy // 2 + H // 2, dx // 2:dx // 2 + W // 2],
+            bv[dy // 2:dy // 2 + H // 2, dx // 2:dx // 2 + W // 2],
+        ])
+    info = FrameInfo(pic_width=W, pic_height=H)
+    enc = EncoderSession(info, quality=25, keyframe_rate=100)
+    dec = DecoderSession(info)
+    sizes = []
+    for t, fr in enumerate(frames):
+        pkt, is_key, rec = enc.encode_frame(fr)
+        out = dec.decode_frame(pkt, is_key)
+        for a, b in zip(rec, out):
+            assert np.array_equal(a, b), t
+        assert is_key == (t == 0)
+        sizes.append(len(pkt))
+        mse = ((fr[0].astype(float) - out[0]) ** 2).mean()
+        assert 10 * np.log10(255 ** 2 / mse) > 33, t
+    assert sizes[1] < sizes[0] // 2 and sizes[2] < sizes[0] // 2
