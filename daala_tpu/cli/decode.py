@@ -32,13 +32,18 @@ def main(argv=None):
     with open(args.output, "wb") as f:
         wr = Y4MWriter(f, hdr)
         sess = None
+        decoded = []  # (display_order, planes)
         for i, p in enumerate(packets):
             if sess is None:
                 sess = DecoderSession(info, bs_luma=p.bs_luma if
                                       not p.use_haar else 1)
-            planes = sess.decode_frame(p.data, p.keyframe, p.use_haar)
-            wr.write_frame(planes)
+            planes = sess.decode_frame(p.data, p.keyframe, p.use_haar,
+                                       ftype=p.ftype)
+            decoded.append((p.display_order, planes))
             sys.stderr.write(f"\rframe {i}")
+        # Reorder coding order -> display order (B-frame reordering).
+        for _, planes in sorted(decoded, key=lambda t: t[0]):
+            wr.write_frame(planes)
     dt = time.time() - t0
     sys.stderr.write(f"\n{len(packets)} frames in {dt:.2f}s\n")
 

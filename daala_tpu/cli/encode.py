@@ -29,6 +29,8 @@ def main(argv=None):
                     help="log block size - 2 (1 = 8x8)")
     ap.add_argument("--masking", action="store_true",
                     help="enable activity masking")
+    ap.add_argument("-b", "--b-frames", type=int, default=0,
+                    help="number of B-frames between anchors (0-4)")
     ap.add_argument("--limit", type=int, default=0,
                     help="max frames to encode (0 = all)")
     args = ap.parse_args(argv)
@@ -42,21 +44,31 @@ def main(argv=None):
             keyframe_rate=args.keyframe_rate,
             timebase_num=hdr.fps_num, timebase_den=hdr.fps_den,
         )
-        from ..pipeline.inter import EncoderSession
+        from ..pipeline.inter import FT_INTRA, EncoderSession
 
         sess = EncoderSession(info, args.quality,
                               use_masking=args.masking, bs_luma=args.bs,
-                              keyframe_rate=args.keyframe_rate)
+                              keyframe_rate=args.keyframe_rate,
+                              b_frames=args.b_frames)
         packets = []
         t0 = time.time()
+
+        def emit(outs):
+            for o in outs:
+                packets.append(FramePacket(
+                    o["data"], keyframe=o["ftype"] == FT_INTRA,
+                    use_haar=o.get("use_haar", False),
+                    bs_luma=3 if o.get("use_haar") else args.bs,
+                    ftype=o["ftype"], display_order=o["display_order"]))
+                sys.stderr.write(
+                    f"\rframe {o['display_order']} "
+                    f"({len(o['data'])} bytes)")
+
         for i, planes in enumerate(rd.frames()):
             if args.limit and i >= args.limit:
                 break
-            pkt, is_key, _ = sess.encode_frame(planes)
-            packets.append(FramePacket(
-                pkt, keyframe=is_key, use_haar=(args.quality == 0),
-                bs_luma=3 if args.quality == 0 else args.bs))
-            sys.stderr.write(f"\rframe {i} ({len(packets[-1].data)} bytes)")
+            emit(sess.push_frame(planes))
+        emit(sess.flush())
         dt = time.time() - t0
         sys.stderr.write(
             f"\n{len(packets)} frames in {dt:.2f}s "

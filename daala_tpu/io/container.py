@@ -33,6 +33,11 @@ class FramePacket:
     keyframe: bool = True
     use_haar: bool = False
     bs_luma: int = 1
+    # Frame type: 0 = I, 1 = P, 2 = B, 3 = golden P.
+    ftype: int = 0
+    # Display-order index (packets are stored in coding order; B-frames
+    # come after their forward anchor, the granulepos analogue).
+    display_order: int = 0
 
 
 def packet_is_keyframe(flags: int) -> bool:
@@ -86,8 +91,9 @@ def write_stream(path: str, info: FrameInfo, packets: List[FramePacket],
         f.write(struct.pack("<H", 0))  # setup header (reserved)
         for p in packets:
             flags = (1 if p.keyframe else 0) | ((1 if p.use_haar else 0) << 1) \
-                | ((p.bs_luma & 3) << 2)
-            f.write(struct.pack("<BI", flags, len(p.data)))
+                | ((p.bs_luma & 3) << 2) | ((p.ftype & 3) << 4)
+            f.write(struct.pack("<BII", flags, p.display_order,
+                                len(p.data)))
             f.write(p.data)
 
 
@@ -106,14 +112,16 @@ def read_stream(path: str) -> Tuple[FrameInfo, str, List[FramePacket]]:
         f.read(slen)
         packets = []
         while True:
-            hdr = f.read(5)
-            if len(hdr) < 5:
+            hdr = f.read(9)
+            if len(hdr) < 9:
                 break
-            flags, plen = struct.unpack("<BI", hdr)
+            flags, disp, plen = struct.unpack("<BII", hdr)
             packets.append(FramePacket(
                 data=f.read(plen),
                 keyframe=bool(flags & 1),
                 use_haar=bool(flags & 2),
                 bs_luma=(flags >> 2) & 3,
+                ftype=(flags >> 4) & 3,
+                display_order=disp,
             ))
         return info, comment, packets

@@ -81,12 +81,18 @@ def subpel_predict_blocks(ref_padded: np.ndarray, pad: int,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def obmc_predict(ref_padded: np.ndarray, pad: int, h: int, w: int,
-                 mv_grid: np.ndarray, blk_log: int) -> np.ndarray:
+def obmc_predict(ref_padded, pad: int, h: int, w: int,
+                 mv_grid: np.ndarray, blk_log: int,
+                 ref_ids: np.ndarray = None) -> np.ndarray:
     """Whole-frame OBMC prediction from a uniform MV vertex grid.
 
     mv_grid: (nvy + 1, nvx + 1, 2) 1/8-pel (mvy, mvx) per vertex, where
     nvy = h >> blk_log, nvx = w >> blk_log.
+    Multi-reference: ref_padded may be a list of padded reference
+    planes with ref_ids (nvy+1, nvx+1) selecting the reference per
+    vertex — each corner's whole-block prediction comes from its own
+    reference before the blend (the od_mc_blend_multi capability,
+    mc.c:1228-1564, on the uniform mesh).
     Returns (h, w) uint8 prediction."""
     n = 1 << blk_log
     nby = h >> blk_log
@@ -94,17 +100,29 @@ def obmc_predict(ref_padded: np.ndarray, pad: int, h: int, w: int,
     by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
     ys = (by.ravel() << blk_log).astype(np.int64)
     xs = (bx.ravel() << blk_log).astype(np.int64)
+    refs = ref_padded if isinstance(ref_padded, (list, tuple)) \
+        else [ref_padded]
+    if ref_ids is None:
+        ref_ids = np.zeros(mv_grid.shape[:2], dtype=np.int32)
     # Corner MVs per block: TL, TR, BR, BL.
     corners = [
-        mv_grid[:-1, :-1], mv_grid[:-1, 1:], mv_grid[1:, 1:],
-        mv_grid[1:, :-1],
+        (mv_grid[:-1, :-1], ref_ids[:-1, :-1]),
+        (mv_grid[:-1, 1:], ref_ids[:-1, 1:]),
+        (mv_grid[1:, 1:], ref_ids[1:, 1:]),
+        (mv_grid[1:, :-1], ref_ids[1:, :-1]),
     ]
-    preds = [
-        subpel_predict_blocks(
-            ref_padded, pad, ys, xs,
-            c.reshape(-1, 2).astype(np.int64), n).astype(np.int32)
-        for c in corners
-    ]
+    preds = []
+    for c, rid in corners:
+        mvs = c.reshape(-1, 2).astype(np.int64)
+        rid = rid.ravel()
+        p = np.zeros((len(mvs), n, n), dtype=np.int32)
+        for r in range(len(refs)):
+            sel = rid == r
+            if np.any(sel):
+                p[sel] = subpel_predict_blocks(
+                    refs[r], pad, ys[sel], xs[sel], mvs[sel], n
+                ).astype(np.int32)
+        preds.append(p)
     # Bilinear blend (od_mc_blend_full8_c weights).
     i = np.arange(n)[None, None, :]
     j = np.arange(n)[None, :, None]

@@ -40,7 +40,7 @@ from ..ops.dct import fdct2d
 from ..ops.mc import obmc_predict, pad_ref
 from ..pvq.coding import pvq_decode_block, pvq_encode_block
 from ..pvq.scan import coding_to_raster, qm_get_index, raster_to_coding
-from ..search.me import motion_search
+from ..search.me import motion_search, motion_search_multi
 from .intra import (
     _PlaneCtx,
     _code_frame,
@@ -63,12 +63,17 @@ MV_BLK_LOG = 4  # uniform mesh: vertices every 16 luma px
 
 
 class _MvCtx:
-    """MV coding context: generic magnitude models + expectations."""
+    """MV coding context: generic magnitude models + expectations, plus
+    the per-vertex reference-id CDFs (mv_ref_cdf, state.c:602)."""
 
     def __init__(self):
+        from ..entropy import cdf_init
+
         self.model = GenericModel()
         self.ex = 24 << 16
         self.ey = 24 << 16
+        self.ref_cdf = cdf_init(2, 2, 128, 128)
+        self.ref_increment = 128
 
 
 def _mv_pred(grid, vy, vx):
@@ -90,11 +95,34 @@ def _mv_pred(grid, vy, vx):
     return np.median(c, axis=0).astype(np.int64)
 
 
-def _code_mv_grid(ec, mvctx, grid, encoder):
+def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1):
+    """Code the MV mesh: per vertex an adaptive ref-id symbol (multi-ref
+    frames) then median-predicted MV deltas."""
+    from ..entropy.adapt import decode_cdf_adapt, encode_cdf_adapt
+
     nvy, nvx = grid.shape[:2]
     out = np.zeros_like(grid) if not encoder else grid
+    rids = (np.zeros((nvy, nvx), dtype=np.int32) if not encoder
+            else ref_ids)
     for vy in range(nvy):
         for vx in range(nvx):
+            if nrefs > 1:
+                # Context: majority of left/up decoded ref ids.
+                rp = 0
+                nb = []
+                if vx > 0:
+                    nb.append(int(rids[vy, vx - 1]))
+                if vy > 0:
+                    nb.append(int(rids[vy - 1, vx]))
+                if nb:
+                    rp = 1 if sum(nb) * 2 > len(nb) else 0
+                if encoder:
+                    encode_cdf_adapt(ec, int(ref_ids[vy, vx]),
+                                     mvctx.ref_cdf[rp],
+                                     mvctx.ref_increment)
+                else:
+                    rids[vy, vx] = decode_cdf_adapt(
+                        ec, mvctx.ref_cdf[rp], mvctx.ref_increment)
             pred = _mv_pred(out, vy, vx)
             if encoder:
                 dy = int(grid[vy, vx, 0]) - int(pred[0])
@@ -118,7 +146,7 @@ def _code_mv_grid(ec, mvctx, grid, encoder):
                     dx = -dx
                 out[vy, vx, 0] = pred[0] + dy
                 out[vy, vx, 1] = pred[1] + dx
-    return out
+    return out, rids
 
 
 def _code_inter_block(ec, state, pc, md, bx, by, use_masking, encoder,
@@ -221,178 +249,291 @@ def _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
                                  bx * c4:(bx + 1) * c4] = skip
 
 
+GOLDEN_INTERVAL = 10  # OD_GOLDEN_FRAME_INTERVAL (encode.c:60)
+
+FT_INTRA = 0
+FT_P = 1
+FT_B = 2
+FT_GOLDEN = 3
+
+
+def _pad_refs(info, rec):
+    return [
+        pad_plane(r, info.frame_width >> info.xdec[i],
+                  info.frame_height >> info.ydec[i])
+        for i, r in enumerate(rec)
+    ]
+
+
+def _frame_quality(cq, ftype, b_frames):
+    """Keyframe/golden boost and B-frame offset (encode.c:3059-3080)."""
+    if ftype in (FT_INTRA, FT_GOLDEN):
+        return max(1, cq - 3)
+    if ftype == FT_B:
+        return min(N_CODED_QUANTIZERS - 2, cq + (4 if b_frames > 1 else 2))
+    return cq
+
+
+def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
+                       refs, planes_or_packet, encoder):
+    """Shared P/B frame coder.  refs: list of padded reference plane
+    lists (1 = single-ref P, 2 = multi-ref P or B)."""
+    nplanes = info.nplanes
+    nrefs = len(refs)
+    mvctx = _MvCtx()
+    if encoder:
+        planes = planes_or_packet
+        quantizer = codedquantizer_to_quantizer(cq)
+        ec = RangeEncoder()
+        for pli in range(nplanes):
+            ec.encode_uint(cq, N_CODED_QUANTIZERS)
+        cur_y = pad_plane(planes[0], info.frame_width, info.frame_height)
+        grid, rids = motion_search_multi(
+            cur_y, [r[0] for r in refs], MV_BLK_LOG)
+        _code_mv_grid(ec, mvctx, grid, True, rids, nrefs)
+    else:
+        planes = None
+        ec = RangeDecoder(planes_or_packet)
+        cqs = [ec.decode_uint(N_CODED_QUANTIZERS) for _ in range(nplanes)]
+        quantizer = codedquantizer_to_quantizer(cqs[0])
+        nvy = (info.frame_height >> MV_BLK_LOG) + 1
+        nvx = (info.frame_width >> MV_BLK_LOG) + 1
+        grid, rids = _code_mv_grid(
+            ec, mvctx, np.zeros((nvy, nvx, 2), dtype=np.int64), False,
+            None, nrefs)
+    state = AdaptState.reset(nplanes, False)
+    state.qm, state.qm_inv = init_qm(QM8_HVS)
+    for pli in range(nplanes):
+        state.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli, use_masking)
+    # OBMC predict + transform per plane.
+    pcs = []
+    mds = []
+    for pli in range(nplanes):
+        pc = _PlaneCtx(info, pli, bs_luma, quantizer, False)
+        pc.bskip = np.zeros((pc.h >> 2, pc.w >> 2), dtype=np.uint8)
+        xd = info.xdec[pli]
+        refps = [pad_ref(r[pli]) for r in refs]
+        g = grid if xd == 0 else (grid >> 1)
+        mc = obmc_predict(refps, 80, pc.h, pc.w, g, MV_BLK_LOG - xd,
+                          ref_ids=rids)
+        if planes is not None:
+            cur = pad_plane(planes[pli], pc.w, pc.h).copy()
+            ph, pw = planes[pli].shape
+            cur[ph:, :] = mc[ph:, :]
+            cur[:ph, pw:] = mc[:ph, pw:]
+            c = prefilter_frame(to_coeff(cur, False), 4 << pc.bs)
+            pc.d = _from_blocks(
+                fdct2d(_to_blocks(c, pc.n), pc.n), c.shape, pc.n)
+        else:
+            pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
+        mcc = prefilter_frame(to_coeff(mc, False), 4 << pc.bs)
+        mds.append(_from_blocks(
+            fdct2d(_to_blocks(mcc, pc.n), pc.n), mcc.shape, pc.n))
+        pcs.append(pc)
+    _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
+                      encoder)
+    _to_spatial(pcs)
+    if use_dering:
+        if encoder:
+            orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w,
+                                       pcs[pli].h), False)
+                    for pli in range(nplanes)]
+            _dering_pass(ec, state, pcs, orig, True)
+        else:
+            _dering_pass(ec, state, pcs, None, False)
+    rec = _crop(pcs, info)
+    if encoder:
+        return ec.done(), rec
+    return rec
+
+
 class EncoderSession:
-    """Multi-frame encoder with reference management (the daala_enc_ctx
-    equivalent for the implemented feature set)."""
+    """Multi-frame encoder with reference management, golden-frame
+    cadence and B-frame reordering (daala_enc_ctx equivalent:
+    encode.c:2808-2995, 3146-3175)."""
 
     def __init__(self, info: FrameInfo, quality: int,
                  use_masking: bool = False, bs_luma: int = 1,
-                 use_dering: bool = True, keyframe_rate: int = None):
+                 use_dering: bool = True, keyframe_rate: int = None,
+                 b_frames: int = 0):
         self.info = info
         self.quality = quality
         self.use_masking = use_masking
         self.bs_luma = bs_luma
         self.use_dering = use_dering
         self.keyframe_rate = keyframe_rate or info.keyframe_rate
-        self.frame_idx = 0
-        self.ref_planes = None     # reconstructed full padded planes
+        self.b_frames = b_frames
+        self.frame_idx = 0          # display index of next input
+        self.since_golden = 0
+        self.ref_prev = None
+        self.ref_next = None
+        self.ref_gold = None
+        self.queue = []             # buffered (display_idx, planes)
         self.qm, self.qm_inv = init_qm(QM8_HVS)
 
-    def encode_frame(self, planes):
-        """Returns (packet_bytes, is_keyframe, recon_planes)."""
-        from .intra import encode_keyframe
+    # -- public API ------------------------------------------------------
 
-        is_key = (self.frame_idx % self.keyframe_rate == 0
-                  or self.ref_planes is None or self.quality == 0)
+    def encode_frame(self, planes):
+        """Zero-B-frame convenience API: returns
+        (packet, is_keyframe, recon)."""
+        assert self.b_frames == 0
+        out = self.push_frame(planes)
+        pkt = out[0]
+        return pkt["data"], pkt["ftype"] == FT_INTRA, pkt["recon"]
+
+    def push_frame(self, planes):
+        """Feed one frame in display order; returns a list of packet
+        dicts (data, ftype, display_order, recon) in coding order —
+        possibly empty while B-frames buffer."""
+        idx = self.frame_idx
         self.frame_idx += 1
+        is_key = (idx % self.keyframe_rate == 0 or self.ref_prev is None
+                  or self.quality == 0)
+        if is_key or self.b_frames == 0:
+            out = []
+            if self.queue:
+                out += self._flush_queue(next_anchor=None)
+            out.append(self._encode_anchor(planes, idx, is_key))
+            return out
+        self.queue.append((idx, planes))
+        if len(self.queue) > self.b_frames:
+            # Encode the newest frame as the P anchor, then the earlier
+            # frames as B between prev and next anchors.
+            anchor_idx, anchor_planes = self.queue.pop()
+            out = [self._encode_anchor(anchor_planes, anchor_idx, False)]
+            out += self._flush_queue(next_anchor=self.ref_next)
+            return out
+        return []
+
+    def flush(self):
+        """Flush buffered B-frames at end of stream (coded as P chain)."""
+        out = self._flush_queue(next_anchor=None)
+        self.queue = []
+        return out
+
+    # -- internals -------------------------------------------------------
+
+    def _encode_anchor(self, planes, idx, is_key):
         if self.quality == 0:
-            from .wavelet import encode_keyframe_lossless
+            from .wavelet import (
+                decode_keyframe_lossless,
+                encode_keyframe_lossless,
+            )
             pkt = encode_keyframe_lossless(planes, self.info)
-            from .wavelet import decode_keyframe_lossless
             rec = decode_keyframe_lossless(pkt, self.info)
-            return pkt, True, rec
+            self._rotate_refs(rec, FT_INTRA)
+            return {"data": pkt, "ftype": FT_INTRA, "display_order": idx,
+                    "recon": rec, "use_haar": True}
         if is_key:
+            from .intra import encode_keyframe
             pkt, rec = encode_keyframe(
                 planes, self.info, self.quality,
                 use_masking=self.use_masking, bs_luma=self.bs_luma,
                 use_dering=self.use_dering, return_recon=True)
-            self._store_ref(rec)
-            return pkt, True, rec
-        pkt, rec = self._encode_pframe(planes)
-        self._store_ref(rec)
-        return pkt, False, rec
+            self._rotate_refs(rec, FT_INTRA)
+            return {"data": pkt, "ftype": FT_INTRA, "display_order": idx,
+                    "recon": rec, "use_haar": False}
+        # P frame (golden cadence).
+        self.since_golden += 1
+        ftype = FT_GOLDEN if self.since_golden >= GOLDEN_INTERVAL else FT_P
+        if ftype == FT_GOLDEN:
+            self.since_golden = 0
+        refs = [self.ref_prev]
+        if self.ref_gold is not None and self.ref_gold is not self.ref_prev:
+            refs.append(self.ref_gold)
+        cq = _frame_quality(self.quality, ftype, self.b_frames)
+        pkt, rec = _code_inter_packet(
+            self.info, self.bs_luma, self.use_masking, self.use_dering,
+            cq, refs, planes, True)
+        self._rotate_refs(rec, ftype)
+        return {"data": pkt, "ftype": ftype, "display_order": idx,
+                "recon": rec, "use_haar": False}
 
-    def _store_ref(self, rec):
-        self.ref_planes = [
-            pad_plane(r, self.info.frame_width >> self.info.xdec[i],
-                      self.info.frame_height >> self.info.ydec[i])
-            for i, r in enumerate(rec)
-        ]
-
-    def _encode_pframe(self, planes):
-        info = self.info
-        cq = self.quality
-        quantizer = codedquantizer_to_quantizer(cq)
-        nplanes = info.nplanes
-        state = AdaptState.reset(nplanes, False)
-        state.qm, state.qm_inv = self.qm, self.qm_inv
-        for pli in range(nplanes):
-            state.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli,
-                                                 self.use_masking)
-        ec = RangeEncoder()
-        for pli in range(nplanes):
-            ec.encode_uint(cq, N_CODED_QUANTIZERS)
-        # Motion search on luma.
-        ref_y = self.ref_planes[0]
-        cur_y = pad_plane(planes[0], info.frame_width, info.frame_height)
-        grid = motion_search(cur_y, ref_y, MV_BLK_LOG)
-        mvctx = _MvCtx()
-        _code_mv_grid(ec, mvctx, grid, True)
-        pcs, mds = self._predict_and_transform(planes, grid, quantizer)
-        _code_inter_frame(ec, state, pcs, mds, info, self.bs_luma,
-                          self.use_masking, True)
-        _to_spatial(pcs)
-        if self.use_dering:
-            orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w,
-                                       pcs[pli].h), False)
-                    for pli in range(nplanes)]
-            _dering_pass(ec, state, pcs, orig, True)
-        return ec.done(), _crop(pcs, info)
-
-    def _predict_and_transform(self, planes, grid, quantizer,
-                               decoder_pcs=None):
-        """Shared enc/dec: OBMC predict, pad-with-pred, lap+DCT both."""
-        info = self.info
-        pcs = []
-        mds = []
-        for pli in range(info.nplanes):
-            pc = _PlaneCtx(info, pli, self.bs_luma, quantizer, False)
-            pc.bskip = np.zeros((pc.h >> 2, pc.w >> 2), dtype=np.uint8)
-            xd = info.xdec[pli]
-            refp = pad_ref(self.ref_planes[pli])
-            g = grid if xd == 0 else (grid >> 1)
-            mc = obmc_predict(refp, 80, pc.h, pc.w, g, MV_BLK_LOG - xd)
-            if planes is not None:
-                cur = pad_plane(planes[pli], pc.w, pc.h)
-                ph = planes[pli].shape[0]
-                pw = planes[pli].shape[1]
-                cur = cur.copy()
-                cur[ph:, :] = mc[ph:, :]
-                cur[:ph, pw:] = mc[:ph, pw:]
-                c = prefilter_frame(to_coeff(cur, False), 4 << pc.bs)
-                pc.d = _from_blocks(
-                    fdct2d(_to_blocks(c, pc.n), pc.n), c.shape, pc.n)
+    def _flush_queue(self, next_anchor):
+        """Encode buffered frames as B (prev+next refs) or trailing P."""
+        out = []
+        for (idx, planes) in self.queue:
+            if next_anchor is not None:
+                refs = [self.ref_prev, next_anchor]
+                cq = _frame_quality(self.quality, FT_B, self.b_frames)
+                pkt, rec = _code_inter_packet(
+                    self.info, self.bs_luma, self.use_masking,
+                    self.use_dering, cq, refs, planes, True)
+                out.append({"data": pkt, "ftype": FT_B,
+                            "display_order": idx, "recon": rec,
+                            "use_haar": False})
             else:
-                pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
-            mcc = prefilter_frame(to_coeff(mc, False), 4 << pc.bs)
-            md = _from_blocks(
-                fdct2d(_to_blocks(mcc, pc.n), pc.n), mcc.shape, pc.n)
-            pcs.append(pc)
-            mds.append(md)
-        return pcs, mds
+                out.append(self._encode_anchor(planes, idx, False))
+        self.queue = []
+        return out
+
+    def _rotate_refs(self, rec, ftype):
+        """Reference rotation (encode.c:3146-3175 semantics for the
+        implemented ref set): anchors become PREV (and the previous
+        anchor becomes the B-frames' backward ref); keyframes and
+        goldens refresh GOLD."""
+        padded = _pad_refs(self.info, rec)
+        self.ref_next = self.ref_prev  # backward anchor for queued Bs
+        if ftype in (FT_INTRA, FT_GOLDEN):
+            self.ref_gold = padded
+        self.ref_prev = padded
 
 
 class DecoderSession:
+    """Mirror of EncoderSession: decodes coding-order packets, manages
+    references, reorders B-frames for display (decode.c:1297-1326)."""
+
     def __init__(self, info: FrameInfo, bs_luma: int = 1,
                  use_masking: bool = False, use_dering: bool = True):
         self.info = info
         self.bs_luma = bs_luma
         self.use_masking = use_masking
         self.use_dering = use_dering
-        self.ref_planes = None
+        self.ref_prev = None
+        self.ref_next = None
+        self.ref_gold = None
 
     def decode_frame(self, packet: bytes, keyframe: bool,
-                     use_haar: bool = False):
+                     use_haar: bool = False, ftype: int = None):
+        """Single-packet decode (coding order).  ftype defaults to
+        I/P by the keyframe flag for b_frames=0 streams."""
         from .intra import decode_keyframe
         from .wavelet import decode_keyframe_lossless
 
+        if ftype is None:
+            ftype = FT_INTRA if keyframe else FT_P
         if use_haar:
             rec = decode_keyframe_lossless(packet, self.info)
+            self._rotate(rec, FT_INTRA)
             return rec
-        if keyframe:
+        if ftype == FT_INTRA:
             rec = decode_keyframe(packet, self.info,
                                   use_masking=self.use_masking,
                                   bs_luma=self.bs_luma,
                                   use_dering=self.use_dering)
-            self._store_ref(rec)
+            self._rotate(rec, FT_INTRA)
             return rec
-        rec = self._decode_pframe(packet)
-        self._store_ref(rec)
+        if ftype == FT_B:
+            # ref 0 = forward (future) anchor, ref 1 = past anchor —
+            # mirrors the encoder's post-anchor reference state.
+            refs = [self.ref_prev, self.ref_next]
+            rec = _code_inter_packet(
+                self.info, self.bs_luma, self.use_masking,
+                self.use_dering, 0, refs, packet, False)
+            # B frames are not references; no rotation.
+            return rec
+        refs = [self.ref_prev]
+        if self.ref_gold is not None and self.ref_gold is not self.ref_prev:
+            refs.append(self.ref_gold)
+        rec = _code_inter_packet(
+            self.info, self.bs_luma, self.use_masking, self.use_dering,
+            0, refs, packet, False)
+        self._rotate(rec, ftype)
         return rec
 
-    def _store_ref(self, rec):
-        self.ref_planes = [
-            pad_plane(r, self.info.frame_width >> self.info.xdec[i],
-                      self.info.frame_height >> self.info.ydec[i])
-            for i, r in enumerate(rec)
-        ]
-
-    def _decode_pframe(self, packet):
-        info = self.info
-        ec = RangeDecoder(packet)
-        cqs = [ec.decode_uint(N_CODED_QUANTIZERS)
-               for _ in range(info.nplanes)]
-        quantizer = codedquantizer_to_quantizer(cqs[0])
-        state = AdaptState.reset(info.nplanes, False)
-        state.qm, state.qm_inv = init_qm(QM8_HVS)
-        for pli in range(info.nplanes):
-            state.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli,
-                                                 self.use_masking)
-        nvy = (info.frame_height >> MV_BLK_LOG) + 1
-        nvx = (info.frame_width >> MV_BLK_LOG) + 1
-        mvctx = _MvCtx()
-        grid = _code_mv_grid(ec, mvctx,
-                             np.zeros((nvy, nvx, 2), dtype=np.int64),
-                             False)
-        helper = EncoderSession.__new__(EncoderSession)
-        helper.info = info
-        helper.bs_luma = self.bs_luma
-        helper.ref_planes = self.ref_planes
-        pcs, mds = EncoderSession._predict_and_transform(
-            helper, None, grid, quantizer)
-        _code_inter_frame(ec, state, pcs, mds, info, self.bs_luma,
-                          self.use_masking, False)
-        _to_spatial(pcs)
-        if self.use_dering:
-            _dering_pass(ec, state, pcs, None, False)
-        return _crop(pcs, info)
+    def _rotate(self, rec, ftype):
+        padded = _pad_refs(self.info, rec)
+        self.ref_next = self.ref_prev
+        if ftype in (FT_INTRA, FT_GOLDEN):
+            self.ref_gold = padded
+        self.ref_prev = padded

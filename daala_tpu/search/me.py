@@ -27,7 +27,43 @@ import numpy as np
 
 from ..ops.mc import pad_ref, subpel_predict_blocks
 
-__all__ = ["motion_search"]
+__all__ = ["motion_search", "motion_search_multi"]
+
+
+def motion_search_multi(cur: np.ndarray, refs, blk_log: int,
+                        ref_bias: int = None):
+    """Per-vertex multi-reference search (the multiref capability of
+    od_mv_est_init_mvs, mcenc.c:6480-6494, recast as independent
+    batched searches + a per-vertex argmin).
+
+    refs: list of (h, w) reference planes (e.g. [PREV, GOLD] for P,
+    [PREV, NEXT] for B).  Returns (grid (nvy+1, nvx+1, 2),
+    ref_ids (nvy+1, nvx+1))."""
+    from ..ops.mc import pad_ref, subpel_predict_blocks
+
+    n = 1 << blk_log
+    grids = [motion_search(cur, r, blk_log) for r in refs]
+    if len(refs) == 1:
+        return grids[0], np.zeros(grids[0].shape[:2], dtype=np.int32)
+    h, w = cur.shape
+    nvy = (h >> blk_log) + 1
+    nvx = (w >> blk_log) + 1
+    vy, vx = np.meshgrid(np.arange(nvy) << blk_log,
+                         np.arange(nvx) << blk_log, indexing="ij")
+    blocks, ys, xs = _vertex_blocks(cur, vy.ravel(), vx.ravel(), n)
+    if ref_bias is None:
+        ref_bias = n * n // 16  # slight preference for reference 0
+    sads = []
+    for ri, (r, g) in enumerate(zip(refs, grids)):
+        p = subpel_predict_blocks(pad_ref(r, 64), 64, ys, xs,
+                                  g.reshape(-1, 2), n)
+        s = np.abs(blocks.astype(np.int32)
+                   - p.astype(np.int32)).sum(axis=(1, 2))
+        sads.append(s + (ref_bias if ri > 0 else 0))
+    ref_ids = np.argmin(np.stack(sads), axis=0).astype(np.int32)
+    flat = np.stack([g.reshape(-1, 2) for g in grids])
+    grid = flat[ref_ids, np.arange(len(ref_ids))].reshape(nvy, nvx, 2)
+    return grid, ref_ids.reshape(nvy, nvx)
 
 
 def _downsample2(p):

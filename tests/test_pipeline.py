@@ -229,3 +229,39 @@ def test_inter_pframes():
         mse = ((fr[0].astype(float) - out[0]) ** 2).mean()
         assert 10 * np.log10(255 ** 2 / mse) > 33, t
     assert sizes[1] < sizes[0] // 2 and sizes[2] < sizes[0] // 2
+
+
+def test_b_frames_and_reorder(tmp_path):
+    """B-frame streams: coding-order packets, display reorder, golden
+    multiref path, encoder-check per frame."""
+    from daala_tpu.cli.decode import main as dec_main
+    from daala_tpu.cli.encode import main as enc_main
+
+    rng = np.random.default_rng(2)
+    W = H = 64
+    bg = np.clip(128 + 55 * np.sin(np.arange(H + 64)[:, None] / 10)
+                 + 45 * np.cos(np.arange(W + 64)[None, :] / 8)
+                 + rng.normal(0, 4, (H + 64, W + 64)),
+                 0, 255).astype(np.uint8)
+    frames = []
+    for t in range(6):
+        dy, dx = 2 * t, 3 * t
+        frames.append([bg[dy:dy + H, dx:dx + W],
+                       np.full((H // 2, W // 2), 100, np.uint8),
+                       np.full((H // 2, W // 2), 150, np.uint8)])
+    hdr = Y4MHeader(width=W, height=H, colorspace="420")
+    src = str(tmp_path / "in.y4m")
+    stream = str(tmp_path / "s.dtp")
+    dst = str(tmp_path / "out.y4m")
+    write_y4m(src, hdr, frames)
+    enc_main([src, "-o", stream, "-v", "25", "-b", "1"])
+    dec_main([stream, "-o", dst])
+    _, out = read_y4m(dst)
+    assert len(out) == 6
+    # Display order restored: each decoded frame tracks its source.
+    for t in range(6):
+        mse = ((frames[t][0].astype(float) - out[t][0]) ** 2).mean()
+        assert 10 * np.log10(255 ** 2 / mse) > 30, t
+    info, _, pkts = read_stream(stream)
+    assert any(p.ftype == 2 for p in pkts)  # B packets present
+    assert sorted(p.display_order for p in pkts) == list(range(6))
