@@ -25,8 +25,9 @@ def main(argv=None):
     ap.add_argument("-v", "--quality", type=int, default=25,
                     help="coded quantizer 0..63 (0 = lossless)")
     ap.add_argument("-k", "--keyframe-rate", type=int, default=256)
-    ap.add_argument("--bs", type=int, default=1, choices=[0, 1, 2, 3],
-                    help="log block size - 2 (1 = 8x8)")
+    ap.add_argument("--bs", default="auto",
+                    help="block size: auto (open-loop splitter) or "
+                         "0..3 (fixed 4x4..32x32)")
     ap.add_argument("--masking", action="store_true",
                     help="enable activity masking")
     ap.add_argument("-b", "--b-frames", type=int, default=0,
@@ -46,8 +47,9 @@ def main(argv=None):
         )
         from ..pipeline.inter import FT_INTRA, EncoderSession
 
+        bs = -1 if args.bs == "auto" else int(args.bs)
         sess = EncoderSession(info, args.quality,
-                              use_masking=args.masking, bs_luma=args.bs,
+                              use_masking=args.masking, bs_luma=bs,
                               keyframe_rate=args.keyframe_rate,
                               b_frames=args.b_frames)
         packets = []
@@ -58,7 +60,7 @@ def main(argv=None):
                 packets.append(FramePacket(
                     o["data"], keyframe=o["ftype"] == FT_INTRA,
                     use_haar=o.get("use_haar", False),
-                    bs_luma=3 if o.get("use_haar") else args.bs,
+                    bs_luma=3 if o.get("use_haar") else max(bs, 0),
                     ftype=o["ftype"], display_order=o["display_order"]))
                 sys.stderr.write(
                     f"\rframe {o['display_order']} "

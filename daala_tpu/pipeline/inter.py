@@ -149,16 +149,19 @@ def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1):
     return out, rids
 
 
-def _code_inter_block(ec, state, pc, md, bx, by, use_masking, encoder,
-                      skip_in=0):
-    """Inter leaf: prediction = transformed MC block; PVQ + DC delta."""
+def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
+                      encoder, skip_in=0):
+    """Inter leaf: prediction = transformed MC block; PVQ + DC delta.
+    bx/by are node coords at level bsi."""
     pli = pc.pli
-    n = pc.n
-    bs = pc.bs
-    y0 = by * n
-    x0 = bx * n
+    n = 4 << bs
+    y0 = by << (2 + bsi - pc.xdec)
+    x0 = bx << (2 + bsi - pc.xdec)
     d = pc.d
-    pred = np.asarray(md[y0:y0 + n, x0:x0 + n])
+    # Transform the (incrementally lapped) MC prediction for this leaf.
+    pred = fdct2d(
+        np.asarray(md[y0:y0 + n, x0:x0 + n], dtype=np.int32)[None],
+        n)[0]
     predt = raster_to_coding(pred).astype(np.int32)
     q0 = max(1, pc.quantizer)
     qm = state.qm[bs]
@@ -205,48 +208,98 @@ def _code_inter_block(ec, state, pc, md, bx, by, use_masking, encoder,
     return skip
 
 
-def _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
-                      encoder):
-    """Per-SB, per-plane, per-block raster pass with skip symbols.
-
-    Inter has no Haar DC and no split levels this round (uniform
-    grid); the skip symbol doubles as the split signal slot."""
+def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
+                     encoder):
+    """Inter Z-order walk: split signaling through the luma skip symbol
+    (no Haar DC on inter frames)."""
     from ..entropy.adapt import decode_cdf_adapt, encode_cdf_adapt
 
+    xdec = pc.xdec
+    g = pc.grid
+    cell = (by << bsi, bx << bsi)
+    if pc.pli == 0:
+        if encoder:
+            is_leaf = int(g[cell]) == bsi
+        else:
+            nsym = 4 + (1 if bsi > 0 else 0)
+            sk = decode_cdf_adapt(ec, state.skip_cdf[2 * bsi][:nsym],
+                                  state.skip_increment)
+            is_leaf = sk < 4
+            if is_leaf:
+                g[cell[0]:cell[0] + (1 << bsi),
+                  cell[1]:cell[1] + (1 << bsi)] = bsi
+        if is_leaf:
+            if encoder:
+                skip = _code_inter_block(ec, state, pc, md, bx, by, bsi,
+                                         bsi, use_masking, True)
+            else:
+                skip = _code_inter_block(ec, state, pc, md, bx, by, bsi,
+                                         bsi, use_masking, False, sk)
+            _mark_bskip(pc, bx, by, bsi, skip)
+            return
+        if encoder:
+            encode_cdf_adapt(ec, 4, state.skip_cdf[2 * bsi][:5],
+                             state.skip_increment)
+        _split_lap_mc(pc, md, bx, by, bsi)
+    else:
+        obs = int(g[cell])
+        if max(obs, xdec) == bsi:
+            bs = bsi - xdec
+            if encoder:
+                skip = _code_inter_block(ec, state, pc, md, bx, by, bsi,
+                                         bs, use_masking, True)
+            else:
+                sk = decode_cdf_adapt(ec, state.skip_cdf[2 * bs + 1][:4],
+                                      state.skip_increment)
+                skip = _code_inter_block(ec, state, pc, md, bx, by, bsi,
+                                         bs, use_masking, False, sk)
+            _mark_bskip(pc, bx, by, bsi, skip)
+            return
+        _split_lap_mc(pc, md, bx, by, bsi)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            _inter_recursive(ec, state, pc, md, 2 * bx + dx, 2 * by + dy,
+                             bsi - 1, use_masking, encoder)
+
+
+def _split_lap_mc(pc, md, bx, by, bsi):
+    """Incremental lapping of the MC prediction across this split
+    node's middle cross (od_prefilter_split on ctx->mc,
+    decode.c:849-851): applied identically by encoder and decoder as
+    the split structure is traversed."""
+    from ..ops.lapping import pre_filter
+
+    npx = (4 << bsi) >> pc.xdec
+    y0 = by * npx
+    x0 = bx * npx
+    mid = npx >> 1
+    # Horizontal edge (filter vertically) across the node width.
+    rows = slice(y0 + mid - 2, y0 + mid + 2)
+    seg = np.asarray(md[rows, x0:x0 + npx], dtype=np.int32)
+    md[rows, x0:x0 + npx] = pre_filter(seg.T, 4).T
+    # Vertical edge across the node height.
+    cols = slice(x0 + mid - 2, x0 + mid + 2)
+    seg = np.asarray(md[y0:y0 + npx, cols], dtype=np.int32)
+    md[y0:y0 + npx, cols] = pre_filter(seg, 4)
+
+
+def _mark_bskip(pc, bx, by, bsi, skip):
+    """Track per-4x4 skip cells for the dering pass."""
+    c0 = by << bsi >> pc.xdec
+    c1 = bx << bsi >> pc.xdec
+    span = max(1, 1 << bsi >> pc.xdec)
+    pc.bskip[c0:c0 + span, c1:c1 + span] = skip
+
+
+def _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
+                      encoder):
     nhsb = pcs[0].nhsb
     nvsb = pcs[0].nvsb
     for sby in range(nvsb):
         for sbx in range(nhsb):
             for pli in range(len(pcs)):
-                pc = pcs[pli]
-                md = mds[pli]
-                nb = (1 << (5 - pc.xdec)) // pc.n  # blocks per SB side
-                for iy in range(nb):
-                    for ix in range(nb):
-                        bx = sbx * nb + ix
-                        by = sby * nb + iy
-                        if encoder:
-                            skip = _code_inter_block(
-                                ec, state, pc, md, bx, by, use_masking,
-                                True)
-                        else:
-                            nsym = 4 + (1 if (pli == 0 and pc.bs > 0)
-                                        else 0)
-                            sk = decode_cdf_adapt(
-                                ec,
-                                state.skip_cdf[2 * pc.bs
-                                               + (1 if pli else 0)][:nsym],
-                                state.skip_increment)
-                            if sk >= 4:
-                                ec.error = 1
-                                sk = 0
-                            skip = _code_inter_block(
-                                ec, state, pc, md, bx, by, use_masking,
-                                False, sk)
-                        # Track 4x4 skip cells for dering.
-                        c4 = pc.n >> 2
-                        pc.bskip[by * c4:(by + 1) * c4,
-                                 bx * c4:(bx + 1) * c4] = skip
+                _inter_recursive(ec, state, pcs[pli], mds[pli], sbx, sby,
+                                 3, use_masking, encoder)
 
 
 GOLDEN_INTERVAL = 10  # OD_GOLDEN_FRAME_INTERVAL (encode.c:60)
@@ -305,31 +358,60 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
     state.qm, state.qm_inv = init_qm(QM8_HVS)
     for pli in range(nplanes):
         state.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli, use_masking)
-    # OBMC predict + transform per plane.
+    # OBMC predict per plane (luma first: the splitter needs the
+    # residual).
+    from ..search.bsize import split_superblocks, uniform_grid
+    from .grid import fdct_plane_grid, prefilter_plane_grid
+
+    mcs = []
+    for pli in range(nplanes):
+        xd = info.xdec[pli]
+        hh = info.frame_height >> info.ydec[pli]
+        ww = info.frame_width >> xd
+        refps = [pad_ref(r[pli]) for r in refs]
+        g = grid if xd == 0 else (grid >> 1)
+        mcs.append(obmc_predict(refps, 80, hh, ww, g, MV_BLK_LOG - xd,
+                                ref_ids=rids))
+    if encoder:
+        cur_y = pad_plane(planes[0], info.frame_width,
+                          info.frame_height)
+        resid = cur_y.astype(np.int32) - mcs[0].astype(np.int32)
+        if bs_luma < 0:
+            bgrid = split_superblocks(cur_y, quantizer, residual=resid)
+        else:
+            bgrid = uniform_grid(info.frame_height, info.frame_width,
+                                 bs_luma)
+    else:
+        bgrid = np.full((info.frame_height // 4, info.frame_width // 4),
+                        -1, dtype=np.int8)
+    from ..ops.lapping import lap_frame_h, lap_frame_v
+
     pcs = []
     mds = []
     for pli in range(nplanes):
-        pc = _PlaneCtx(info, pli, bs_luma, quantizer, False)
+        pc = _PlaneCtx(info, pli, max(bs_luma, 0), quantizer, False)
+        pc.grid = bgrid
         pc.bskip = np.zeros((pc.h >> 2, pc.w >> 2), dtype=np.uint8)
-        xd = info.xdec[pli]
-        refps = [pad_ref(r[pli]) for r in refs]
-        g = grid if xd == 0 else (grid >> 1)
-        mc = obmc_predict(refps, 80, pc.h, pc.w, g, MV_BLK_LOG - xd,
-                          ref_ids=rids)
+        mc = mcs[pli]
         if planes is not None:
+            pg = pc.pg()
             cur = pad_plane(planes[pli], pc.w, pc.h).copy()
             ph, pw = planes[pli].shape
             cur[ph:, :] = mc[ph:, :]
             cur[:ph, pw:] = mc[:ph, pw:]
-            c = prefilter_frame(to_coeff(cur, False), 4 << pc.bs)
-            pc.d = _from_blocks(
-                fdct2d(_to_blocks(c, pc.n), pc.n), c.shape, pc.n)
+            c = prefilter_plane_grid(to_coeff(cur, False), pg)
+            pc.d = fdct_plane_grid(c, pg)
         else:
             pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
-        mcc = prefilter_frame(to_coeff(mc, False), 4 << pc.bs)
-        mds.append(_from_blocks(
-            fdct2d(_to_blocks(mcc, pc.n), pc.n), mcc.shape, pc.n))
         pcs.append(pc)
+        # MC prediction in the coeff domain with superblock-edge lapping
+        # applied up front; interior split edges are lapped during the
+        # traversal (_split_lap_mc) as the grid is discovered.
+        sbn = 32 >> info.xdec[pli]
+        mcc = to_coeff(mc, False)
+        mcc = lap_frame_h(mcc, np.arange(sbn, pc.h, sbn))
+        mcc = lap_frame_v(mcc, np.arange(sbn, pc.w, sbn))
+        mds.append(mcc)
     _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
                       encoder)
     _to_spatial(pcs)

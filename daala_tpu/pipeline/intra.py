@@ -130,7 +130,7 @@ class _PlaneCtx:
         self.xdec = info.xdec[pli]
         self.w = info.frame_width >> self.xdec
         self.h = info.frame_height >> info.ydec[pli]
-        self.bs = max(bs_luma, self.xdec) - self.xdec  # plane block size
+        self.bs = max(bs_luma, self.xdec) - self.xdec  # default plane bs
         self.n = 4 << self.bs
         self.quantizer = quantizer
         self.lossless = lossless
@@ -139,6 +139,13 @@ class _PlaneCtx:
         self.sb_dc_mem = np.zeros(self.nhsb * self.nvsb, dtype=np.int64)
         self.d = None        # transform-domain plane
         self.c = None        # spatial (lapped) plane
+        self.grid = None     # shared luma-relative bsize grid (h4, w4)
+
+    def pg(self):
+        """Per-plane-cell block sizes."""
+        from .grid import plane_grid
+
+        return plane_grid(self.grid, self.xdec)
 
 
 def _sb_dc_code(ec, state, pc: _PlaneCtx, sbx, sby, has_ur, encoder: bool):
@@ -271,16 +278,19 @@ def _haar_dc_level(ec, state, pc: _PlaneCtx, bx, by, bsi, hgrad, vgrad,
     return hgrad, vgrad
 
 
-def _hv_intra_pred(pc: _PlaneCtx, bx, by) -> np.ndarray:
+def _hv_intra_pred(pc: _PlaneCtx, bx, by, bs) -> np.ndarray:
     """Keyframe luma H/V prediction from coded neighbors
-    (od_hv_intra_pred, intra.c:37-61).  bx/by in block units."""
-    n = pc.n
+    (od_hv_intra_pred, intra.c:37-61).  bx/by in units of this block's
+    size; prediction only from same-size neighbors."""
+    n = 4 << bs
     d = pc.d
     y0 = by * n
     x0 = bx * n
     pred = np.zeros((n, n), dtype=np.int32)
-    top = by > 0
-    left = bx > 0
+    g = pc.grid  # luma plane only (pli == 0)
+    c4 = n // 4
+    top = by > 0 and g[by * c4 - 1, bx * c4] == bs
+    left = bx > 0 and g[by * c4, bx * c4 - 1] == bs
     g1 = g2 = 0.0
     if top:
         row = d[y0 - n, x0:x0 + n].astype(np.float64)
@@ -299,32 +309,52 @@ def _hv_intra_pred(pc: _PlaneCtx, bx, by) -> np.ndarray:
     return pred
 
 
-def _cfl_pred(luma_d: np.ndarray, pc: _PlaneCtx, bx, by,
-              bs_luma: int) -> np.ndarray:
+# Trained CfL scaling for merged 4x4 luma (OD_CFL_SCALING4,
+# intra.c:64-69).
+_CFL_SCALING4 = np.array([
+    [128, 128, 100, 36],
+    [128, 80, 71, 35],
+    [100, 71, 35, 31],
+    [36, 35, 31, 18],
+], dtype=np.int32)
+
+
+def _cfl_pred(luma_d: np.ndarray, pc: _PlaneCtx, bx, by, bsi,
+              bs_c: int, obs: int) -> np.ndarray:
     """Chroma-from-luma: frequency-domain resample of the co-located
     decoded luma coefficients (od_resample_luma_coeffs, intra.c:72-109).
-    Fixed-block-size path: copy the top-left n x n corner."""
-    n = pc.n
-    nl = 4 << bs_luma
-    ly = by * nl
-    lx = bx * nl
+
+    bx/by: node coords at level bsi; bs_c: chroma block size; obs: the
+    co-located luma block size."""
+    from ..ops.tf import tf_up_hv_lp
+
+    n = 4 << bs_c
+    ly = by << (2 + bsi)
+    lx = bx << (2 + bsi)
+    if obs == 0 and pc.xdec:
+        # Four 4x4 luma blocks merge into the 4x4 chroma reference.
+        src = luma_d[ly:ly + 8, lx:lx + 8].astype(np.int32)
+        pred = tf_up_hv_lp(src, 4, 4, 4)
+        pred = (_CFL_SCALING4.T * pred + 64) >> 7
+        return pred.astype(np.int32)
     return luma_d[ly:ly + n, lx:lx + n].astype(np.int32)
 
 
-def _code_block(ec, state, pc: _PlaneCtx, luma_d, bx, by, bs_luma,
-                use_masking, encoder: bool, skip_in=0):
+def _code_block(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi, bs,
+                use_masking, encoder: bool, skip_in=0, obs=None):
     """Leaf coding: prediction + PVQ + writeback (od_block_encode
-    encode.c:1066-1285 / od_block_decode decode.c:528-636)."""
+    encode.c:1066-1285 / od_block_decode decode.c:528-636).
+
+    bx/by are node coords at level bsi; bs is the plane block size."""
     pli = pc.pli
-    n = pc.n
-    bs = pc.bs
-    y0 = by * n
-    x0 = bx * n
+    n = 4 << bs
+    y0 = by << (2 + bsi - pc.xdec)
+    x0 = bx << (2 + bsi - pc.xdec)
     d = pc.d
     if pli == 0:
-        pred = _hv_intra_pred(pc, bx, by)
+        pred = _hv_intra_pred(pc, bx, by, bs)
     else:
-        pred = _cfl_pred(luma_d, pc, bx, by, bs_luma)
+        pred = _cfl_pred(luma_d, pc, bx, by, bsi, bs, obs)
     predt = raster_to_coding(pred).astype(np.int32)
     q0 = max(1, pc.quantizer)
     qm = state.qm[bs]
@@ -348,49 +378,61 @@ def _code_block(ec, state, pc: _PlaneCtx, luma_d, bx, by, bs_luma,
 
 
 def _code_recursive(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi,
-                    bs_luma, use_masking, hgrad, vgrad, encoder: bool):
+                    use_masking, hgrad, vgrad, encoder: bool):
     """Z-order walk with split signaling and Haar-DC levels
     (od_encode_recursive encode.c:1491-1676 / od_decode_recursive
-    decode.c:767-870)."""
+    decode.c:767-870).  The split decisions live in pc.grid (encoder
+    side) and are derived from the luma skip symbols (decoder side)."""
     pli = pc.pli
     xdec = pc.xdec
-    leaf_bsi = max(bs_luma, xdec)
-    if bsi == leaf_bsi:
-        skip = 0
-        if encoder:
-            _code_block(ec, state, pc, luma_d, bx, by, bs_luma,
-                        use_masking, True)
-        else:
-            nsym = 4 + (1 if (pli == 0 and pc.bs > 0) else 0)
-            skip = decode_cdf_adapt(
-                ec, state.skip_cdf[2 * pc.bs + (1 if pli else 0)][:nsym],
-                state.skip_increment)
-            # skip == 4 (split) cannot occur at leaf_bsi with a uniform
-            # grid; treat as stream error.
-            if skip >= 4:
-                ec.error = 1
-                skip = 0
-            _code_block(ec, state, pc, luma_d, bx, by, bs_luma,
-                        use_masking, False, skip)
-        return
-    # Split node.
-    bs_node = bsi - xdec
+    g = pc.grid
+    cell = (by << bsi, bx << bsi)   # node origin in luma 4x4 cells
     if pli == 0:
         if encoder:
-            encode_cdf_adapt(ec, 4, state.skip_cdf[2 * bs_node][:5],
-                             state.skip_increment)
+            obs = int(g[cell])
+            is_leaf = obs == bsi
         else:
-            skip = decode_cdf_adapt(ec, state.skip_cdf[2 * bs_node][:5],
-                                    state.skip_increment)
-            if skip != 4:
-                ec.error = 1
+            nsym = 4 + (1 if bsi > 0 else 0)
+            skip = decode_cdf_adapt(
+                ec, state.skip_cdf[2 * bsi][:nsym], state.skip_increment)
+            is_leaf = skip < 4
+            if is_leaf:
+                g[cell[0]:cell[0] + (1 << bsi),
+                  cell[1]:cell[1] + (1 << bsi)] = bsi
+            obs = bsi
+        if is_leaf:
+            if encoder:
+                _code_block(ec, state, pc, luma_d, bx, by, bsi, bsi,
+                            use_masking, True)
+            else:
+                _code_block(ec, state, pc, luma_d, bx, by, bsi, bsi,
+                            use_masking, False, skip)
+            return
+        # Split: encoder signals 4.
+        if encoder:
+            encode_cdf_adapt(ec, 4, state.skip_cdf[2 * bsi][:5],
+                             state.skip_increment)
+    else:
+        obs = int(g[cell])
+        if max(obs, xdec) == bsi:
+            bs = bsi - xdec
+            nsym = 4
+            if encoder:
+                _code_block(ec, state, pc, luma_d, bx, by, bsi, bs,
+                            use_masking, True, obs=obs)
+            else:
+                skip = decode_cdf_adapt(
+                    ec, state.skip_cdf[2 * bs + 1][:nsym],
+                    state.skip_increment)
+                _code_block(ec, state, pc, luma_d, bx, by, bsi, bs,
+                            use_masking, False, skip, obs=obs)
+            return
     hgrad, vgrad = _haar_dc_level(ec, state, pc, 2 * bx, 2 * by, bsi - 1,
                                   hgrad, vgrad, encoder)
     for dy in (0, 1):
         for dx in (0, 1):
             _code_recursive(ec, state, pc, luma_d, 2 * bx + dx, 2 * by + dy,
-                            bsi - 1, bs_luma, use_masking, hgrad, vgrad,
-                            encoder)
+                            bsi - 1, use_masking, hgrad, vgrad, encoder)
 
 
 def encode_keyframe(planes, info: FrameInfo, quality: int,
@@ -418,17 +460,26 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
             ec.encode_bits(int(v), 8)
     for pli in range(nplanes):
         ec.encode_uint(cq, N_CODED_QUANTIZERS)
+    # Block-size grid: fixed uniform, or the open-loop splitter.
+    from ..search.bsize import split_superblocks, uniform_grid
+    from .grid import fdct_plane_grid, haar_dc_tree_grid, \
+        prefilter_plane_grid
+
+    pad_y = pad_plane(planes[0], info.frame_width, info.frame_height)
+    if bs_luma < 0:  # auto
+        grid = split_superblocks(pad_y, quantizer)
+    else:
+        grid = uniform_grid(info.frame_height, info.frame_width, bs_luma)
     # Plane setup: pad, to coeff domain, lap, transform, DC tree.
     pcs = []
     for pli in range(nplanes):
-        pc = _PlaneCtx(info, pli, bs_luma, quantizer, False)
+        pc = _PlaneCtx(info, pli, max(bs_luma, 0), quantizer, False)
+        pc.grid = grid
+        pg = pc.pg()
         p = pad_plane(planes[pli], pc.w, pc.h)
-        c = to_coeff(p, False)
-        c = prefilter_frame(c, 4 << pc.bs)
-        blocks = _to_blocks(c, pc.n)
-        dblocks = fdct2d(blocks, pc.n)
-        d = _from_blocks(dblocks, c.shape, pc.n)
-        pc.d = haar_dc_tree(d, pc.n)
+        c = prefilter_plane_grid(to_coeff(p, False), pg)
+        d = fdct_plane_grid(c, pg)
+        pc.d = haar_dc_tree_grid(d, pg)
         pc.c = c
         pcs.append(pc)
     # Sequential coding pass.
@@ -438,6 +489,7 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
         orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w, pcs[pli].h),
                          False) for pli in range(nplanes)]
         _dering_pass(ec, state, pcs, orig, True)
+    _smooth_pass(pcs, bs_luma)
     pkt = ec.done()
     if not return_recon:
         return pkt
@@ -445,12 +497,13 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
 
 
 def _to_spatial(pcs):
-    """Batched idct + whole-frame postfilter into pc.c."""
+    """Batched per-size idct + grid postfilter into pc.c."""
+    from .grid import idct_plane_grid, postfilter_plane_grid
+
     for pc in pcs:
-        dblocks = _to_blocks(np.asarray(pc.d, dtype=np.int32), pc.n)
-        blocks = idct2d(dblocks, pc.n)
-        c = _from_blocks(blocks, pc.d.shape, pc.n)
-        pc.c = postfilter_frame(c, 4 << pc.bs)
+        pg = pc.pg()
+        c = idct_plane_grid(pc.d, pg)
+        pc.c = postfilter_plane_grid(c, pg)
 
 
 def _crop(pcs, info: FrameInfo):
@@ -528,16 +581,38 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
         state.pvq_qm_q4[pli] = qm
     cqs = [ec.decode_uint(N_CODED_QUANTIZERS) for _ in range(nplanes)]
     quantizer = codedquantizer_to_quantizer(cqs[0])
+    # Grid is derived from the decoded split symbols.
+    grid = np.full((info.frame_height // 4, info.frame_width // 4), -1,
+                   dtype=np.int8)
     pcs = []
     for pli in range(nplanes):
-        pc = _PlaneCtx(info, pli, bs_luma, quantizer, False)
+        pc = _PlaneCtx(info, pli, max(bs_luma, 0), quantizer, False)
+        pc.grid = grid
         pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
         pcs.append(pc)
     _code_frame(ec, state, pcs, info, bs_luma, use_masking, False)
     _to_spatial(pcs)
     if use_dering:
         _dering_pass(ec, state, pcs, None, False)
+    _smooth_pass(pcs, bs_luma)
     return _crop(pcs, info)
+
+
+def _smooth_pass(pcs, bs_luma):
+    """Keyframe bilinear smoothing of 32x32 leaves — deterministic from
+    the quantizer and the (decoded) bsize grid, applied identically by
+    encoder and decoder (od_smooth_recursive, filter.c:2010)."""
+    from ..ops.smooth import smooth_frame
+
+    for pc in pcs:
+        if pc.quantizer <= 0:
+            continue
+        # 32x32-leaf mask from the grid (min_bs, encode.c:2694-2698).
+        mask = pc.grid[::8, ::8] == 3
+        if not mask.any():
+            continue
+        pc.c = smooth_frame(pc.c, pc.quantizer, pc.pli, 32 >> pc.xdec,
+                            leaf_mask=mask)
 
 
 def _code_frame(ec, state, pcs, info, bs_luma, use_masking, encoder):
@@ -552,7 +627,7 @@ def _code_frame(ec, state, pcs, info, bs_luma, use_masking, encoder):
                                            encoder)
                 luma_d = pcs[0].d if pli > 0 else None
                 _code_recursive(ec, state, pc, luma_d, sbx, sby, 3,
-                                bs_luma, use_masking, hgrad, vgrad, encoder)
+                                use_masking, hgrad, vgrad, encoder)
 
 
 def _to_blocks(plane: np.ndarray, n: int) -> np.ndarray:
