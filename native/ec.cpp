@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <cmath>
 
 namespace {
 
@@ -277,3 +278,71 @@ uint32_t dtpu_dec_bits(void* h, int ftb) {
 int dtpu_dec_error(void* h) { return ((Decoder*)h)->error; }
 
 }  // extern "C"
+
+// -- PVQ pulse search (pvq_search_rdo_double behavioral spec,
+// pvq_encoder.c:121-225): greedy allocation + RDO tail. ---------------
+
+extern "C" int dtpu_pvq_search(const double* x, int n, int k, double g2,
+                               double lambda, int32_t* y_out,
+                               double* cos_dist_out) {
+  double xx = 0, xy = 0, yy = 0;
+  std::vector<double> ax(n);
+  std::vector<int32_t> y(n, 0);
+  for (int j = 0; j < n; j++) {
+    ax[j] = x[j] < 0 ? -x[j] : x[j];
+    xx += ax[j] * ax[j];
+  }
+  double norm_1 = 1.0 / std::sqrt(1e-30 + xx);
+  double lam = lambda / (1e-30 + g2);
+  int i = 0;
+  if (k > 2) {
+    double l1 = 0;
+    for (int j = 0; j < n; j++) l1 += ax[j];
+    double l1i = 1.0 / (l1 > 1e-100 ? l1 : 1e-100);
+    for (int j = 0; j < n; j++) {
+      int32_t p = (int32_t)std::floor(k * ax[j] * l1i);
+      if (p < 0) p = 0;
+      y[j] = p;
+      xy += ax[j] * p;
+      yy += (double)p * p;
+      i += p;
+    }
+  }
+  int rdo_pulses = 1 + k / 4;
+  double delta_rate = 3.0 / n;
+  for (; i < k - rdo_pulses; i++) {
+    int pos = 0;
+    double best_num = -1e30, best_den = 1;
+    for (int j = 0; j < n; j++) {
+      double txy = xy + ax[j];
+      double tyy = yy + 2.0 * y[j] + 1;
+      txy *= txy;
+      if (j == 0 || txy * best_den > best_num * tyy) {
+        best_num = txy;
+        best_den = tyy;
+        pos = j;
+      }
+    }
+    xy += ax[pos];
+    yy += 2.0 * y[pos] + 1;
+    y[pos]++;
+  }
+  for (; i < k; i++) {
+    int pos = 0;
+    double best = -1e30;
+    for (int j = 0; j < n; j++) {
+      double cost = 2.0 * (xy + ax[j]) * norm_1
+          / std::sqrt(yy + 2.0 * y[j] + 1) - lam * j * delta_rate;
+      if (j == 0 || cost > best) {
+        best = cost;
+        pos = j;
+      }
+    }
+    xy += ax[pos];
+    yy += 2.0 * y[pos] + 1;
+    y[pos]++;
+  }
+  for (int j = 0; j < n; j++) y_out[j] = x[j] < 0 ? -y[j] : y[j];
+  *cos_dist_out = xy / (1e-100 + std::sqrt(xx * yy));
+  return 0;
+}
