@@ -123,6 +123,10 @@ def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1):
                 else:
                     rids[vy, vx] = decode_cdf_adapt(
                         ec, mvctx.ref_cdf[rp], mvctx.ref_increment)
+            a = getattr(ec, "acct", None)
+            if a is not None:
+                a.set_location("mv", 0, 0, vx << MV_BLK_LOG,
+                               vy << MV_BLK_LOG)
             pred = _mv_pred(out, vy, vx)
             if encoder:
                 dy = int(grid[vy, vx, 0]) - int(pred[0])
@@ -222,6 +226,9 @@ def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
             is_leaf = int(g[cell]) == bsi
         else:
             nsym = 4 + (1 if bsi > 0 else 0)
+            a = getattr(ec, "acct", None)
+            if a is not None:
+                a.set_location("skip", 0, bsi, cell[1] * 4, cell[0] * 4)
             sk = decode_cdf_adapt(ec, state.skip_cdf[2 * bsi][:nsym],
                                   state.skip_increment)
             is_leaf = sk < 4

@@ -68,6 +68,12 @@ def pvq_betas(use_masking: bool, pli: int, bs: int):
     return [1.0] * nb
 
 
+def _loc(ec, label, pli=0, level=0, x=0, y=0):
+    a = getattr(ec, "acct", None)
+    if a is not None:
+        a.set_location(label, pli, level, x, y)
+
+
 def _tdiv(a: int, b: int) -> int:
     """C-style truncating integer division."""
     q = abs(a) // b
@@ -185,6 +191,7 @@ def _sb_dc_code(ec, state, pc: _PlaneCtx, sbx, sby, has_ur, encoder: bool):
         if quant:
             ec.encode_bits(int(quant < 0), 1)
     else:
+        _loc(ec, "haardc:sb", pli, 3, x0, y0)
         quant, new_ex = generic_decode(ec, state.model_dc[pli], -1,
                                        int(state.ex_sb_dc[pli]), 2)
         state.ex_sb_dc[pli] = new_ex
@@ -260,6 +267,7 @@ def _haar_dc_level(ec, state, pc: _PlaneCtx, bx, by, bsi, hgrad, vgrad,
             if sign:
                 x[i] = -x[i]
     else:
+        _loc(ec, "haardc:level", pli, bsi, pos[0][1], pos[0][0])
         for i in range(1, 4):
             quant, new_ex = generic_decode(ec, state.model_dc[pli], -1,
                                            int(state.ex_dc[pli, bsi, i - 1]),
@@ -368,6 +376,7 @@ def _code_block(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi, bs,
             qm, qm_inv)
         out[0] = dblock[0]
     else:
+        _loc(ec, "pvq", pli, bs, x0, y0)
         out = pvq_decode_block(
             ec, state, predt, q0, pli, bs, beta, True, True, skip_in,
             qm, qm_inv)
@@ -393,6 +402,7 @@ def _code_recursive(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi,
             is_leaf = obs == bsi
         else:
             nsym = 4 + (1 if bsi > 0 else 0)
+            _loc(ec, "skip", 0, bsi, cell[1] * 4, cell[0] * 4)
             skip = decode_cdf_adapt(
                 ec, state.skip_cdf[2 * bsi][:nsym], state.skip_increment)
             is_leaf = skip < 4
@@ -547,6 +557,7 @@ def _dering_pass(ec, state, pcs, orig, encoder):
                 filt = int(filt)
                 encode_cdf_adapt(ec, filt, cdf, state.clpf_increment)
             else:
+                _loc(ec, "dering:flag", 0, 3, sbx * 32, sby * 32)
                 filt = decode_cdf_adapt(ec, cdf, state.clpf_increment)
                 dirs = None
             flags[sby, sbx] = filt
@@ -568,12 +579,17 @@ def _dering_pass(ec, state, pcs, orig, encoder):
 
 def decode_keyframe(packet: bytes, info: FrameInfo,
                     use_masking: bool = False, bs_luma: int = 1,
-                    use_dering: bool = True):
+                    use_dering: bool = True, acct=None):
     """Decode a keyframe packet; returns list of uint8 planes."""
     nplanes = info.nplanes
     state = AdaptState.reset(nplanes, True)
     state.qm, state.qm_inv = init_qm(QM8_HVS)
-    ec = RangeDecoder(packet)
+    if acct is not None:
+        from ..entropy.accounting import AccountingDecoder
+        ec = AccountingDecoder(packet, acct)
+        acct.set_location("frame:header")
+    else:
+        ec = RangeDecoder(packet)
     for pli in range(nplanes):
         qm = np.zeros(QM_SIZE, dtype=np.int32)
         for i in range(QM_SIZE):

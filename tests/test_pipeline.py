@@ -265,3 +265,24 @@ def test_b_frames_and_reorder(tmp_path):
     info, _, pkts = read_stream(stream)
     assert any(p.ftype == 2 for p in pkts)  # B packets present
     assert sorted(p.display_order for p in pkts) == list(range(6))
+
+
+def test_bit_accounting():
+    """Decoder accounting must attribute ~all packet bits to symbols
+    (the --enable-accounting subsystem)."""
+    from daala_tpu.entropy.accounting import Accounting
+
+    planes = _synth_planes(64, 64, (0, 1, 1), seed=11)
+    info = FrameInfo(pic_width=64, pic_height=64)
+    pkt, recon = encode_keyframe(planes, info, quality=25,
+                                 return_recon=True)
+    acct = Accounting()
+    out = decode_keyframe(pkt, info, acct=acct)
+    for a, b in zip(recon, out):
+        assert np.array_equal(a, b)  # accounting must not perturb decode
+    total_bits = sum(fb for *_, fb in acct.records) / 8.0
+    assert abs(total_bits - len(pkt) * 8) < 64  # tell() slack only
+    tech = acct.by_technique()
+    assert "pvq" in tech and "haardc:sb" in tech
+    hm = acct.heatmap(16, 16)
+    assert hm.sum() > 0
