@@ -34,6 +34,9 @@ def main(argv=None):
                     help="number of B-frames between anchors (0-4)")
     ap.add_argument("--limit", type=int, default=0,
                     help="max frames to encode (0 = all)")
+    ap.add_argument("-j", "--jobs", type=int, default=1,
+                    help="GOP-parallel encoder processes (keyframe "
+                         "cadence becomes the GOP length)")
     args = ap.parse_args(argv)
 
     with open(args.input, "rb") as f:
@@ -48,6 +51,27 @@ def main(argv=None):
         from ..pipeline.inter import FT_INTRA, EncoderSession
 
         bs = -1 if args.bs == "auto" else int(args.bs)
+        if args.jobs > 1:
+            from ..dist.gop import encode_gops_parallel
+
+            frames = []
+            for i, planes in enumerate(rd.frames()):
+                if args.limit and i >= args.limit:
+                    break
+                frames.append(planes)
+            t0 = time.time()
+            packets = encode_gops_parallel(
+                frames, info, args.quality,
+                gop_len=min(args.keyframe_rate, 16),
+                workers=args.jobs, use_masking=args.masking,
+                bs_luma=bs, b_frames=args.b_frames)
+            dt = time.time() - t0
+            sys.stderr.write(
+                f"{len(packets)} frames in {dt:.2f}s "
+                f"({len(packets) / max(dt, 1e-9):.2f} fps, "
+                f"{args.jobs} workers)\n")
+            write_stream(args.output, info, packets)
+            return
         sess = EncoderSession(info, args.quality,
                               use_masking=args.masking, bs_luma=bs,
                               keyframe_rate=args.keyframe_rate,

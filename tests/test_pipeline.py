@@ -286,3 +286,22 @@ def test_bit_accounting():
     assert "pvq" in tech and "haardc:sb" in tech
     hm = acct.heatmap(16, 16)
     assert hm.sum() > 0
+
+
+def test_gop_parallel_bit_identical():
+    """GOP-sharded parallel encoding must be bit-identical to serial
+    (keyframes are clean entropy cut points)."""
+    from daala_tpu.dist.gop import encode_gops_parallel
+    from daala_tpu.pipeline.inter import EncoderSession
+
+    frames = [_synth_planes(64, 64, (0, 1, 1), seed=i) for i in range(6)]
+    info = FrameInfo(pic_width=64, pic_height=64)
+    sess = EncoderSession(info, 25, keyframe_rate=3)
+    serial = []
+    for fr in frames:
+        serial += sess.push_frame(fr)
+    pkts = encode_gops_parallel(frames, info, 25, gop_len=3, workers=2)
+    assert len(pkts) == len(serial)
+    for a, b in zip(serial, pkts):
+        assert a["data"] == b.data
+        assert a["display_order"] == b.display_order
