@@ -631,6 +631,50 @@ def _set(arr, idx2, val):
     return arr.at[(Ellipsis,) + idx2].set(val)
 
 
+# -- 64-point DCT ---------------------------------------------------------
+#
+# The fork implements the 64-point transform as a rounded orthonormal
+# DCT matrix rather than a lifting network (od_bin_fdct64,
+# dct.c:2111-2140) — it is outside the codec's block-size range
+# (OD_NBSIZES == 4) and not reversible.  We use exact Q15 fixed-point
+# integer arithmetic so encoder and decoder match cross-platform.
+
+_DCT64_Q15 = None
+
+
+def _dct64_mat():
+    global _DCT64_Q15
+    if _DCT64_Q15 is None:
+        k = np.arange(64)[:, None]
+        j = np.arange(64)[None, :]
+        m = np.cos(np.pi * k * (2 * j + 1) / 128) * np.sqrt(2.0 / 64)
+        m[0] *= np.sqrt(0.5)
+        _DCT64_Q15 = np.round(m * (1 << 15)).astype(np.int64)
+    return _DCT64_Q15
+
+
+def fdct64(x):
+    """Forward 64-point DCT along the last axis (non-reversible,
+    matrix form like the reference's 64-point path)."""
+    m = _dct64_mat()
+    acc = x.astype(np.int64) @ m.T
+    return ((acc + (1 << 14)) >> 15).astype(np.int32)
+
+
+def idct64(y):
+    m = _dct64_mat()
+    acc = y.astype(np.int64) @ m
+    return ((acc + (1 << 14)) >> 15).astype(np.int32)
+
+
+def fdct64x64(x):
+    return _swap(fdct64(_swap(fdct64(x))))
+
+
+def idct64x64(y):
+    return idct64(_swap(idct64(_swap(y))))
+
+
 # -- basis magnitudes -----------------------------------------------------
 
 

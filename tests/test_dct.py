@@ -104,3 +104,27 @@ def test_jax_matches_numpy():
         assert np.array_equal(yn, yj), n
         xj = np.asarray(jax.jit(lambda b, n=n: idct2d(b, n))(jnp.asarray(yj)))
         assert np.array_equal(x, xj), n
+
+
+def test_dct64_accuracy():
+    """64-point matrix DCT: near-exact round trip and float-DCT match
+    (the fork's od_bin_fdct64 is a rounded matrix, not lifting)."""
+    from daala_tpu.ops.dct import fdct64, fdct64x64, idct64, idct64x64
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-2048, 2048, (16, 64), dtype=np.int32)
+    y = fdct64(x)
+    back = idct64(y)
+    assert np.abs(back - x).max() <= 2  # rounding only
+    ref = x @ _float_dct_mat(64).T
+    assert np.abs(y - ref).max() < 2.0
+    x2 = rng.integers(-2048, 2048, (2, 64, 64), dtype=np.int32)
+    assert np.abs(idct64x64(fdct64x64(x2)) - x2).max() <= 4
+
+
+def test_device_sharded_step():
+    """Multi-chip sharded encode step on the virtual CPU mesh (the
+    dryrun path must keep compiling/executing)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4)
