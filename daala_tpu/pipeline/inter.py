@@ -60,6 +60,7 @@ from .intra import (
 __all__ = ["EncoderSession", "DecoderSession", "MV_BLK_LOG"]
 
 MV_BLK_LOG = 4  # uniform mesh: vertices every 16 luma px
+MV_LIMIT = 60 * 8  # max MV magnitude in eighth-pel (search range)
 
 
 class _MvCtx:
@@ -148,8 +149,13 @@ def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1):
                                               mvctx.ey, 2)
                 if dx and ec.decode_bits(1):
                     dx = -dx
-                out[vy, vx, 0] = pred[0] + dy
-                out[vy, vx, 1] = pred[1] + dx
+                # Clamp to the legal search range so corrupt streams
+                # cannot index outside the padded reference
+                # (OD_MC_SEARCH_RANGE analogue).
+                out[vy, vx, 0] = min(max(pred[0] + dy, -MV_LIMIT),
+                                     MV_LIMIT)
+                out[vy, vx, 1] = min(max(pred[1] + dx, -MV_LIMIT),
+                                     MV_LIMIT)
     return out, rids
 
 
@@ -445,6 +451,10 @@ class EncoderSession:
                  use_masking: bool = False, bs_luma: int = 1,
                  use_dering: bool = True, keyframe_rate: int = None,
                  b_frames: int = 0):
+        if tuple(info.xdec) != tuple(info.ydec):
+            raise ValueError(
+                "only 4:4:4 / 4:2:0 / mono are supported (the codec "
+                "requires xdec == ydec, as in the reference)")
         self.info = info
         self.quality = quality
         self.use_masking = use_masking

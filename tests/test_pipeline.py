@@ -305,3 +305,46 @@ def test_gop_parallel_bit_identical():
     for a, b in zip(serial, pkts):
         assert a["data"] == b.data
         assert a["display_order"] == b.display_order
+
+
+def test_decoder_fuzz_robustness():
+    """Corrupted/truncated/garbage packets must never raise (stream
+    resilience: entdec error-flag semantics + MV clamps)."""
+    from daala_tpu.pipeline.inter import DecoderSession, EncoderSession
+
+    rng = np.random.default_rng(0)
+    planes = _synth_planes(64, 64, (0, 1, 1), seed=0)
+    info = FrameInfo(pic_width=64, pic_height=64)
+    enc = EncoderSession(info, 25)
+    outs = enc.push_frame(planes) + enc.push_frame(planes)
+    key, pfr = outs
+    for trial in range(20):
+        dec = DecoderSession(info)
+        for pkt, is_key in ((key, True), (pfr, False)):
+            data = bytearray(pkt["data"])
+            if trial % 2 == 0 and len(data) > 2:
+                for _ in range(3):
+                    data[rng.integers(0, len(data))] ^= int(
+                        rng.integers(1, 256))
+            else:
+                data = data[:rng.integers(0, len(data))]
+            dec.decode_frame(bytes(data), is_key)  # must not raise
+
+
+def test_mono_plane():
+    planes = _synth_planes(64, 64, (0, 1, 1), seed=1)[:1]
+    info = FrameInfo(pic_width=64, pic_height=64, nplanes=1,
+                     xdec=(0,), ydec=(0,))
+    pkt, rec = encode_keyframe(planes, info, quality=25,
+                               return_recon=True)
+    out = decode_keyframe(pkt, info)
+    assert np.array_equal(rec[0], out[0])
+
+
+def test_422_rejected():
+    from daala_tpu.pipeline.inter import EncoderSession
+
+    info = FrameInfo(pic_width=64, pic_height=64,
+                     xdec=(0, 1, 1), ydec=(0, 0, 0))
+    with pytest.raises(ValueError):
+        EncoderSession(info, 25)
