@@ -312,7 +312,139 @@ def pvq_theta(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
     """Per-band RDO quantization (pvq_theta, pvq_encoder.c:311-533).
 
     Returns dict with out, y, qg_coded, itheta, max_theta, k, skip_diff.
+    Dispatches the candidate search to the native library when possible;
+    synthesis always runs through the same Python path the decoder uses
+    so reconstruction cannot diverge.
     """
+    lib = _native_search()
+    if lib and not EXACT_RATE and n > 1:
+        res = _pvq_theta_native(lib, x0, r0, n, q0, beta, robust,
+                                is_keyframe, pli, qm, qm_inv)
+        if res is not None:
+            return res
+    return _pvq_theta_py(x0, r0, n, q0, beta, robust, is_keyframe, pli,
+                         adapt, bs, qm, qm_inv)
+
+
+def _pvq_theta_native(lib, x0, r0, n, q0, beta, robust, is_keyframe,
+                      pli, qm, qm_inv):
+    import ctypes
+
+    if not hasattr(lib, "_theta_ready"):
+        lib.dtpu_pvq_theta.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib._theta_ready = True
+    xv = np.ascontiguousarray(x0, dtype=np.int32)
+    rv = np.ascontiguousarray(r0, dtype=np.int32)
+    qv = np.ascontiguousarray(qm, dtype=np.int32)
+    y = np.zeros(n, dtype=np.int32)
+    qg = ctypes.c_int()
+    itheta = ctypes.c_int()
+    max_theta = ctypes.c_int()
+    k = ctypes.c_int()
+    noref = ctypes.c_int()
+    skip_diff = ctypes.c_double()
+    extras = np.zeros(6, dtype=np.float64)
+    nodesync = 1 if (robust or is_keyframe) else 0
+    lib.dtpu_pvq_theta(
+        xv.ctypes.data_as(ctypes.c_void_p),
+        rv.ctypes.data_as(ctypes.c_void_p), n, int(q0), float(beta),
+        nodesync, 1 if is_keyframe else 0, pli,
+        qv.ctypes.data_as(ctypes.c_void_p), PVQ_LAMBDA,
+        y.ctypes.data_as(ctypes.c_void_p), ctypes.byref(qg),
+        ctypes.byref(itheta), ctypes.byref(max_theta), ctypes.byref(k),
+        ctypes.byref(noref), ctypes.byref(skip_diff),
+        extras.ctypes.data_as(ctypes.c_void_p))
+    qgv = int(qg.value)
+    ithetav = int(itheta.value)
+    norefv = bool(noref.value)
+    kv = int(k.value)
+    # Recompute everything the decoder recomputes, in Python floats.
+    qmf = qm.astype(np.float64) * core.QM_SCALE_1
+    cgr_py, gr = core.compute_gain(r0, q0, beta, qm)
+    cfl_enabled = is_keyframe and pli != 0
+    if cfl_enabled:
+        cgr_py = 1.0
+    icgr = int(np.floor(0.5 + cgr_py))
+    gain_offset = cgr_py - icgr
+    if norefv:
+        qcg = float(qgv)
+        theta = 0.0
+        ts = 0
+    else:
+        qcg = qgv + gain_offset
+        ts = core.compute_max_theta(qcg, beta)
+        theta = core.compute_theta(ithetav, ts)
+    if (norefv and qgv != 0) or (not norefv and ithetav != 0):
+        k_py = core.compute_k(qcg, ithetav, theta, norefv, n, beta,
+                              robust or is_keyframe)
+    else:
+        k_py = 0
+    if k_py != kv:
+        # Float-edge disagreement with the decoder's k: redo the pulse
+        # search with the decoder-consistent k.
+        if norefv:
+            xs = x0.astype(np.float64) * qmf
+            yv, _ = pvq_search(xs, k_py, max(qcg * 1.0, 1e-3))
+            y = np.zeros(n, dtype=np.int64)
+            y[:n] = yv
+        else:
+            rr = r0.astype(np.float64) * qmf
+            m0, s0 = core.compute_householder(rr, gr)
+            xs = core.apply_householder(
+                x0.astype(np.float64) * qmf, rr)
+            xs = np.delete(xs, m0)
+            yv, _ = pvq_search(xs, k_py, max(qcg, 1e-3))
+            y = np.zeros(n, dtype=np.int64)
+            y[:n - 1] = yv
+        kv = k_py
+    y = y.astype(np.int64)
+    # Skip decisions + synthesis (identical to _pvq_theta_py tail).
+    skip = 0
+    if norefv:
+        if qgv == 0:
+            skip = SKIP_ZERO
+    else:
+        if not is_keyframe and qgv == 0:
+            skip = SKIP_ZERO if icgr else SKIP_COPY
+        if qgv == icgr and ithetav == 0 and not cfl_enabled:
+            skip = SKIP_COPY
+    if skip:
+        out = r0.copy() if skip == SKIP_COPY else np.zeros(n,
+                                                           dtype=np.int32)
+    else:
+        rr = r0.astype(np.float64) * qmf
+        if norefv:
+            m0, s0 = 0, 1
+        else:
+            m0, s0 = core.compute_householder(rr, gr)
+        go = 0.0 if norefv else gain_offset
+        g_out = core.gain_expand(qgv + go, q0, beta)
+        yv = y[:n] if norefv else y[:n - 1]
+        out = core.synthesis_partial(yv, rr, n, norefv, g_out, theta,
+                                     m0, s0, qm_inv)
+    if is_keyframe:
+        qg_coded = qgv if norefv else _neg_interleave(qgv, icgr)
+    else:
+        qg_coded = qgv - 1 if norefv else _neg_interleave(qgv + 1,
+                                                          icgr + 1)
+    return {
+        "out": out, "y": y, "qg": qg_coded, "itheta": ithetav,
+        # max_theta from the Python floats — what the decoder computes.
+        "max_theta": ts if not norefv else 0,
+        "k": kv, "skip_diff": float(skip_diff.value),
+    }
+
+
+def _pvq_theta_py(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
+                  beta: float, robust: bool, is_keyframe: bool, pli: int,
+                  adapt: PvqAdapt, bs: int, qm: np.ndarray,
+                  qm_inv: np.ndarray):
     lam = PVQ_LAMBDA
     gain_weight = 1.4
     qmf = qm.astype(np.float64) * core.QM_SCALE_1

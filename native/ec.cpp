@@ -346,3 +346,225 @@ extern "C" int dtpu_pvq_search(const double* x, int n, int k, double g2,
   *cos_dist_out = xy / (1e-100 + std::sqrt(xx * yy));
   return 0;
 }
+
+// -- PVQ band RDO search (pvq_theta behavioral spec,
+// pvq_encoder.c:311-533) with the analytic rate model.  Returns the
+// CHOICES only (qg, itheta, max_theta, k, noref, y); the Python caller
+// recomputes synthesis exactly as the decoder does, so float paths
+// cannot diverge between encoder and decoder. --------------------------
+
+namespace {
+
+double rate_approx(int qg, int icgr, int theta, int ts, int k, int n,
+                   int is_keyframe, int pli) {
+  double rate = 0;
+  if (k > 0) rate = n * std::log2(1.0 + std::log(n * 2.0) * k / n);
+  if (qg > 0 && theta >= 0) {
+    rate += 0.9 * std::log2(ts > 1 ? ts : 1);
+    if (is_keyframe && pli == 0) rate += 6;
+    if (qg == icgr) rate -= 0.5;
+  }
+  return rate;
+}
+
+int compute_max_theta(double qcg, double beta) {
+  int ts = (int)std::floor(.5 + qcg * M_PI / (2 * beta));
+  return qcg < 1.4 ? 1 : ts;
+}
+
+double compute_theta_v(int t, int ts) {
+  if (ts != 0) return (t < ts - 1 ? t : ts - 1) * .5 * M_PI / ts;
+  return 0;
+}
+
+int compute_k_v(double qcg, int itheta, double theta, int noref, int n,
+                double beta, int nodesync) {
+  if (noref) {
+    if (qcg == 0) return 0;
+    if (n == 15 && qcg == 1 && beta > 1.25) return 1;
+    int v = (int)std::floor(.5 + (qcg - .2) * std::sqrt((n + 3) / 2.0)
+                            / beta);
+    return v > 1 ? v : 1;
+  }
+  if (itheta == 0) return 0;
+  int v;
+  if (nodesync) {
+    v = (int)std::floor(.5 + (itheta - .2) * std::sqrt((n + 2) / 2.0));
+  } else {
+    v = (int)std::floor(.5 + (qcg * std::sin(theta) - .2)
+                        * std::sqrt((n + 2) / 2.0) / beta);
+  }
+  return v > 1 ? v : 1;
+}
+
+extern "C" int dtpu_pvq_search(const double*, int, int, double, double,
+                               int32_t*, double*);
+
+}  // namespace
+
+extern "C" int dtpu_pvq_theta(
+    const int32_t* x0, const int32_t* r0, int n, int q0, double beta,
+    int nodesync, int is_keyframe, int pli, const int32_t* qm,
+    double lambda,
+    // outputs:
+    int32_t* y_out, int* qg_out, int* itheta_out, int* max_theta_out,
+    int* k_out, int* noref_out, double* skip_diff_out,
+    double* m_sign_out /* [m, s, cg, cgr, gain_offset, corr] */) {
+  const double QM1 = 1.0 / 32767.0;
+  std::vector<double> x(n), r(n);
+  double corr = 0;
+  for (int i = 0; i < n; i++) {
+    x[i] = (double)x0[i] * qm[i] * QM1;
+    r[i] = (double)r0[i] * qm[i] * QM1;
+    corr += x[i] * r[i];
+  }
+  int cfl_enabled = is_keyframe && pli != 0;
+  double g = 0, gr = 0;
+  for (int i = 0; i < n; i++) g += x[i] * x[i];
+  g = std::sqrt(g);
+  for (int i = 0; i < n; i++) gr += r[i] * r[i];
+  gr = std::sqrt(gr);
+  // beta == 1 fast path matches gain_compand for the shipped betas of
+  // 1.0; masking betas (1.5) take the pow() path.
+  double cg, cgr;
+  const double CS = 256 * 16, CS1 = 1.0 / (256 * 16);
+  if (beta == 1) cg = g / q0;
+  else cg = CS * std::pow(g * CS1, 1.0 / beta) / q0;
+  if (beta == 1) cgr = gr / q0;
+  else cgr = CS * std::pow(gr * CS1, 1.0 / beta) / q0;
+  if (cfl_enabled) cgr = 1.0;
+  int icgr = (int)std::floor(.5 + cgr);
+  double gain_offset = cgr - icgr;
+  int qg = 0;
+  double gain_weight = 1.4;
+  double best_dist = gain_weight * cg * cg;
+  double best_cost = best_dist
+      + lambda * rate_approx(0, 0, -1, 0, 0, n, is_keyframe, pli);
+  int noref = 1, best_k = 0, itheta = -1, max_theta = 0;
+  std::vector<int32_t> y(n, 0), y_tmp(n, 0);
+  double best_qtheta = 0;
+  int m = 0, s = 1;
+  corr = corr / (1e-100 + g * gr);
+  corr = corr > 1 ? 1 : (corr < -1 ? -1 : corr);
+  double skip_dist;
+  if (is_keyframe) skip_dist = gain_weight * cg * cg;
+  else {
+    skip_dist = gain_weight * (cg - cgr) * (cg - cgr)
+        + cgr * cg * (2 - 2 * corr);
+    double scgr = gain_offset > 0 ? gain_offset : 0;
+    if (icgr == 0) {
+      best_dist = gain_weight * (cg - scgr) * (cg - scgr)
+          + scgr * cg * (2 - 2 * corr);
+    }
+    best_cost = best_dist
+        + lambda * rate_approx(0, icgr, 0, 0, 0, n, is_keyframe, pli);
+    best_qtheta = 0;
+    itheta = 0;
+    max_theta = 0;
+    noref = 0;
+  }
+  bool r_nonzero = false;
+  for (int i = 0; i < n; i++) if (r0[i]) { r_nonzero = true; break; }
+  std::vector<double> xh;
+  if (n <= 128 && r_nonzero && corr > 0) {
+    double theta = std::acos(corr);
+    // Householder on a copy of r.
+    std::vector<double> rh(r);
+    m = 0;
+    double maxr = 0;
+    for (int i = 0; i < n; i++) {
+      double a = std::fabs(rh[i]);
+      if (a > maxr) { maxr = a; m = i; }
+    }
+    s = rh[m] > 0 ? 1 : -1;
+    rh[m] += gr * s;
+    double l2r = 0, proj = 0;
+    for (int i = 0; i < n; i++) l2r += rh[i] * rh[i];
+    for (int i = 0; i < n; i++) proj += rh[i] * x[i];
+    double p2 = proj * 2.0 / (1e-100 + l2r);
+    xh.resize(n - 1);
+    for (int i = 0, j = 0; i < n; i++) {
+      if (i == m) continue;
+      xh[j++] = x[i] - rh[i] * p2;
+    }
+    // NOTE: reference deletes index m AFTER reflection; x[m] position
+    // reflected then removed — our loop does the same.
+    int ilo = (int)std::floor(cg - gain_offset) - 1;
+    if (ilo < 1) ilo = 1;
+    int ihi = (int)std::ceil(cg - gain_offset);
+    for (int i = ilo; i <= ihi; i++) {
+      double qcg = i + gain_offset;
+      int ts = compute_max_theta(qcg, beta);
+      int jlo = (int)std::floor(.5 + std::acos(corr) * 2 / M_PI * ts) - 2;
+      if (jlo < 0) jlo = 0;
+      int jhi = (int)std::ceil(std::acos(corr) * 2 / M_PI * ts);
+      if (jhi > ts - 1) jhi = ts - 1;
+      for (int j = jlo; j <= jhi; j++) {
+        double qtheta = compute_theta_v(j, ts);
+        int k = compute_k_v(qcg, j, qtheta, 0, n, beta, nodesync);
+        double cos_dist;
+        dtpu_pvq_search(xh.data(), n - 1, k,
+                        qcg * cg * std::sin(theta) * std::sin(qtheta),
+                        lambda, y_tmp.data(), &cos_dist);
+        double dist_theta = 2 - 2 * std::cos(theta - qtheta)
+            + std::sin(theta) * std::sin(qtheta) * (2 - 2 * cos_dist);
+        double dist = gain_weight * (qcg - cg) * (qcg - cg)
+            + qcg * cg * dist_theta;
+        double cost = dist + lambda * rate_approx(i, icgr, j, ts, k, n,
+                                                  is_keyframe, pli);
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_dist = dist;
+          qg = i;
+          best_k = k;
+          best_qtheta = qtheta;
+          itheta = j;
+          max_theta = ts;
+          noref = 0;
+          for (int t = 0; t < n - 1; t++) y[t] = y_tmp[t];
+          y[n - 1] = 0;
+        }
+      }
+    }
+  }
+  if (n <= 128 && ((is_keyframe && pli == 0) || corr < .5 || cg < 2.)) {
+    int ilo = (int)std::floor(cg);
+    if (ilo < 1) ilo = 1;
+    int ihi = (int)std::ceil(cg);
+    for (int i = ilo; i <= ihi; i++) {
+      double qcg = i;
+      int k = compute_k_v(qcg, -1, -1, 1, n, beta, nodesync);
+      double cos_dist;
+      dtpu_pvq_search(x.data(), n, k, qcg * cg, lambda, y_tmp.data(),
+                      &cos_dist);
+      double dist = gain_weight * (qcg - cg) * (qcg - cg)
+          + qcg * cg * (2 - 2 * cos_dist);
+      double cost = dist + lambda * rate_approx(i, 0, -1, 0, k, n,
+                                                is_keyframe, pli);
+      if (cost <= best_cost) {
+        best_cost = cost;
+        best_dist = dist;
+        qg = i;
+        noref = 1;
+        best_k = k;
+        itheta = -1;
+        max_theta = 0;
+        for (int t = 0; t < n; t++) y[t] = y_tmp[t];
+      }
+    }
+  }
+  for (int t = 0; t < n; t++) y_out[t] = y[t];
+  *qg_out = qg;
+  *itheta_out = itheta;
+  *max_theta_out = max_theta;
+  *k_out = best_k;
+  *noref_out = noref;
+  *skip_diff_out = skip_dist - best_dist;
+  m_sign_out[0] = m;
+  m_sign_out[1] = s;
+  m_sign_out[2] = cg;
+  m_sign_out[3] = cgr;
+  m_sign_out[4] = gain_offset;
+  m_sign_out[5] = corr;
+  return 0;
+}
