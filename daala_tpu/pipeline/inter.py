@@ -373,7 +373,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         state.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli, use_masking)
     # OBMC predict per plane (luma first: the splitter needs the
     # residual).
-    from ..search.bsize import split_superblocks, uniform_grid
+    from ..search.bsize import rdo_split_superblocks, uniform_grid
     from .grid import fdct_plane_grid, prefilter_plane_grid
 
     mcs = []
@@ -388,9 +388,10 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
     if encoder:
         cur_y = pad_plane(planes[0], info.frame_width,
                           info.frame_height)
-        resid = cur_y.astype(np.int32) - mcs[0].astype(np.int32)
         if bs_luma < 0:
-            bgrid = split_superblocks(cur_y, quantizer, residual=resid)
+            bgrid = rdo_split_superblocks(
+                to_coeff(cur_y, False), quantizer, state.qm,
+                state.qm_inv, pred=to_coeff(mcs[0], False))
         else:
             bgrid = uniform_grid(info.frame_height, info.frame_width,
                                  bs_luma)

@@ -470,14 +470,15 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
             ec.encode_bits(int(v), 8)
     for pli in range(nplanes):
         ec.encode_uint(cq, N_CODED_QUANTIZERS)
-    # Block-size grid: fixed uniform, or the open-loop splitter.
-    from ..search.bsize import split_superblocks, uniform_grid
+    # Block-size grid: fixed uniform, or the RDO splitter.
+    from ..search.bsize import rdo_split_superblocks, uniform_grid
     from .grid import fdct_plane_grid, haar_dc_tree_grid, \
         prefilter_plane_grid
 
     pad_y = pad_plane(planes[0], info.frame_width, info.frame_height)
     if bs_luma < 0:  # auto
-        grid = split_superblocks(pad_y, quantizer)
+        grid = rdo_split_superblocks(
+            to_coeff(pad_y, False), quantizer, state.qm, state.qm_inv)
     else:
         grid = uniform_grid(info.frame_height, info.frame_width, bs_luma)
     # Plane setup: pad, to coeff domain, lap, transform, DC tree.

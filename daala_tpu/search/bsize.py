@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["split_superblocks", "uniform_grid"]
+__all__ = ["split_superblocks", "uniform_grid", "rdo_split_superblocks"]
 
 
 def uniform_grid(h: int, w: int, bs: int) -> np.ndarray:
@@ -73,4 +73,82 @@ def split_superblocks(plane: np.ndarray, quantizer: int,
         grid = np.where(up[:grid.shape[0], :grid.shape[1]],
                         np.int8(level), grid)
         act = np.where(merge, q.mean(axis=0), mx * 4.0)
+    return grid
+
+
+def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
+                          qm, qm_inv, pred: np.ndarray = None) -> np.ndarray:
+    """Rate-distortion block-size decision, fully vectorized.
+
+    The TPU-native reformulation of the reference's trial-encode RDO
+    splitter (od_encode_recursive rdo_only, encode.c:1554-1673): instead
+    of serial trial encodes with EC rollback, transform + quantize the
+    whole plane at ALL four block sizes (4 batched passes), score each
+    block with real distortion + the analytic PVQ rate, and run the
+    bottom-up quadtree DP  cost(node) = min(leaf, sum children + split
+    overhead)  with lambda = 0.55 q^2 (od_bs_rdo_lambda, encode.c:1061).
+
+    coeffs: (h, w) int32 lapped coeff-domain luma (pred subtracted for
+    inter).  Returns the (h/4, w/4) int8 grid."""
+    from ..ops.dct import fdct2d, idct2d
+    from ..pvq.scan import BAND_OFFSETS, _FLAT
+
+    h, w = coeffs.shape
+    if pred is not None:
+        coeffs = coeffs - pred
+    q = max(1, quantizer)
+    lam = 0.55 * q * q
+    costs = {}
+    for bs in range(4):
+        n = 4 << bs
+        blocks = (coeffs.reshape(h // n, n, w // n, n)
+                  .transpose(0, 2, 1, 3).reshape(-1, n, n))
+        d = fdct2d(blocks, n).reshape(-1, n * n)
+        vec = d[:, _FLAT[n]].astype(np.int64)
+        qmv = qm[bs].astype(np.int64)
+        qmiv = qm_inv[bs].astype(np.int64)
+        scaled = (vec * qmv) >> 15
+        quant = np.sign(scaled) * ((np.abs(scaled) + (q >> 1)) // q)
+        deq = (quant * q * qmiv) >> 12
+        # Distortion: SSE of the coded subset + full energy of the
+        # never-coded coefficients (the 32x32 high half).
+        full = d.astype(np.int64)
+        rec = np.zeros_like(full)
+        rec[:, _FLAT[n]] = deq
+        mask = np.zeros(n * n, dtype=bool)
+        mask[_FLAT[n]] = True
+        dist = ((full - rec) ** 2 * mask).sum(axis=1) \
+            + (full ** 2 * ~mask).sum(axis=1)
+        # Rate: analytic PVQ codeword model per band + DC magnitude.
+        offs = BAND_OFFSETS[bs]
+        rate = np.zeros(len(d))
+        for b in range(offs[0]):
+            lo, hi = offs[1 + b], offs[2 + b]
+            nb = hi - lo
+            k = np.abs(quant[:, lo:hi]).sum(axis=1)
+            rate += np.where(
+                k > 0, nb * np.log2(1 + np.log(nb * 2) * k / nb) + 3.0,
+                0.5)
+        rate += np.log2(1 + np.abs(quant[:, 0])) + 2.0
+        costs[bs] = (dist + lam * rate).reshape(h // n, w // n)
+    # Bottom-up quadtree DP.
+    best = costs[0]
+    choice = {0: np.zeros_like(best, dtype=np.int8)}
+    split_overhead = lam * 2.5  # split-symbol rate estimate
+    for bs in range(1, 4):
+        kids = (best[0::2, 0::2] + best[0::2, 1::2]
+                + best[1::2, 0::2] + best[1::2, 1::2]) + split_overhead
+        leaf = costs[bs]
+        take_leaf = leaf <= kids
+        choice[bs] = take_leaf
+        best = np.where(take_leaf, leaf, kids)
+    # Emit the grid top-down.
+    grid = np.zeros((h // 4, w // 4), dtype=np.int8)
+    decided = np.zeros((h // 4, w // 4), dtype=bool)
+    for bs in range(3, 0, -1):
+        cells = 1 << bs
+        up = np.repeat(np.repeat(choice[bs], cells, 0), cells, 1)
+        sel = up & ~decided
+        grid[sel] = bs
+        decided |= sel
     return grid
