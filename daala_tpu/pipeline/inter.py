@@ -168,11 +168,17 @@ def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
     y0 = by << (2 + bsi - pc.xdec)
     x0 = bx << (2 + bsi - pc.xdec)
     d = pc.d
-    # Transform the (incrementally lapped) MC prediction for this leaf.
-    pred = fdct2d(
-        np.asarray(md[y0:y0 + n, x0:x0 + n], dtype=np.int32)[None],
-        n)[0]
-    predt = raster_to_coding(pred).astype(np.int32)
+    pre = getattr(pc, "pre", None)
+    pre_entry = pre.get((int(y0), int(x0))) if pre is not None else None
+    if pre_entry is not None:
+        predt = pre_entry["predt"]
+        pred = pre_entry["pred"]
+    else:
+        # Transform the (incrementally lapped) MC prediction.
+        pred = fdct2d(
+            np.asarray(md[y0:y0 + n, x0:x0 + n], dtype=np.int32)[None],
+            n)[0]
+        predt = raster_to_coding(pred).astype(np.int32)
     q0 = max(1, pc.quantizer)
     qm = state.qm[bs]
     qm_inv = state.qm_inv[bs]
@@ -184,7 +190,8 @@ def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
             np.asarray(d[y0:y0 + n, x0:x0 + n])).astype(np.int32)
         out, skip = pvq_encode_block(
             ec, state, predt, dblock, q0, pli, bs, beta, True, False,
-            qm, qm_inv)
+            qm, qm_inv,
+            precomputed=(pre_entry["results"] if pre_entry else None))
         # DC magnitude with dc-skip fusion (encode.c:1192-1207).
         if out[0]:
             new_ex = generic_encode(ec, state.model_dc[pli],
@@ -253,7 +260,8 @@ def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
         if encoder:
             encode_cdf_adapt(ec, 4, state.skip_cdf[2 * bsi][:5],
                              state.skip_increment)
-        _split_lap_mc(pc, md, bx, by, bsi)
+        if not (encoder and getattr(pc, "pre", None) is not None):
+            _split_lap_mc(pc, md, bx, by, bsi)
     else:
         obs = int(g[cell])
         if max(obs, xdec) == bsi:
@@ -268,7 +276,8 @@ def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
                                          bs, use_masking, False, sk)
             _mark_bskip(pc, bx, by, bsi, skip)
             return
-        _split_lap_mc(pc, md, bx, by, bsi)
+        if not (encoder and getattr(pc, "pre", None) is not None):
+            _split_lap_mc(pc, md, bx, by, bsi)
     for dy in (0, 1):
         for dx in (0, 1):
             _inter_recursive(ec, state, pc, md, 2 * bx + dx, 2 * by + dy,
@@ -294,6 +303,73 @@ def _split_lap_mc(pc, md, bx, by, bsi):
     cols = slice(x0 + mid - 2, x0 + mid + 2)
     seg = np.asarray(md[y0:y0 + npx, cols], dtype=np.int32)
     md[y0:y0 + npx, cols] = pre_filter(seg, 4)
+
+
+def _preorder_split_lap(pc, md, bx=0, by=0, bsi=3):
+    """Pre-apply all split-node MC lapping in the traversal's pre-order
+    (encoder-side; the decoder applies the same filters incrementally
+    during its traversal — the sequences are identical)."""
+    obs = int(pc.grid[by << bsi, bx << bsi])
+    if max(obs, pc.xdec) == bsi:
+        return
+    _split_lap_mc(pc, md, bx, by, bsi)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            _preorder_split_lap(pc, md, 2 * bx + dx, 2 * by + dy,
+                                bsi - 1)
+
+
+def _prepass_inter(pcs, mds, state, use_masking):
+    """Encoder prepass: batch-search every band of every leaf in one
+    native call.  Fills pc.pre[(y0, x0)] = {pred, predt, results}."""
+    from ..pvq.coding import batch_band_search
+    from ..pvq.scan import BAND_OFFSETS
+    from .grid import block_positions
+
+    bands = []
+    slots = []  # (pc, key, nb_bands, start_index)
+    for pc, md in zip(pcs, mds):
+        pc.pre = {}
+        for sby in range(pc.nvsb):
+            for sbx in range(pc.nhsb):
+                _preorder_split_lap(pc, md, sbx, sby, 3)
+        pg = pc.pg()
+        for bs in range(4):
+            ys, xs = block_positions(pg, bs)
+            if len(ys) == 0:
+                continue
+            n = 4 << bs
+            idx_r = ys[:, None, None] + np.arange(n)[None, :, None]
+            idx_c = xs[:, None, None] + np.arange(n)[None, None, :]
+            mdb = np.asarray(md, dtype=np.int32)[idx_r, idx_c]
+            preds = fdct2d(mdb, n)
+            predts = raster_to_coding(preds).astype(np.int32)
+            dbs = raster_to_coding(
+                np.asarray(pc.d, dtype=np.int32)[idx_r, idx_c]
+            ).astype(np.int32)
+            offs = BAND_OFFSETS[bs]
+            beta = pvq_betas(use_masking, pc.pli, bs)
+            for bi in range(len(ys)):
+                key = (int(ys[bi]), int(xs[bi]))
+                slots.append((pc, key, offs[0], len(bands), preds[bi],
+                              predts[bi]))
+                for b in range(offs[0]):
+                    lo, hi = offs[1 + b], offs[2 + b]
+                    q = max(1, pc.quantizer * int(
+                        state.pvq_qm_q4[pc.pli][qm_get_index(bs, b + 1)])
+                        >> 4)
+                    bands.append({
+                        "x0": dbs[bi, lo:hi], "r0": predts[bi][lo:hi],
+                        "q0": q, "beta": beta[b], "pli": pc.pli,
+                        "qm": state.qm[bs][lo:hi],
+                        "qm_inv": state.qm_inv[bs][lo:hi],
+                    })
+    results = batch_band_search(bands, True, False)
+    for (pc, key, nb, start, pred, predt) in slots:
+        pc.pre[key] = {
+            "pred": pred, "predt": predt,
+            "results": results[start:start + nb],
+        }
 
 
 def _mark_bskip(pc, bx, by, bsi, skip):
@@ -426,6 +502,8 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         mcc = lap_frame_h(mcc, np.arange(sbn, pc.h, sbn))
         mcc = lap_frame_v(mcc, np.arange(sbn, pc.w, sbn))
         mds.append(mcc)
+    if encoder:
+        _prepass_inter(pcs, mds, state, use_masking)
     _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
                       encoder)
     _to_spatial(pcs)

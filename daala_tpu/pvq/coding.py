@@ -360,10 +360,16 @@ def _pvq_theta_native(lib, x0, r0, n, q0, beta, robust, is_keyframe,
         ctypes.byref(itheta), ctypes.byref(max_theta), ctypes.byref(k),
         ctypes.byref(noref), ctypes.byref(skip_diff),
         extras.ctypes.data_as(ctypes.c_void_p))
-    qgv = int(qg.value)
-    ithetav = int(itheta.value)
-    norefv = bool(noref.value)
-    kv = int(k.value)
+    return _finish_band(x0, r0, n, q0, beta, robust, is_keyframe, pli,
+                        qm, qm_inv, int(qg.value), int(itheta.value),
+                        bool(noref.value), int(k.value), y,
+                        float(skip_diff.value))
+
+
+def _finish_band(x0, r0, n, q0, beta, robust, is_keyframe, pli, qm,
+                 qm_inv, qgv, ithetav, norefv, kv, y, skip_diff_v):
+    """Decoder-identical post-processing of native search choices:
+    k re-check, skip decisions, synthesis, gain interleave."""
     # Recompute everything the decoder recomputes, in Python floats.
     qmf = qm.astype(np.float64) * core.QM_SCALE_1
     cgr_py, gr = core.compute_gain(r0, q0, beta, qm)
@@ -437,8 +443,75 @@ def _pvq_theta_native(lib, x0, r0, n, q0, beta, robust, is_keyframe,
         "out": out, "y": y, "qg": qg_coded, "itheta": ithetav,
         # max_theta from the Python floats — what the decoder computes.
         "max_theta": ts if not norefv else 0,
-        "k": kv, "skip_diff": float(skip_diff.value),
+        "k": kv, "skip_diff": skip_diff_v,
     }
+
+
+def batch_band_search(bands, robust, is_keyframe):
+    """Search many independent bands in ONE native call
+    (dtpu_pvq_theta_batch), then finish each decoder-identically.
+
+    bands: list of dicts with x0, r0, q0, beta, pli, qm, qm_inv.
+    Returns a list of pvq_theta result dicts."""
+    import ctypes
+
+    lib = _native_search()
+    if not lib or EXACT_RATE:
+        return [
+            pvq_theta(b["x0"], b["r0"], len(b["x0"]), b["q0"], b["beta"],
+                      robust, is_keyframe, b["pli"], None, 0, b["qm"],
+                      b["qm_inv"])
+            for b in bands
+        ]
+    if not hasattr(lib, "_batch_ready"):
+        lib.dtpu_pvq_theta_batch.argtypes = [ctypes.c_int] + \
+            [ctypes.c_void_p] * 5 + [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_void_p,
+                                     ctypes.c_double] + \
+            [ctypes.c_void_p] * 8
+        lib._batch_ready = True
+    nb = len(bands)
+    offs = np.zeros(nb + 1, dtype=np.int32)
+    for i, b in enumerate(bands):
+        offs[i + 1] = offs[i] + len(b["x0"])
+    total = int(offs[-1])
+    x0s = np.empty(total, dtype=np.int32)
+    r0s = np.empty(total, dtype=np.int32)
+    qms = np.empty(total, dtype=np.int32)
+    q0s = np.empty(nb, dtype=np.int32)
+    betas = np.empty(nb, dtype=np.float64)
+    plis = np.empty(nb, dtype=np.int32)
+    for i, b in enumerate(bands):
+        lo, hi = offs[i], offs[i + 1]
+        x0s[lo:hi] = b["x0"]
+        r0s[lo:hi] = b["r0"]
+        qms[lo:hi] = b["qm"]
+        q0s[i] = b["q0"]
+        betas[i] = b["beta"]
+        plis[i] = b["pli"]
+    ys = np.zeros(total, dtype=np.int32)
+    qg = np.zeros(nb, dtype=np.int32)
+    itheta = np.zeros(nb, dtype=np.int32)
+    mtheta = np.zeros(nb, dtype=np.int32)
+    ks = np.zeros(nb, dtype=np.int32)
+    norefs = np.zeros(nb, dtype=np.int32)
+    sds = np.zeros(nb, dtype=np.float64)
+    extras = np.zeros(nb * 6, dtype=np.float64)
+    vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.dtpu_pvq_theta_batch(
+        nb, vp(offs), vp(x0s), vp(r0s), vp(qms), vp(q0s), vp(betas),
+        1 if (robust or is_keyframe) else 0, 1 if is_keyframe else 0,
+        vp(plis), PVQ_LAMBDA, vp(ys), vp(qg), vp(itheta), vp(mtheta),
+        vp(ks), vp(norefs), vp(sds), vp(extras))
+    out = []
+    for i, b in enumerate(bands):
+        lo, hi = offs[i], offs[i + 1]
+        out.append(_finish_band(
+            b["x0"], b["r0"], hi - lo, b["q0"], b["beta"], robust,
+            is_keyframe, b["pli"], b["qm"], b["qm_inv"], int(qg[i]),
+            int(itheta[i]), bool(norefs[i]), int(ks[i]),
+            ys[lo:hi].copy(), float(sds[i])))
+    return out
 
 
 def _pvq_theta_py(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
@@ -713,7 +786,8 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
 def pvq_encode_block(enc: RangeEncoder, state, ref: np.ndarray,
                      dblock: np.ndarray, q0: int, pli: int, bs: int,
                      beta, robust: bool, is_keyframe: bool,
-                     qm: np.ndarray, qm_inv: np.ndarray) -> tuple:
+                     qm: np.ndarray, qm_inv: np.ndarray,
+                     precomputed=None) -> tuple:
     """Encode one block's AC bands (od_pvq_encode, pvq_encoder.c:645-815).
 
     `state` carries .pvq (PvqAdapt), .skip_cdf, .skip_increment,
@@ -739,11 +813,16 @@ def pvq_encode_block(enc: RangeEncoder, state, ref: np.ndarray,
     results = []
     skip_diff = 0.0
     for i in range(nb_bands):
-        q = max(1, q0 * int(pvq_qm[qm_get_index(bs, i + 1)]) >> 4)
-        res = pvq_theta(dblock[off[i]:off[i + 1]], ref[off[i]:off[i + 1]],
-                        off[i + 1] - off[i], q, beta[i], robust, is_keyframe,
-                        pli, adapt, bs, qm[off[i]:off[i + 1]],
-                        qm_inv[off[i]:off[i + 1]])
+        if precomputed is not None:
+            res = precomputed[i]
+        else:
+            q = max(1, q0 * int(pvq_qm[qm_get_index(bs, i + 1)]) >> 4)
+            res = pvq_theta(dblock[off[i]:off[i + 1]],
+                            ref[off[i]:off[i + 1]],
+                            off[i + 1] - off[i], q, beta[i], robust,
+                            is_keyframe, pli, adapt, bs,
+                            qm[off[i]:off[i + 1]],
+                            qm_inv[off[i]:off[i + 1]])
         out[off[i]:off[i + 1]] = res["out"]
         results.append(res)
         skip_diff += res["skip_diff"]

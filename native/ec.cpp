@@ -568,3 +568,34 @@ extern "C" int dtpu_pvq_theta(
   m_sign_out[5] = corr;
   return 0;
 }
+
+// Batched band search: run dtpu_pvq_theta over many bands in one call
+// (kills per-band FFI overhead; bands are independent given the
+// analytic rate model).  Arrays are concatenated per band with an
+// offsets table.
+extern "C" int dtpu_pvq_theta_batch(
+    int nbands, const int32_t* offsets /* nbands+1 */,
+    const int32_t* x0s, const int32_t* r0s, const int32_t* qms,
+    const int32_t* q0s, const double* betas, int nodesync,
+    int is_keyframe, const int32_t* plis, double lambda,
+    int32_t* y_out, int32_t* qg_out, int32_t* itheta_out,
+    int32_t* max_theta_out, int32_t* k_out, int32_t* noref_out,
+    double* skip_diff_out, double* extras_out /* nbands*6 */) {
+  for (int b = 0; b < nbands; b++) {
+    int lo = offsets[b];
+    int n = offsets[b + 1] - lo;
+    int qg, itheta, max_theta, k, noref;
+    double sd;
+    dtpu_pvq_theta(x0s + lo, r0s + lo, n, q0s[b], betas[b], nodesync,
+                   is_keyframe, plis[b], qms + lo, lambda, y_out + lo,
+                   &qg, &itheta, &max_theta, &k, &noref, &sd,
+                   extras_out + 6 * b);
+    qg_out[b] = qg;
+    itheta_out[b] = itheta;
+    max_theta_out[b] = max_theta;
+    k_out[b] = k;
+    noref_out[b] = noref;
+    skip_diff_out[b] = sd;
+  }
+  return 0;
+}
