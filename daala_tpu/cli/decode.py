@@ -19,6 +19,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="daala_tpu decoder")
     ap.add_argument("input", help="input .dtp stream")
     ap.add_argument("-o", "--output", required=True, help="output .y4m")
+    ap.add_argument("-j", "--tile-jobs", type=int, default=1,
+                    help="decode entropy tiles in this many forked "
+                         "workers (streams encoded with --tiles)")
     args = ap.parse_args(argv)
 
     info, comment, packets = read_stream(args.input)
@@ -36,7 +39,8 @@ def main(argv=None):
         for i, p in enumerate(packets):
             if sess is None:
                 sess = DecoderSession(info, bs_luma=p.bs_luma if
-                                      not p.use_haar else 1)
+                                      not p.use_haar else 1,
+                                      tile_workers=args.tile_jobs)
             planes = sess.decode_frame(p.data, p.keyframe, p.use_haar,
                                        ftype=p.ftype)
             decoded.append((p.display_order, planes))

@@ -37,6 +37,12 @@ def main(argv=None):
     ap.add_argument("-j", "--jobs", type=int, default=1,
                     help="GOP-parallel encoder processes (keyframe "
                          "cadence becomes the GOP length)")
+    ap.add_argument("--tiles", type=int, default=1,
+                    help="independent entropy tiles per frame "
+                         "(groups of superblock rows; 1-255)")
+    ap.add_argument("--tile-jobs", type=int, default=1,
+                    help="encode tiles in this many forked workers "
+                         "(bit-identical to serial)")
     args = ap.parse_args(argv)
 
     with open(args.input, "rb") as f:
@@ -64,7 +70,7 @@ def main(argv=None):
                 frames, info, args.quality,
                 gop_len=min(args.keyframe_rate, 16),
                 workers=args.jobs, use_masking=args.masking,
-                bs_luma=bs, b_frames=args.b_frames)
+                bs_luma=bs, b_frames=args.b_frames, tiles=args.tiles)
             dt = time.time() - t0
             sys.stderr.write(
                 f"{len(packets)} frames in {dt:.2f}s "
@@ -75,7 +81,8 @@ def main(argv=None):
         sess = EncoderSession(info, args.quality,
                               use_masking=args.masking, bs_luma=bs,
                               keyframe_rate=args.keyframe_rate,
-                              b_frames=args.b_frames)
+                              b_frames=args.b_frames, tiles=args.tiles,
+                              tile_workers=args.tile_jobs)
         packets = []
         t0 = time.time()
 

@@ -77,14 +77,15 @@ class _MvCtx:
         self.ref_increment = 128
 
 
-def _mv_pred(grid, vy, vx):
+def _mv_pred(grid, vy, vx, vtop=0):
     """Median-of-neighbors predictor (od_state_get_predictor semantics
     on the uniform mesh: left, up, up-right — falling back to what
-    exists)."""
+    exists).  vtop is the tile's first vertex row: prediction above it
+    is cut so tile streams stay independent."""
     cands = []
     if vx > 0:
         cands.append(grid[vy, vx - 1])
-    if vy > 0:
+    if vy > vtop:
         cands.append(grid[vy - 1, vx])
         if vx + 1 < grid.shape[1]:
             cands.append(grid[vy - 1, vx + 1])
@@ -96,16 +97,24 @@ def _mv_pred(grid, vy, vx):
     return np.median(c, axis=0).astype(np.int64)
 
 
-def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1):
+def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1,
+                  vrows=None, out=None, rids=None):
     """Code the MV mesh: per vertex an adaptive ref-id symbol (multi-ref
-    frames) then median-predicted MV deltas."""
+    frames) then median-predicted MV deltas.
+
+    vrows=(v0, v1) limits coding to those vertex rows (one tile's
+    share); pass the shared out/rids arrays so all tiles fill one
+    grid."""
     from ..entropy.adapt import decode_cdf_adapt, encode_cdf_adapt
 
     nvy, nvx = grid.shape[:2]
-    out = np.zeros_like(grid) if not encoder else grid
-    rids = (np.zeros((nvy, nvx), dtype=np.int32) if not encoder
-            else ref_ids)
-    for vy in range(nvy):
+    if out is None:
+        out = np.zeros_like(grid) if not encoder else grid
+    if rids is None:
+        rids = (np.zeros((nvy, nvx), dtype=np.int32) if not encoder
+                else ref_ids)
+    v0, v1 = vrows if vrows is not None else (0, nvy)
+    for vy in range(v0, v1):
         for vx in range(nvx):
             if nrefs > 1:
                 # Context: majority of left/up decoded ref ids.
@@ -113,7 +122,7 @@ def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1):
                 nb = []
                 if vx > 0:
                     nb.append(int(rids[vy, vx - 1]))
-                if vy > 0:
+                if vy > v0:
                     nb.append(int(rids[vy - 1, vx]))
                 if nb:
                     rp = 1 if sum(nb) * 2 > len(nb) else 0
@@ -128,7 +137,7 @@ def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1):
             if a is not None:
                 a.set_location("mv", 0, 0, vx << MV_BLK_LOG,
                                vy << MV_BLK_LOG)
-            pred = _mv_pred(out, vy, vx)
+            pred = _mv_pred(out, vy, vx, v0)
             if encoder:
                 dy = int(grid[vy, vx, 0]) - int(pred[0])
                 dx = int(grid[vy, vx, 1]) - int(pred[1])
@@ -381,10 +390,14 @@ def _mark_bskip(pc, bx, by, bsi, skip):
 
 
 def _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
-                      encoder):
+                      encoder, rows=None):
+    """Per-tile inter symbol pass over SB rows [rows[0], rows[1]).
+    Inter blocks have no cross-SB-row symbol prediction (MC prediction
+    only), so tiling needs no further cuts here."""
     nhsb = pcs[0].nhsb
     nvsb = pcs[0].nvsb
-    for sby in range(nvsb):
+    row0, row1 = rows if rows is not None else (0, nvsb)
+    for sby in range(row0, row1):
         for sbx in range(nhsb):
             for pli in range(len(pcs)):
                 _inter_recursive(ec, state, pcs[pli], mds[pli], sbx, sby,
@@ -416,37 +429,75 @@ def _frame_quality(cq, ftype, b_frames):
     return cq
 
 
+def _tile_vrows(bounds, ti, nvy):
+    """Vertex-row share of tile ti: two MV rows per SB row, with the
+    frame's bottom vertex row going to the last tile."""
+    r0, r1 = bounds[ti]
+    v1 = nvy if ti == len(bounds) - 1 else 2 * r1
+    return (2 * r0, v1)
+
+
 def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
-                       refs, planes_or_packet, encoder):
+                       refs, planes_or_packet, encoder, tiles=1,
+                       tile_workers=1):
     """Shared P/B frame coder.  refs: list of padded reference plane
-    lists (1 = single-ref P, 2 = multi-ref P or B)."""
+    lists (1 = single-ref P, 2 = multi-ref P or B).
+
+    tiles > 1 gives every group of SB rows its own entropy stream (see
+    tiles.py): each tile codes its share of MV vertex rows, then its
+    superblocks, then its dering flags.  The decoder runs in phases —
+    per-tile MV decode, batched whole-frame MC, per-tile coefficient
+    decode, whole-frame reconstruction, per-tile dering — so the serial
+    symbol work parallelizes while the data passes stay frame-level."""
+    from .intra import (
+        _merge_c_rows,
+        _merge_d_rows,
+        _merge_grid_rows,
+        _tile_c_rows,
+        _tile_d_rows,
+        _tile_grid_rows,
+        _tile_states,
+    )
+    from .tiles import pack_tiles, run_tiles, tile_rows, unpack_tiles
+
     nplanes = info.nplanes
     nrefs = len(refs)
-    mvctx = _MvCtx()
+    nvsb = info.frame_height >> 5
+    nvy = (info.frame_height >> MV_BLK_LOG) + 1
+    nvx = (info.frame_width >> MV_BLK_LOG) + 1
     if encoder:
         planes = planes_or_packet
         quantizer = codedquantizer_to_quantizer(cq)
-        ec = RangeEncoder()
+        bounds = tile_rows(nvsb, tiles)
+        ecs = [RangeEncoder() for _ in bounds]
+        mvctxs = [_MvCtx() for _ in bounds]
         for pli in range(nplanes):
-            ec.encode_uint(cq, N_CODED_QUANTIZERS)
+            ecs[0].encode_uint(cq, N_CODED_QUANTIZERS)
         cur_y = pad_plane(planes[0], info.frame_width, info.frame_height)
         grid, rids = motion_search_multi(
             cur_y, [r[0] for r in refs], MV_BLK_LOG)
-        _code_mv_grid(ec, mvctx, grid, True, rids, nrefs)
+        for ti in range(len(bounds)):
+            _code_mv_grid(ecs[ti], mvctxs[ti], grid, True, rids, nrefs,
+                          _tile_vrows(bounds, ti, nvy))
     else:
         planes = None
-        ec = RangeDecoder(planes_or_packet)
-        cqs = [ec.decode_uint(N_CODED_QUANTIZERS) for _ in range(nplanes)]
+        streams = unpack_tiles(planes_or_packet)
+        bounds = tile_rows(nvsb, len(streams))
+        assert len(bounds) == len(streams)
+        ecs = [RangeDecoder(s) for s in streams]
+        mvctxs = [_MvCtx() for _ in bounds]
+        cqs = [ecs[0].decode_uint(N_CODED_QUANTIZERS)
+               for _ in range(nplanes)]
         quantizer = codedquantizer_to_quantizer(cqs[0])
-        nvy = (info.frame_height >> MV_BLK_LOG) + 1
-        nvx = (info.frame_width >> MV_BLK_LOG) + 1
-        grid, rids = _code_mv_grid(
-            ec, mvctx, np.zeros((nvy, nvx, 2), dtype=np.int64), False,
-            None, nrefs)
-    state = AdaptState.reset(nplanes, False)
-    state.qm, state.qm_inv = init_qm(QM8_HVS)
-    for pli in range(nplanes):
-        state.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli, use_masking)
+        grid = np.zeros((nvy, nvx, 2), dtype=np.int64)
+        rids = np.zeros((nvy, nvx), dtype=np.int32)
+        for ti in range(len(bounds)):
+            _code_mv_grid(ecs[ti], mvctxs[ti], grid, False, None, nrefs,
+                          _tile_vrows(bounds, ti, nvy), out=grid,
+                          rids=rids)
+    states = _tile_states(nplanes, quantizer, use_masking, len(bounds),
+                          is_keyframe=False)
+    state = states[0]
     # OBMC predict per plane (luma first: the splitter needs the
     # residual).
     from ..search.bsize import rdo_split_superblocks, uniform_grid
@@ -504,20 +555,42 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         mds.append(mcc)
     if encoder:
         _prepass_inter(pcs, mds, state, use_masking)
-    _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
-                      encoder)
+
+    def _sb_job(ti):
+        rows = bounds[ti]
+        _code_inter_frame(ecs[ti], states[ti], pcs, mds, info, bs_luma,
+                          use_masking, encoder, rows)
+        gr = None if encoder else _tile_grid_rows(bgrid, rows)
+        return ecs[ti], states[ti], _tile_d_rows(pcs, rows), gr
+
+    for ti, (ec_t, st_t, dr, gr) in enumerate(
+            run_tiles(_sb_job, len(bounds), tile_workers)):
+        ecs[ti], states[ti] = ec_t, st_t
+        _merge_d_rows(pcs, bounds[ti], dr)
+        if gr is not None:
+            _merge_grid_rows(bgrid, bounds[ti], gr)
     _to_spatial(pcs)
     if use_dering:
+        etmp = [pc.c.copy() for pc in pcs]
+        orig = None
         if encoder:
             orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w,
                                        pcs[pli].h), False)
                     for pli in range(nplanes)]
-            _dering_pass(ec, state, pcs, orig, True)
-        else:
-            _dering_pass(ec, state, pcs, None, False)
+
+        def _dr_job(ti):
+            rows = bounds[ti]
+            _dering_pass(ecs[ti], states[ti], pcs, orig, encoder, rows,
+                         etmp)
+            return ecs[ti], _tile_c_rows(pcs, rows)
+
+        for ti, (ec_t, cr) in enumerate(
+                run_tiles(_dr_job, len(bounds), tile_workers)):
+            ecs[ti] = ec_t
+            _merge_c_rows(pcs, bounds[ti], cr)
     rec = _crop(pcs, info)
     if encoder:
-        return ec.done(), rec
+        return pack_tiles([e.done() for e in ecs]), rec
     return rec
 
 
@@ -529,7 +602,8 @@ class EncoderSession:
     def __init__(self, info: FrameInfo, quality: int,
                  use_masking: bool = False, bs_luma: int = 1,
                  use_dering: bool = True, keyframe_rate: int = None,
-                 b_frames: int = 0):
+                 b_frames: int = 0, tiles: int = 1,
+                 tile_workers: int = 1):
         if tuple(info.xdec) != tuple(info.ydec):
             raise ValueError(
                 "only 4:4:4 / 4:2:0 / mono are supported (the codec "
@@ -541,6 +615,8 @@ class EncoderSession:
         self.use_dering = use_dering
         self.keyframe_rate = keyframe_rate or info.keyframe_rate
         self.b_frames = b_frames
+        self.tiles = tiles
+        self.tile_workers = tile_workers
         self.frame_idx = 0          # display index of next input
         self.since_golden = 0
         self.ref_prev = None
@@ -607,7 +683,8 @@ class EncoderSession:
             pkt, rec = encode_keyframe(
                 planes, self.info, self.quality,
                 use_masking=self.use_masking, bs_luma=self.bs_luma,
-                use_dering=self.use_dering, return_recon=True)
+                use_dering=self.use_dering, return_recon=True,
+                tiles=self.tiles, tile_workers=self.tile_workers)
             self._rotate_refs(rec, FT_INTRA)
             return {"data": pkt, "ftype": FT_INTRA, "display_order": idx,
                     "recon": rec, "use_haar": False}
@@ -622,7 +699,8 @@ class EncoderSession:
         cq = _frame_quality(self.quality, ftype, self.b_frames)
         pkt, rec = _code_inter_packet(
             self.info, self.bs_luma, self.use_masking, self.use_dering,
-            cq, refs, planes, True)
+            cq, refs, planes, True, tiles=self.tiles,
+            tile_workers=self.tile_workers)
         self._rotate_refs(rec, ftype)
         return {"data": pkt, "ftype": ftype, "display_order": idx,
                 "recon": rec, "use_haar": False}
@@ -636,7 +714,8 @@ class EncoderSession:
                 cq = _frame_quality(self.quality, FT_B, self.b_frames)
                 pkt, rec = _code_inter_packet(
                     self.info, self.bs_luma, self.use_masking,
-                    self.use_dering, cq, refs, planes, True)
+                    self.use_dering, cq, refs, planes, True,
+                    tiles=self.tiles, tile_workers=self.tile_workers)
                 out.append({"data": pkt, "ftype": FT_B,
                             "display_order": idx, "recon": rec,
                             "use_haar": False})
@@ -662,11 +741,13 @@ class DecoderSession:
     references, reorders B-frames for display (decode.c:1297-1326)."""
 
     def __init__(self, info: FrameInfo, bs_luma: int = 1,
-                 use_masking: bool = False, use_dering: bool = True):
+                 use_masking: bool = False, use_dering: bool = True,
+                 tile_workers: int = 1):
         self.info = info
         self.bs_luma = bs_luma
         self.use_masking = use_masking
         self.use_dering = use_dering
+        self.tile_workers = tile_workers
         self.ref_prev = None
         self.ref_next = None
         self.ref_gold = None
@@ -688,7 +769,8 @@ class DecoderSession:
             rec = decode_keyframe(packet, self.info,
                                   use_masking=self.use_masking,
                                   bs_luma=self.bs_luma,
-                                  use_dering=self.use_dering)
+                                  use_dering=self.use_dering,
+                                  tile_workers=self.tile_workers)
             self._rotate(rec, FT_INTRA)
             return rec
         if ftype == FT_B:
@@ -697,7 +779,8 @@ class DecoderSession:
             refs = [self.ref_prev, self.ref_next]
             rec = _code_inter_packet(
                 self.info, self.bs_luma, self.use_masking,
-                self.use_dering, 0, refs, packet, False)
+                self.use_dering, 0, refs, packet, False,
+                tile_workers=self.tile_workers)
             # B frames are not references; no rotation.
             return rec
         refs = [self.ref_prev]
@@ -705,7 +788,7 @@ class DecoderSession:
             refs.append(self.ref_gold)
         rec = _code_inter_packet(
             self.info, self.bs_luma, self.use_masking, self.use_dering,
-            0, refs, packet, False)
+            0, refs, packet, False, tile_workers=self.tile_workers)
         self._rotate(rec, ftype)
         return rec
 

@@ -146,6 +146,7 @@ class _PlaneCtx:
         self.d = None        # transform-domain plane
         self.c = None        # spatial (lapped) plane
         self.grid = None     # shared luma-relative bsize grid (h4, w4)
+        self.tile_y0 = 0     # tile's first row in plane pixels
 
     def pg(self):
         """Per-plane-cell block sizes."""
@@ -154,16 +155,20 @@ class _PlaneCtx:
         return plane_grid(self.grid, self.xdec)
 
 
-def _sb_dc_code(ec, state, pc: _PlaneCtx, sbx, sby, has_ur, encoder: bool):
+def _sb_dc_code(ec, state, pc: _PlaneCtx, sbx, sby, has_ur, encoder: bool,
+                row0: int = 0):
     """SB DC with LS-optimized neighbor prediction
-    (encode.c:1368-1421 / decode.c:642-695).  Returns (hgrad, vgrad)."""
+    (encode.c:1368-1421 / decode.c:642-695).  Returns (hgrad, vgrad).
+
+    row0 is the tile's first SB row: prediction above it is cut so the
+    tile's stream never depends on another tile's symbols."""
     pli = pc.pli
     dc_quant = 1 if pc.lossless else max(
         1, pc.quantizer * int(state.pvq_qm_q4[pli][qm_get_index(3, 0)]) >> 4)
     nhsb = pc.nhsb
     mem = pc.sb_dc_mem
     ln = 5 - pc.xdec
-    if sby > 0 and sbx > 0:
+    if sby > row0 and sbx > 0:
         if has_ur:
             pred = (22 * mem[sby * nhsb + sbx - 1]
                     - 9 * mem[(sby - 1) * nhsb + sbx - 1]
@@ -173,7 +178,7 @@ def _sb_dc_code(ec, state, pc: _PlaneCtx, sbx, sby, has_ur, encoder: bool):
             pred = (23 * mem[sby * nhsb + sbx - 1]
                     - 10 * mem[(sby - 1) * nhsb + sbx - 1]
                     + 19 * mem[(sby - 1) * nhsb + sbx] + 16) >> 5
-    elif sby > 0:
+    elif sby > row0:
         pred = mem[(sby - 1) * nhsb + sbx]
     elif sbx > 0:
         pred = mem[sby * nhsb + sbx - 1]
@@ -201,7 +206,7 @@ def _sb_dc_code(ec, state, pc: _PlaneCtx, sbx, sby, has_ur, encoder: bool):
     pc.d[y0, x0] = sb_dc_curr
     mem[sby * nhsb + sbx] = sb_dc_curr
     vgrad = hgrad = 0
-    if sby > 0:
+    if sby > row0:
         vgrad = int(mem[(sby - 1) * nhsb + sbx]) - sb_dc_curr
     if sbx > 0:
         hgrad = int(mem[sby * nhsb + sbx - 1]) - sb_dc_curr
@@ -297,7 +302,7 @@ def _hv_intra_pred(pc: _PlaneCtx, bx, by, bs) -> np.ndarray:
     pred = np.zeros((n, n), dtype=np.int32)
     g = pc.grid  # luma plane only (pli == 0)
     c4 = n // 4
-    top = by > 0 and g[by * c4 - 1, bx * c4] == bs
+    top = y0 > pc.tile_y0 and g[by * c4 - 1, bx * c4] == bs
     left = bx > 0 and g[by * c4, bx * c4 - 1] == bs
     g1 = g2 = 0.0
     if top:
@@ -445,31 +450,90 @@ def _code_recursive(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi,
                             bsi - 1, use_masking, hgrad, vgrad, encoder)
 
 
+def _tile_d_rows(pcs, rows):
+    """Copy each plane's coeff rows for SB rows [rows[0], rows[1]) —
+    the only part of pc.d a tile's symbol pass mutates."""
+    out = []
+    for pc in pcs:
+        ln = 5 - pc.xdec
+        out.append(pc.d[rows[0] << ln:rows[1] << ln].copy())
+    return out
+
+
+def _merge_d_rows(pcs, rows, dr):
+    for pc, r in zip(pcs, dr):
+        ln = 5 - pc.xdec
+        pc.d[rows[0] << ln:rows[1] << ln] = r
+
+
+def _tile_c_rows(pcs, rows):
+    out = []
+    for pc in pcs:
+        ln = 5 - pc.xdec
+        out.append(pc.c[rows[0] << ln:rows[1] << ln].copy())
+    return out
+
+
+def _merge_c_rows(pcs, rows, cr):
+    for pc, r in zip(pcs, cr):
+        ln = 5 - pc.xdec
+        pc.c[rows[0] << ln:rows[1] << ln] = r
+
+
+def _tile_grid_rows(grid, rows):
+    """Luma 4x4-cell rows of the shared bsize grid for one tile."""
+    return grid[rows[0] * 8:rows[1] * 8].copy()
+
+
+def _merge_grid_rows(grid, rows, gr):
+    grid[rows[0] * 8:rows[1] * 8] = gr
+
+
+def _tile_states(nplanes, quantizer, use_masking, ntiles,
+                 is_keyframe=True):
+    """One fresh AdaptState per tile — tiles never share adaptation, so
+    their symbol streams are fully independent."""
+    states = []
+    for _ in range(ntiles):
+        st = AdaptState.reset(nplanes, is_keyframe)
+        st.qm, st.qm_inv = init_qm(QM8_HVS)
+        for pli in range(nplanes):
+            st.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli, use_masking)
+        states.append(st)
+    return states
+
+
 def encode_keyframe(planes, info: FrameInfo, quality: int,
                     use_masking: bool = False, bs_luma: int = 1,
                     use_dering: bool = True,
-                    return_recon: bool = False):
+                    return_recon: bool = False, tiles: int = 1,
+                    tile_workers: int = 1):
     """Encode one keyframe.  planes: list of uint8 arrays (pic size).
     quality: coded quantizer index (0 = lossless -> not supported in the
     PVQ path; use the wavelet coder).  Returns the frame packet, and the
     encoder-side reconstruction if return_recon (must be pixel-exact
     equal to the decoder output — the reference's --enable-encoder-check
-    invariant, encode.c:3204-3243)."""
+    invariant, encode.c:3204-3243).
+
+    tiles > 1 splits the frame into independent entropy streams (one
+    per group of SB rows, see tiles.py); tile 0 carries the header.
+    tile_workers > 1 runs the tile symbol passes in forked worker
+    processes — bit-identical to the serial order by construction."""
+    from .tiles import pack_tiles, run_tiles, tile_rows
+
     assert 0 < quality < N_CODED_QUANTIZERS
     cq = max(1, quality - 3)  # keyframe quality boost (encode.c:3059)
     quantizer = codedquantizer_to_quantizer(cq)
     nplanes = info.nplanes
-    state = AdaptState.reset(nplanes, True)
-    state.qm, state.qm_inv = init_qm(QM8_HVS)
+    bounds = tile_rows(info.frame_height >> 5, tiles)
+    states = _tile_states(nplanes, quantizer, use_masking, len(bounds))
+    ecs = [RangeEncoder() for _ in bounds]
+    # Frame header fields (tile 0 only).
     for pli in range(nplanes):
-        state.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli, use_masking)
-    ec = RangeEncoder()
-    # Frame header fields.
+        for v in states[0].pvq_qm_q4[pli]:
+            ecs[0].encode_bits(int(v), 8)
     for pli in range(nplanes):
-        for v in state.pvq_qm_q4[pli]:
-            ec.encode_bits(int(v), 8)
-    for pli in range(nplanes):
-        ec.encode_uint(cq, N_CODED_QUANTIZERS)
+        ecs[0].encode_uint(cq, N_CODED_QUANTIZERS)
     # Block-size grid: fixed uniform, or the RDO splitter.
     from ..search.bsize import rdo_split_superblocks, uniform_grid
     from .grid import fdct_plane_grid, haar_dc_tree_grid, \
@@ -478,7 +542,8 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
     pad_y = pad_plane(planes[0], info.frame_width, info.frame_height)
     if bs_luma < 0:  # auto
         grid = rdo_split_superblocks(
-            to_coeff(pad_y, False), quantizer, state.qm, state.qm_inv)
+            to_coeff(pad_y, False), quantizer, states[0].qm,
+            states[0].qm_inv)
     else:
         grid = uniform_grid(info.frame_height, info.frame_width, bs_luma)
     # Plane setup: pad, to coeff domain, lap, transform, DC tree.
@@ -493,15 +558,35 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
         pc.d = haar_dc_tree_grid(d, pg)
         pc.c = c
         pcs.append(pc)
-    # Sequential coding pass.
-    _code_frame(ec, state, pcs, info, bs_luma, use_masking, True)
+    # Per-tile symbol pass — independent streams, forked when
+    # tile_workers > 1.
+    def _sb_job(ti):
+        rows = bounds[ti]
+        _code_frame(ecs[ti], states[ti], pcs, info, bs_luma, use_masking,
+                    True, rows)
+        return ecs[ti], states[ti], _tile_d_rows(pcs, rows)
+
+    for ti, (ec_t, st_t, dr) in enumerate(
+            run_tiles(_sb_job, len(bounds), tile_workers)):
+        ecs[ti], states[ti] = ec_t, st_t
+        _merge_d_rows(pcs, bounds[ti], dr)
     _to_spatial(pcs)
     if use_dering:
         orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w, pcs[pli].h),
                          False) for pli in range(nplanes)]
-        _dering_pass(ec, state, pcs, orig, True)
+        etmp = [pc.c.copy() for pc in pcs]
+
+        def _dr_job(ti):
+            rows = bounds[ti]
+            _dering_pass(ecs[ti], states[ti], pcs, orig, True, rows, etmp)
+            return ecs[ti], _tile_c_rows(pcs, rows)
+
+        for ti, (ec_t, cr) in enumerate(
+                run_tiles(_dr_job, len(bounds), tile_workers)):
+            ecs[ti] = ec_t
+            _merge_c_rows(pcs, bounds[ti], cr)
     _smooth_pass(pcs, bs_luma)
-    pkt = ec.done()
+    pkt = pack_tiles([ec.done() for ec in ecs])
     if not return_recon:
         return pkt
     return pkt, _crop(pcs, info)
@@ -526,20 +611,25 @@ def _crop(pcs, info: FrameInfo):
     return out
 
 
-def _dering_pass(ec, state, pcs, orig, encoder):
+def _dering_pass(ec, state, pcs, orig, encoder, rows=None, etmp=None):
     """Per-32x32 dering with RDO flags (encode.c:2550-2686 /
-    decode.c:1050-1121)."""
+    decode.c:1050-1121).  rows limits the flag coding to one tile's SB
+    rows (flag context cut at the tile top); the filter itself always
+    reads the frame-level pre-dering copy, so tiles may run in any
+    order."""
     from ..ops.dering import dering_sb
     from ..pvq.core import PVQ_LAMBDA
 
     nhsb = pcs[0].nhsb
     nvsb = pcs[0].nvsb
+    row0, row1 = rows if rows is not None else (0, nvsb)
     flags = np.zeros((nvsb, nhsb), dtype=np.int32)
-    etmp = [pc.c.copy() for pc in pcs]
+    if etmp is None:
+        etmp = [pc.c.copy() for pc in pcs]
     q = max(1, pcs[0].quantizer)
-    for sby in range(nvsb):
+    for sby in range(row0, row1):
         for sbx in range(nhsb):
-            up = int(flags[sby - 1, sbx]) if sby > 0 else 0
+            up = int(flags[sby - 1, sbx]) if sby > row0 else 0
             left = int(flags[sby, sbx - 1]) if sbx > 0 else 0
             ctx = (up << 1) + left
             cdf = state.clpf_cdf[ctx]
@@ -580,24 +670,47 @@ def _dering_pass(ec, state, pcs, orig, encoder):
 
 def decode_keyframe(packet: bytes, info: FrameInfo,
                     use_masking: bool = False, bs_luma: int = 1,
-                    use_dering: bool = True, acct=None):
-    """Decode a keyframe packet; returns list of uint8 planes."""
-    nplanes = info.nplanes
-    state = AdaptState.reset(nplanes, True)
-    state.qm, state.qm_inv = init_qm(QM8_HVS)
+                    use_dering: bool = True, acct=None,
+                    tile_workers: int = 1):
+    """Decode a keyframe packet; returns list of uint8 planes.
+
+    Each tile's symbol stream is decoded with its own RangeDecoder and
+    AdaptState — no symbol context crosses a tile boundary, so
+    tile_workers > 1 decodes the tiles in forked processes."""
+    from .tiles import run_tiles, tile_rows, unpack_tiles
+
     if acct is not None:
-        from ..entropy.accounting import AccountingDecoder
-        ec = AccountingDecoder(packet, acct)
-        acct.set_location("frame:header")
-    else:
-        ec = RangeDecoder(packet)
+        tile_workers = 1  # accounting accumulates in-process
+
+    nplanes = info.nplanes
+    streams = unpack_tiles(packet)
+    bounds = tile_rows(info.frame_height >> 5, len(streams))
+    assert len(bounds) == len(streams)
+
+    def _mkdec(data, loc=None):
+        if acct is not None:
+            from ..entropy.accounting import AccountingDecoder
+            d = AccountingDecoder(data, acct)
+            if loc:
+                acct.set_location(loc)
+            return d
+        return RangeDecoder(data)
+
+    ecs = [_mkdec(s, "frame:header" if i == 0 else None)
+           for i, s in enumerate(streams)]
+    ec0 = ecs[0]
+    pvq_qm = []
     for pli in range(nplanes):
         qm = np.zeros(QM_SIZE, dtype=np.int32)
         for i in range(QM_SIZE):
-            qm[i] = ec.decode_bits(8)
-        state.pvq_qm_q4[pli] = qm
-    cqs = [ec.decode_uint(N_CODED_QUANTIZERS) for _ in range(nplanes)]
+            qm[i] = ec0.decode_bits(8)
+        pvq_qm.append(qm)
+    cqs = [ec0.decode_uint(N_CODED_QUANTIZERS) for _ in range(nplanes)]
     quantizer = codedquantizer_to_quantizer(cqs[0])
+    states = _tile_states(nplanes, quantizer, False, len(streams))
+    for st in states:
+        for pli in range(nplanes):
+            st.pvq_qm_q4[pli] = pvq_qm[pli].copy()
     # Grid is derived from the decoded split symbols.
     grid = np.full((info.frame_height // 4, info.frame_width // 4), -1,
                    dtype=np.int8)
@@ -607,10 +720,31 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
         pc.grid = grid
         pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
         pcs.append(pc)
-    _code_frame(ec, state, pcs, info, bs_luma, use_masking, False)
+    def _sb_job(ti):
+        rows = bounds[ti]
+        _code_frame(ecs[ti], states[ti], pcs, info, bs_luma, use_masking,
+                    False, rows)
+        return (ecs[ti], states[ti], _tile_d_rows(pcs, rows),
+                _tile_grid_rows(grid, rows))
+
+    for ti, (ec_t, st_t, dr, gr) in enumerate(
+            run_tiles(_sb_job, len(bounds), tile_workers)):
+        ecs[ti], states[ti] = ec_t, st_t
+        _merge_d_rows(pcs, bounds[ti], dr)
+        _merge_grid_rows(grid, bounds[ti], gr)
     _to_spatial(pcs)
     if use_dering:
-        _dering_pass(ec, state, pcs, None, False)
+        etmp = [pc.c.copy() for pc in pcs]
+
+        def _dr_job(ti):
+            rows = bounds[ti]
+            _dering_pass(ecs[ti], states[ti], pcs, None, False, rows,
+                         etmp)
+            return _tile_c_rows(pcs, rows)
+
+        for ti, cr in enumerate(
+                run_tiles(_dr_job, len(bounds), tile_workers)):
+            _merge_c_rows(pcs, bounds[ti], cr)
     _smooth_pass(pcs, bs_luma)
     return _crop(pcs, info)
 
@@ -632,16 +766,22 @@ def _smooth_pass(pcs, bs_luma):
                             leaf_mask=mask)
 
 
-def _code_frame(ec, state, pcs, info, bs_luma, use_masking, encoder):
+def _code_frame(ec, state, pcs, info, bs_luma, use_masking, encoder,
+                rows=None):
+    """Sequential symbol pass over SB rows [rows[0], rows[1]) — one tile.
+    With rows=None, the whole frame is a single tile."""
     nhsb = pcs[0].nhsb
     nvsb = pcs[0].nvsb
-    for sby in range(nvsb):
+    row0, row1 = rows if rows is not None else (0, nvsb)
+    for pc in pcs:
+        pc.tile_y0 = row0 << (5 - pc.xdec)
+    for sby in range(row0, row1):
         for sbx in range(nhsb):
             for pli in range(len(pcs)):
                 pc = pcs[pli]
-                has_ur = sby > 0 and sbx < nhsb - 1
+                has_ur = sby > row0 and sbx < nhsb - 1
                 hgrad, vgrad = _sb_dc_code(ec, state, pc, sbx, sby, has_ur,
-                                           encoder)
+                                           encoder, row0)
                 luma_d = pcs[0].d if pli > 0 else None
                 _code_recursive(ec, state, pc, luma_d, sbx, sby, 3,
                                 use_masking, hgrad, vgrad, encoder)
