@@ -81,6 +81,40 @@ def subpel_predict_blocks(ref_padded: np.ndarray, pad: int,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def obmc_predict_mixed(ref_padded, pad: int, h: int, w: int,
+                       mv_grid: np.ndarray, levels: np.ndarray,
+                       fine_log: int, ref_ids: np.ndarray = None):
+    """Mixed-block-size OBMC from a dense fine vertex grid + per-SB
+    subdivision levels (search/mesh.py) — the od_mc_blend multi-level
+    capability (mc.c:1228-1564) restructured for batching: one
+    whole-frame uniform-size blend per level, then exact per-SB
+    selection.  Blocks never straddle superblocks, so selecting SBs of
+    level l from the level-l pass is identical to a native mixed-size
+    blend; each SB only reads its own lattice vertices, which the mesh
+    coder guarantees are coded.
+
+    mv_grid: dense (h>>fine_log + 1, ..., 2) grid; levels: (h>>5 >> ?)
+    per-SB ints 0..2 in LUMA superblock units scaled to this plane
+    (32 >> (3 - fine_log) px per SB side)."""
+    sb = 1 << (fine_log + 2)           # SB side in this plane's pixels
+    nsby, nsbx = h // sb, w // sb
+    levels = np.asarray(levels)
+    assert levels.shape == (nsby, nsbx)
+    out = np.zeros((h, w), dtype=np.uint8)
+    for lv in range(3):
+        sel = levels == lv
+        if not sel.any():
+            continue
+        stride = 4 >> lv
+        sub = mv_grid[::stride, ::stride]
+        subr = None if ref_ids is None else ref_ids[::stride, ::stride]
+        p = obmc_predict(ref_padded, pad, h, w, sub, fine_log + 2 - lv,
+                         ref_ids=subr)
+        mask = np.repeat(np.repeat(sel, sb, 0), sb, 1)
+        out[mask] = p[mask]
+    return out
+
+
 def obmc_predict(ref_padded, pad: int, h: int, w: int,
                  mv_grid: np.ndarray, blk_log: int,
                  ref_ids: np.ndarray = None) -> np.ndarray:

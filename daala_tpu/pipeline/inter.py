@@ -6,9 +6,11 @@ od_encode_coefficients inter paths; decoder decode.c:1159-1295):
   1. motion search on luma against the previous reconstruction
      (search/me.py — batched hierarchical, a TPU-native redesign of
      mcenc.c).
-  2. MV grid coding: median-predicted per vertex, magnitudes through
-     the generic model + sign bits (od_encode_mv, encode.c:1678-1725
-     semantics over a uniform one-level mesh this round).
+  2. adaptive MV mesh coding (search/mesh.py + _code_mesh below):
+     per-SB subdivision levels, median-predicted vertices in three
+     stride passes, magnitudes through the generic model + sign bits
+     (od_encode_mv encode.c:1678-1725 / od_mv_est mcenc.c semantics,
+     restructured onto a dense fine grid).
   3. whole-frame OBMC prediction per plane (ops/mc.py); chroma MVs are
      halved for 4:2:0.
   4. input padding is overwritten with the MC prediction so padding
@@ -37,10 +39,11 @@ from ..entropy import (
     generic_encode,
 )
 from ..ops.dct import fdct2d
-from ..ops.mc import obmc_predict, pad_ref
+from ..ops.mc import obmc_predict, obmc_predict_mixed, pad_ref
 from ..pvq.coding import pvq_decode_block, pvq_encode_block
 from ..pvq.scan import coding_to_raster, qm_get_index, raster_to_coding
 from ..search.me import motion_search, motion_search_multi
+from ..search.mesh import MV_FINE_LOG, choose_levels
 from .intra import (
     _PlaneCtx,
     _code_frame,
@@ -57,9 +60,8 @@ from .intra import (
     to_coeff,
 )
 
-__all__ = ["EncoderSession", "DecoderSession", "MV_BLK_LOG"]
+__all__ = ["EncoderSession", "DecoderSession", "MV_FINE_LOG"]
 
-MV_BLK_LOG = 4  # uniform mesh: vertices every 16 luma px
 MV_LIMIT = 60 * 8  # max MV magnitude in eighth-pel (search range)
 
 
@@ -75,72 +77,98 @@ class _MvCtx:
         self.ey = 24 << 16
         self.ref_cdf = cdf_init(2, 2, 128, 128)
         self.ref_increment = 128
+        # Per-SB mesh subdivision level (search/mesh.py); context is
+        # the left (or, first in row, the up) neighbor's level.
+        self.level_cdf = cdf_init(3, 3, 128, 128)
+        self.level_increment = 128
 
 
-def _mv_pred(grid, vy, vx, vtop=0):
-    """Median-of-neighbors predictor (od_state_get_predictor semantics
-    on the uniform mesh: left, up, up-right — falling back to what
-    exists).  vtop is the tile's first vertex row: prediction above it
-    is cut so tile streams stay independent."""
-    cands = []
-    if vx > 0:
-        cands.append(grid[vy, vx - 1])
-    if vy > vtop:
-        cands.append(grid[vy - 1, vx])
-        if vx + 1 < grid.shape[1]:
-            cands.append(grid[vy - 1, vx + 1])
-        elif vx > 0:
-            cands.append(grid[vy - 1, vx - 1])
-    if not cands:
-        return np.zeros(2, dtype=np.int64)
-    c = np.stack(cands)
-    return np.median(c, axis=0).astype(np.int64)
-
-
-def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1,
-                  vrows=None, out=None, rids=None):
-    """Code the MV mesh: per vertex an adaptive ref-id symbol (multi-ref
-    frames) then median-predicted MV deltas.
-
-    vrows=(v0, v1) limits coding to those vertex rows (one tile's
-    share); pass the shared out/rids arrays so all tiles fill one
-    grid."""
+def _code_levels(ec, mvctx, levels, rows, encoder):
+    """Per-SB mesh subdivision level symbols for one tile's SB rows
+    (context cut at the tile top)."""
     from ..entropy.adapt import decode_cdf_adapt, encode_cdf_adapt
 
-    nvy, nvx = grid.shape[:2]
-    if out is None:
-        out = np.zeros_like(grid) if not encoder else grid
-    if rids is None:
-        rids = (np.zeros((nvy, nvx), dtype=np.int32) if not encoder
-                else ref_ids)
-    v0, v1 = vrows if vrows is not None else (0, nvy)
-    for vy in range(v0, v1):
-        for vx in range(nvx):
+    r0, r1 = rows
+    nsbx = levels.shape[1]
+    for r in range(r0, r1):
+        for c in range(nsbx):
+            if c > 0:
+                ctx = int(levels[r, c - 1])
+            elif r > r0:
+                ctx = int(levels[r - 1, c])
+            else:
+                ctx = 0
+            cdf = mvctx.level_cdf[ctx]
+            if encoder:
+                encode_cdf_adapt(ec, int(levels[r, c]), cdf,
+                                 mvctx.level_increment)
+            else:
+                levels[r, c] = decode_cdf_adapt(ec, cdf,
+                                                mvctx.level_increment)
+
+
+def _mesh_pred(wrk, vy, vx, s, v0):
+    """Median predictor on the stride-s lattice (left / up / up-right),
+    cut at the tile's first owned vertex row v0."""
+    cands = []
+    if vx >= s:
+        cands.append(wrk[vy, vx - s])
+    if vy - s >= v0:
+        cands.append(wrk[vy - s, vx])
+        if vx + s < wrk.shape[1]:
+            cands.append(wrk[vy - s, vx + s])
+        elif vx >= s:
+            cands.append(wrk[vy - s, vx - s])
+    if not cands:
+        return np.zeros(2, dtype=np.int64)
+    return np.median(np.stack(cands), axis=0).astype(np.int64)
+
+
+def _code_mesh_pass(ec, mvctx, wrk, wrids, truth, truth_rids, req, s,
+                    vspan, encoder, nrefs):
+    """One stride-s vertex pass of the adaptive mesh for one tile.
+
+    wrk/wrids hold the working mesh (coarser passes coded, current
+    lattice pre-filled by fill_stride), so the predictor reads
+    finalized values on both sides.  truth/truth_rids are the
+    encoder's searched dense grid (None on the decoder)."""
+    from ..entropy.adapt import decode_cdf_adapt, encode_cdf_adapt
+
+    v0, v1 = vspan
+    nvx = wrk.shape[1]
+    S = 2 * s
+    for vy in range(v0, v1, s):
+        for vx in range(0, nvx, s):
+            if s != 4:
+                if vy % S == 0 and vx % S == 0:
+                    continue           # coded in a coarser pass
+                if req[vy, vx] > s:
+                    continue           # stays interpolated
             if nrefs > 1:
-                # Context: majority of left/up decoded ref ids.
                 rp = 0
                 nb = []
-                if vx > 0:
-                    nb.append(int(rids[vy, vx - 1]))
-                if vy > v0:
-                    nb.append(int(rids[vy - 1, vx]))
+                if vx >= s:
+                    nb.append(int(wrids[vy, vx - s]))
+                if vy - s >= v0:
+                    nb.append(int(wrids[vy - s, vx]))
                 if nb:
                     rp = 1 if sum(nb) * 2 > len(nb) else 0
                 if encoder:
-                    encode_cdf_adapt(ec, int(ref_ids[vy, vx]),
+                    wrids[vy, vx] = int(truth_rids[vy, vx])
+                    encode_cdf_adapt(ec, int(wrids[vy, vx]),
                                      mvctx.ref_cdf[rp],
                                      mvctx.ref_increment)
                 else:
-                    rids[vy, vx] = decode_cdf_adapt(
+                    wrids[vy, vx] = decode_cdf_adapt(
                         ec, mvctx.ref_cdf[rp], mvctx.ref_increment)
             a = getattr(ec, "acct", None)
             if a is not None:
-                a.set_location("mv", 0, 0, vx << MV_BLK_LOG,
-                               vy << MV_BLK_LOG)
-            pred = _mv_pred(out, vy, vx, v0)
+                a.set_location("mv", 0, 4 - s, vx << MV_FINE_LOG,
+                               vy << MV_FINE_LOG)
+            pred = _mesh_pred(wrk, vy, vx, s, v0)
             if encoder:
-                dy = int(grid[vy, vx, 0]) - int(pred[0])
-                dx = int(grid[vy, vx, 1]) - int(pred[1])
+                dy = int(truth[vy, vx, 0]) - int(pred[0])
+                dx = int(truth[vy, vx, 1]) - int(pred[1])
                 mvctx.ex = generic_encode(ec, mvctx.model, abs(dy), -1,
                                           mvctx.ex, 2)
                 if dy:
@@ -149,6 +177,7 @@ def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1,
                                           mvctx.ey, 2)
                 if dx:
                     ec.encode_bits(int(dx < 0), 1)
+                wrk[vy, vx] = truth[vy, vx]
             else:
                 dy, mvctx.ex = generic_decode(ec, mvctx.model, -1,
                                               mvctx.ex, 2)
@@ -158,14 +187,42 @@ def _code_mv_grid(ec, mvctx, grid, encoder, ref_ids=None, nrefs=1,
                                               mvctx.ey, 2)
                 if dx and ec.decode_bits(1):
                     dx = -dx
-                # Clamp to the legal search range so corrupt streams
-                # cannot index outside the padded reference
-                # (OD_MC_SEARCH_RANGE analogue).
-                out[vy, vx, 0] = min(max(pred[0] + dy, -MV_LIMIT),
+                wrk[vy, vx, 0] = min(max(int(pred[0]) + dy, -MV_LIMIT),
                                      MV_LIMIT)
-                out[vy, vx, 1] = min(max(pred[1] + dx, -MV_LIMIT),
+                wrk[vy, vx, 1] = min(max(int(pred[1]) + dx, -MV_LIMIT),
                                      MV_LIMIT)
-    return out, rids
+
+
+def _code_mesh(ecs, mvctxs, bounds, info, nrefs, encoder,
+               truth=None, truth_rids=None, levels=None):
+    """Full adaptive-mesh coding: per-tile level symbols, then the
+    three stride passes with the deterministic fill between them.
+    Returns the reconstructed dense (nvy, nvx, 2) grid + ref ids."""
+    from ..search.mesh import (
+        fill_stride,
+        required_stride,
+        vertex_spans,
+    )
+
+    nvy = (info.frame_height >> MV_FINE_LOG) + 1
+    nvx = (info.frame_width >> MV_FINE_LOG) + 1
+    nsby = info.frame_height >> 5
+    if levels is None:
+        levels = np.zeros((nsby, info.frame_width >> 5), dtype=np.int32)
+    for ti, rows in enumerate(bounds):
+        _code_levels(ecs[ti], mvctxs[ti], levels, rows, encoder)
+    req = required_stride(levels, nvy, nvx, bounds)
+    spans = vertex_spans(bounds, nsby)
+    wrk = np.zeros((nvy, nvx, 2), dtype=np.int64)
+    wrids = np.zeros((nvy, nvx), dtype=np.int32)
+    for s in (4, 2, 1):
+        if s != 4:
+            fill_stride(wrk, wrids, s, spans)
+        for ti in range(len(bounds)):
+            _code_mesh_pass(ecs[ti], mvctxs[ti], wrk, wrids, truth,
+                            truth_rids, req, s, spans[ti], encoder,
+                            nrefs)
+    return wrk, wrids, levels
 
 
 def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
@@ -429,14 +486,6 @@ def _frame_quality(cq, ftype, b_frames):
     return cq
 
 
-def _tile_vrows(bounds, ti, nvy):
-    """Vertex-row share of tile ti: two MV rows per SB row, with the
-    frame's bottom vertex row going to the last tile."""
-    r0, r1 = bounds[ti]
-    v1 = nvy if ti == len(bounds) - 1 else 2 * r1
-    return (2 * r0, v1)
-
-
 def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                        refs, planes_or_packet, encoder, tiles=1,
                        tile_workers=1):
@@ -463,8 +512,6 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
     nplanes = info.nplanes
     nrefs = len(refs)
     nvsb = info.frame_height >> 5
-    nvy = (info.frame_height >> MV_BLK_LOG) + 1
-    nvx = (info.frame_width >> MV_BLK_LOG) + 1
     if encoder:
         planes = planes_or_packet
         quantizer = codedquantizer_to_quantizer(cq)
@@ -474,11 +521,13 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         for pli in range(nplanes):
             ecs[0].encode_uint(cq, N_CODED_QUANTIZERS)
         cur_y = pad_plane(planes[0], info.frame_width, info.frame_height)
-        grid, rids = motion_search_multi(
-            cur_y, [r[0] for r in refs], MV_BLK_LOG)
-        for ti in range(len(bounds)):
-            _code_mv_grid(ecs[ti], mvctxs[ti], grid, True, rids, nrefs,
-                          _tile_vrows(bounds, ti, nvy))
+        sgrid, srids = motion_search_multi(
+            cur_y, [r[0] for r in refs], MV_FINE_LOG, dense=True)
+        levels = choose_levels(cur_y, [pad_ref(r[0]) for r in refs], 80,
+                               sgrid, srids, quantizer, bounds)
+        grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,
+                                        True, truth=sgrid,
+                                        truth_rids=srids, levels=levels)
     else:
         planes = None
         streams = unpack_tiles(planes_or_packet)
@@ -489,12 +538,8 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         cqs = [ecs[0].decode_uint(N_CODED_QUANTIZERS)
                for _ in range(nplanes)]
         quantizer = codedquantizer_to_quantizer(cqs[0])
-        grid = np.zeros((nvy, nvx, 2), dtype=np.int64)
-        rids = np.zeros((nvy, nvx), dtype=np.int32)
-        for ti in range(len(bounds)):
-            _code_mv_grid(ecs[ti], mvctxs[ti], grid, False, None, nrefs,
-                          _tile_vrows(bounds, ti, nvy), out=grid,
-                          rids=rids)
+        grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,
+                                        False)
     states = _tile_states(nplanes, quantizer, use_masking, len(bounds),
                           is_keyframe=False)
     state = states[0]
@@ -510,8 +555,8 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         ww = info.frame_width >> xd
         refps = [pad_ref(r[pli]) for r in refs]
         g = grid if xd == 0 else (grid >> 1)
-        mcs.append(obmc_predict(refps, 80, hh, ww, g, MV_BLK_LOG - xd,
-                                ref_ids=rids))
+        mcs.append(obmc_predict_mixed(refps, 80, hh, ww, g, levels,
+                                      MV_FINE_LOG - xd, ref_ids=rids))
     if encoder:
         cur_y = pad_plane(planes[0], info.frame_width,
                           info.frame_height)

@@ -27,11 +27,67 @@ import numpy as np
 
 from ..ops.mc import pad_ref, subpel_predict_blocks
 
-__all__ = ["motion_search", "motion_search_multi"]
+__all__ = ["motion_search", "motion_search_multi", "motion_search_dense"]
+
+
+def motion_search_dense(cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Coarse-to-fine dense mesh search for the adaptive MV mesh
+    (search/mesh.py): the proven 16 px vertex search anchors the field,
+    then the 8 px midpoint vertices refine LOCALLY (+-2 px + subpel)
+    around their dyadic interpolation with a deviation bias.  Bounding
+    the fine deviation keeps the field coherent — raw 8x8 SAD minima
+    are noisy, which costs both prediction quality and MV bits (the
+    role of the rate-aware refinement passes in mcenc.c).
+
+    Returns the dense (h/8+1, w/8+1, 2) eighth-pel grid."""
+    g16 = motion_search(cur, ref, 4)
+    h, w = cur.shape
+    nvy = (h >> 3) + 1
+    nvx = (w >> 3) + 1
+    g = np.zeros((nvy, nvx, 2), dtype=np.int64)
+    g[::2, ::2] = g16
+    g[::2, 1::2] = (g16[:, :-1] + g16[:, 1:]) >> 1
+    g[1::2, ::2] = (g16[:-1] + g16[1:]) >> 1
+    g[1::2, 1::2] = (g16[:-1, :-1] + g16[:-1, 1:]
+                     + g16[1:, :-1] + g16[1:, 1:]) >> 2
+    mask = np.ones((nvy, nvx), dtype=bool)
+    mask[::2, ::2] = False
+    idx = np.where(mask.ravel())[0]
+    vy, vx = np.meshgrid(np.arange(nvy) << 3, np.arange(nvx) << 3,
+                         indexing="ij")
+    vy = vy.ravel()[idx]
+    vx = vx.ravel()[idx]
+    n = 8
+    blocks, ys, xs = _vertex_blocks(cur, vy, vx, n)
+    refp8 = pad_ref(ref, 64)
+    mv = g.reshape(-1, 2)[idx].copy()
+    # Integer +-2 px window around the interpolated MV.
+    cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
+                      for dx in (-16, -8, 0, 8, 16)], dtype=np.int64)
+    dev_bias = (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8)
+    sads = np.empty((len(mv), len(cands)), dtype=np.int64)
+    for ci, d in enumerate(cands):
+        p = subpel_predict_blocks(
+            refp8, 64, ys, xs, np.clip(mv + d, -60 * 8, 60 * 8), n)
+        sads[:, ci] = np.abs(blocks.astype(np.int32)
+                             - p.astype(np.int32)).sum(axis=(1, 2)) \
+            + dev_bias[ci]
+    mv = np.clip(mv + cands[np.argmin(sads, axis=1)], -60 * 8, 60 * 8)
+    for step in (4, 2, 1):
+        c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
+                       (0, step)], dtype=np.int64)
+        sads = np.empty((len(mv), len(c8)), dtype=np.int64)
+        for ci, d in enumerate(c8):
+            p = subpel_predict_blocks(refp8, 64, ys, xs, mv + d, n)
+            sads[:, ci] = np.abs(blocks.astype(np.int32)
+                                 - p.astype(np.int32)).sum(axis=(1, 2))
+        mv = np.clip(mv + c8[np.argmin(sads, axis=1)], -60 * 8, 60 * 8)
+    g.reshape(-1, 2)[idx] = mv
+    return g
 
 
 def motion_search_multi(cur: np.ndarray, refs, blk_log: int,
-                        ref_bias: int = None):
+                        ref_bias: int = None, dense: bool = False):
     """Per-vertex multi-reference search (the multiref capability of
     od_mv_est_init_mvs, mcenc.c:6480-6494, recast as independent
     batched searches + a per-vertex argmin).
@@ -42,7 +98,11 @@ def motion_search_multi(cur: np.ndarray, refs, blk_log: int,
     from ..ops.mc import pad_ref, subpel_predict_blocks
 
     n = 1 << blk_log
-    grids = [motion_search(cur, r, blk_log) for r in refs]
+    if dense:
+        assert blk_log == 3
+        grids = [motion_search_dense(cur, r) for r in refs]
+    else:
+        grids = [motion_search(cur, r, blk_log) for r in refs]
     if len(refs) == 1:
         return grids[0], np.zeros(grids[0].shape[:2], dtype=np.int32)
     h, w = cur.shape

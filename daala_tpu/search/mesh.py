@@ -1,0 +1,163 @@
+"""Adaptive MV mesh subdivision.
+
+The reference's motion mesh is multi-level: od_mv_est (mcenc.c) decides
+per region how finely to subdivide the OBMC vertex grid (blocks from
+32 px down to 8 px), and mc.c blends across mixed block sizes with
+balancing constraints.  That design is serial and pointer-heavy, so
+this framework restructures it TPU-first:
+
+  * the RECONSTRUCTION is always a DENSE vertex grid at the finest
+    level (8 px) — whole-frame OBMC stays one batched pass
+    (ops/mc.py:obmc_predict), no mixed-size blend cases;
+  * the ADAPTIVITY lives in the coding: each 32x32 superblock signals
+    a subdivision level (0 = 32 px vertices, 1 = 16 px, 2 = 8 px).
+    Only the vertices a level requires are entropy-coded; every other
+    vertex is filled by deterministic dyadic interpolation that the
+    encoder and decoder run identically.
+
+Vertex ownership and tiles: a vertex adopts the finest requirement of
+its adjacent superblocks, restricted to the superblock rows of the
+tile that owns the vertex row (pipeline/tiles.py), and the dyadic fill
+clamps at tile boundaries — so each tile's MV symbols depend only on
+its own level symbols and the per-tile streams stay independent.
+
+Coding order (per frame): level symbols per SB, then three vertex
+passes at strides 4/2/1 (in fine-grid units).  After each pass the
+fill interpolates the still-uncoded vertices of the NEXT stride's
+lattice, so the median predictor of the following pass always reads
+finalized values on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["MV_FINE_LOG", "MV_LEVELS", "vertex_spans", "required_stride",
+           "pass_mask", "fill_stride", "choose_levels", "level_counts"]
+
+MV_FINE_LOG = 3     # finest vertex spacing: 8 px
+MV_LEVELS = 3       # subdivision levels 0..2 (32 / 16 / 8 px)
+_SB_V = 4           # fine vertices per 32px superblock side
+
+
+def vertex_spans(bounds, nsby):
+    """Owned vertex-row span per tile: [4*r0, 4*r1), with the frame's
+    bottom row going to the last tile."""
+    out = []
+    for ti, (r0, r1) in enumerate(bounds):
+        v1 = _SB_V * nsby + 1 if ti == len(bounds) - 1 else _SB_V * r1
+        out.append((_SB_V * r0, v1))
+    return out
+
+
+def required_stride(levels, nvy, nvx, bounds):
+    """Per-vertex required stride (4/2/1 fine units) from per-SB
+    levels (nsby, nsbx).  At tile-boundary vertex rows only the owning
+    tile's SB rows are consulted."""
+    s = (_SB_V >> np.asarray(levels, dtype=np.int32)).astype(np.int32)
+    nsby, nsbx = s.shape
+    u = np.arange(nvx)
+    cr = np.minimum(u // _SB_V, nsbx - 1)
+    colmin = s[:, cr]
+    has_left = (u % _SB_V == 0) & (u > 0)
+    cl = np.maximum(u // _SB_V - 1, 0)
+    colmin = np.where(has_left[None, :],
+                      np.minimum(colmin, s[:, cl]), colmin)
+    out = np.full((nvy, nvx), _SB_V, dtype=np.int32)
+    for (r0, r1), (v0, v1) in zip(bounds, vertex_spans(bounds, nsby)):
+        for v in range(v0, v1):
+            rr = min(v // _SB_V, r1 - 1)
+            m = colmin[rr]
+            if v % _SB_V == 0 and v // _SB_V - 1 >= r0:
+                m = np.minimum(m, colmin[v // _SB_V - 1])
+            out[v] = m
+    return out
+
+
+def pass_mask(req, stride, nvy, nvx):
+    """Vertices coded in the given stride pass.  Stride 4 codes the
+    whole coarse lattice; finer passes code the new lattice positions
+    whose requirement reaches them."""
+    vy = np.arange(nvy)[:, None]
+    vx = np.arange(nvx)[None, :]
+    on = (vy % stride == 0) & (vx % stride == 0)
+    if stride == _SB_V:
+        return on
+    coarser = (vy % (2 * stride) == 0) & (vx % (2 * stride) == 0)
+    return on & ~coarser & (req <= stride)
+
+
+def fill_stride(wrk, wrids, stride, spans):
+    """Interpolate the not-yet-coded vertices of the `stride` lattice
+    from the 2*stride lattice, in place, clamping at tile-span edges.
+    Must run after the 2*stride pass and before the `stride` pass.
+    wrk: (nvy, nvx, 2) int64 working mesh; wrids: (nvy, nvx) ref ids
+    (midpoints inherit from their first parent)."""
+    s = stride
+    S = 2 * s
+    nvx = wrk.shape[1]
+    cu = np.arange(0, nvx, S)      # on-lattice columns
+    cc = np.arange(s, nvx, S)      # offset (midpoint) columns
+    for (v0, v1) in spans:
+        # Spans start at 4*r0, so lattice alignment is global.
+        for v in range(v0, v1):
+            if v % S == 0:
+                # a) horizontal midpoints on an S-lattice row.
+                wrk[v, cc] = (wrk[v, cc - s] + wrk[v, cc + s]) >> 1
+                wrids[v, cc] = wrids[v, cc - s]
+            elif v % S == s:
+                up = v - s          # >= v0 (first offset row is v0+s)
+                dn = v + s
+                if dn >= v1:
+                    # Tile-clamped: the row below belongs to the next
+                    # tile's stream, so copy/average from above only.
+                    wrk[v, cu] = wrk[up, cu]
+                    wrids[v, cu] = wrids[up, cu]
+                    wrk[v, cc] = (wrk[up, cc - s] + wrk[up, cc + s]) >> 1
+                    wrids[v, cc] = wrids[up, cc - s]
+                else:
+                    # b) vertical midpoints + c) centers.
+                    wrk[v, cu] = (wrk[up, cu] + wrk[dn, cu]) >> 1
+                    wrids[v, cu] = wrids[up, cu]
+                    wrk[v, cc] = (wrk[up, cc - s] + wrk[up, cc + s]
+                                  + wrk[dn, cc - s] + wrk[dn, cc + s]) >> 2
+                    wrids[v, cc] = wrids[up, cc - s]
+    return wrk
+
+
+def level_counts(levels):
+    """Nominal coded-vertex share per SB for each level (used by the
+    rate side of the level RDO)."""
+    return np.choose(np.asarray(levels), [1, 4, 16])
+
+
+def choose_levels(cur, refs_padded, pad, dense_grid, dense_rids,
+                  quantizer, bounds):
+    """Encoder-side per-SB subdivision level RDO.
+
+    Builds the three uniform-level candidate meshes (coarse lattices
+    dyadically refined, exactly as the decoder would), runs the batched
+    OBMC predictor for each, and picks per SB
+    argmin(SSE + lambda * bits) where bits is the nominal coded-vertex
+    count at that level.  cur: (h, w) uint8 luma; refs_padded: list of
+    padded reference planes."""
+    from ..ops.mc import obmc_predict
+
+    h, w = cur.shape
+    nsby, nsbx = h >> 5, w >> 5
+    sses = []
+    for lv in range(MV_LEVELS):
+        # Exactly the blend the decoder will run for SBs at this level:
+        # the lattice-subsampled grid at the level's block size.
+        stride = _SB_V >> lv
+        pred = obmc_predict(refs_padded, pad, h, w,
+                            dense_grid[::stride, ::stride],
+                            MV_FINE_LOG + 2 - lv,
+                            ref_ids=dense_rids[::stride, ::stride])
+        err = (cur.astype(np.int64) - pred) ** 2
+        sses.append(err.reshape(nsby, 32, nsbx, 32).sum(axis=(1, 3)))
+    sse = np.stack(sses)                       # (3, nsby, nsbx)
+    lam = 5.0 * (max(1, quantizer) / 16.0) ** 2
+    bits = np.array([1, 4, 16])[:, None, None] * 7.0 + 1.6
+    cost = sse + lam * bits
+    return np.argmin(cost, axis=0).astype(np.int32)
