@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["dir_find8", "dering_sb", "DERING_VERY_LARGE"]
+__all__ = ["dir_find8", "dering_sb", "dering_frame",
+           "DERING_VERY_LARGE"]
 
 DERING_VERY_LARGE = 30000
 FILT_BORDER = 3
@@ -196,6 +197,67 @@ def dering_sb(frame, sbx, sby, nhsb, nvsb, q, xdec, pli,
     orig = padded[b:b + n, b:b + n].astype(np.int64)
     out = _ortho_filter(y1p, orig, dirs_grid, thresh_grid, n)
     return out, dirs
+
+
+def dering_frame(frame, nhsb, nvsb, q, xdec, pli, dirs=None,
+                 threshold_scale=1.0):
+    """Dering every superblock of a plane in ONE batched pass.
+
+    Identical per-SB semantics to dering_sb (the filter reads the
+    pre-dering plane with a 3 px halo; frame edges reject via
+    VERY_LARGE), but the direction search and both filter passes run
+    with a leading (nvsb * nhsb) batch axis — one call per plane per
+    frame instead of one per superblock.
+
+    Returns (filtered (nvsb, nhsb, n, n) int32,
+             dirs (nvsb, nhsb, nb_luma, nb_luma) when pli == 0 else the
+             dirs that were passed in)."""
+    ln = 5 - xdec
+    n = 1 << ln
+    bsize = 3 - xdec
+    nb = n >> bsize
+    b = FILT_BORDER
+    h, w = frame.shape
+    P = np.full((h + 2 * b, w + 2 * b), DERING_VERY_LARGE,
+                dtype=np.int32)
+    P[b:b + h, b:b + w] = frame
+    win = np.lib.stride_tricks.sliding_window_view(
+        P, (n + 2 * b, n + 2 * b))[::n, ::n]
+    padded = np.ascontiguousarray(
+        win.reshape(-1, n + 2 * b, n + 2 * b))     # (N, n+6, n+6)
+    N = padded.shape[0]
+    threshold = int(np.power(q, 0.84182) * threshold_scale)
+    if pli == 0:
+        blocks = (padded[:, b:b + n, b:b + n]
+                  .reshape(N, nb, 8, nb, 8).transpose(0, 1, 3, 2, 4)
+                  .reshape(-1, 8, 8))
+        d8, var = dir_find8(blocks)
+        dirs = d8.reshape(N, nb, nb)
+        var = var.reshape(N, nb, nb)
+        varsum = var.sum(axis=(1, 2))
+        v1 = np.minimum(32767, var >> 6)
+        v2 = np.minimum(32767, varsum // (32 * 32))[:, None, None]
+        idx = np.clip(_ilog_arr(v1 * v2) - 9, 0, 17)
+        thresh = (threshold * THRESH_TABLE_Q8[idx]) >> 8
+        out_dirs = dirs.reshape(nvsb, nhsb, nb, nb)
+    else:
+        assert dirs is not None
+        ldirs = dirs.reshape(nvsb * nhsb, dirs.shape[2], dirs.shape[3])
+        if ldirs.shape[1] != nb:
+            ldirs = ldirs[:, :nb, :nb]
+        dirs = ldirs
+        thresh = np.full((N, nb, nb), threshold, dtype=np.int64)
+        out_dirs = None
+    dirs_grid = np.repeat(np.repeat(dirs, 1 << bsize, 1), 1 << bsize, 2)
+    thresh_grid = np.repeat(np.repeat(thresh, 1 << bsize, 1),
+                            1 << bsize, 2)
+    y1 = _dir_filter(padded, dirs_grid, thresh_grid, n, bsize)
+    y1p = np.full((N, n + 2 * b, n + 2 * b), DERING_VERY_LARGE,
+                  dtype=np.int32)
+    y1p[:, b:b + n, b:b + n] = y1
+    orig = padded[:, b:b + n, b:b + n].astype(np.int64)
+    out = _ortho_filter(y1p, orig, dirs_grid, thresh_grid, n)
+    return out.reshape(nvsb, nhsb, n, n), out_dirs
 
 
 def _ilog_arr(x):

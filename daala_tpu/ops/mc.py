@@ -108,16 +108,18 @@ def obmc_predict_mixed(ref_padded, pad: int, h: int, w: int,
         stride = 4 >> lv
         sub = mv_grid[::stride, ::stride]
         subr = None if ref_ids is None else ref_ids[::stride, ::stride]
-        p = obmc_predict(ref_padded, pad, h, w, sub, fine_log + 2 - lv,
-                         ref_ids=subr)
-        mask = np.repeat(np.repeat(sel, sb, 0), sb, 1)
-        out[mask] = p[mask]
+        bper = 1 << lv                 # blocks per SB side at this level
+        bmask = np.repeat(np.repeat(sel, bper, 0), bper, 1)
+        obmc_predict(ref_padded, pad, h, w, sub, fine_log + 2 - lv,
+                     ref_ids=subr, block_mask=bmask, out=out)
     return out
 
 
 def obmc_predict(ref_padded, pad: int, h: int, w: int,
                  mv_grid: np.ndarray, blk_log: int,
-                 ref_ids: np.ndarray = None) -> np.ndarray:
+                 ref_ids: np.ndarray = None,
+                 block_mask: np.ndarray = None,
+                 out: np.ndarray = None) -> np.ndarray:
     """Whole-frame OBMC prediction from a uniform MV vertex grid.
 
     mv_grid: (nvy + 1, nvx + 1, 2) 1/8-pel (mvy, mvx) per vertex, where
@@ -127,28 +129,32 @@ def obmc_predict(ref_padded, pad: int, h: int, w: int,
     vertex — each corner's whole-block prediction comes from its own
     reference before the blend (the od_mc_blend_multi capability,
     mc.c:1228-1564, on the uniform mesh).
+    block_mask: optional (nby, nbx) bool — predict only those blocks,
+    writing them into `out` (the mixed-size path predicts each level's
+    share without paying for the whole frame).
     Returns (h, w) uint8 prediction."""
     n = 1 << blk_log
     nby = h >> blk_log
     nbx = w >> blk_log
     by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
-    ys = (by.ravel() << blk_log).astype(np.int64)
-    xs = (bx.ravel() << blk_log).astype(np.int64)
+    by = by.ravel()
+    bx = bx.ravel()
+    if block_mask is not None:
+        keep = block_mask.ravel()
+        by = by[keep]
+        bx = bx[keep]
+    ys = (by << blk_log).astype(np.int64)
+    xs = (bx << blk_log).astype(np.int64)
     refs = ref_padded if isinstance(ref_padded, (list, tuple)) \
         else [ref_padded]
     if ref_ids is None:
         ref_ids = np.zeros(mv_grid.shape[:2], dtype=np.int32)
     # Corner MVs per block: TL, TR, BR, BL.
-    corners = [
-        (mv_grid[:-1, :-1], ref_ids[:-1, :-1]),
-        (mv_grid[:-1, 1:], ref_ids[:-1, 1:]),
-        (mv_grid[1:, 1:], ref_ids[1:, 1:]),
-        (mv_grid[1:, :-1], ref_ids[1:, :-1]),
-    ]
+    corners = [(by, bx), (by, bx + 1), (by + 1, bx + 1), (by + 1, bx)]
     preds = []
-    for c, rid in corners:
-        mvs = c.reshape(-1, 2).astype(np.int64)
-        rid = rid.ravel()
+    for cy, cx in corners:
+        mvs = mv_grid[cy, cx].astype(np.int64)
+        rid = ref_ids[cy, cx]
         p = np.zeros((len(mvs), n, n), dtype=np.int32)
         for r in range(len(refs)):
             sel = rid == r
@@ -163,6 +169,14 @@ def obmc_predict(ref_padded, pad: int, h: int, w: int,
     a = (preds[0] << blk_log) + (preds[1] - preds[0]) * i
     b = (preds[3] << blk_log) + (preds[2] - preds[3]) * i
     blk2 = 2 * blk_log
-    out = ((a << blk_log) + (b - a) * j + (1 << (blk2 - 1))) >> blk2
-    out = out.reshape(nby, nbx, n, n).transpose(0, 2, 1, 3).reshape(h, w)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    blocks = ((a << blk_log) + (b - a) * j + (1 << (blk2 - 1))) >> blk2
+    blocks = np.clip(blocks, 0, 255).astype(np.uint8)
+    if block_mask is None:
+        return (blocks.reshape(nby, nbx, n, n)
+                .transpose(0, 2, 1, 3).reshape(h, w))
+    if out is None:
+        out = np.zeros((h, w), dtype=np.uint8)
+    r_idx = (ys[:, None, None] + np.arange(n)[None, :, None])
+    c_idx = (xs[:, None, None] + np.arange(n)[None, None, :])
+    out[r_idx, c_idx] = blocks
+    return out

@@ -48,6 +48,7 @@ from .intra import (
     _PlaneCtx,
     _code_frame,
     _crop,
+    _dering_buffers,
     _dering_pass,
     _div_r0,
     _from_blocks,
@@ -617,6 +618,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
     _to_spatial(pcs)
     if use_dering:
         etmp = [pc.c.copy() for pc in pcs]
+        bufs = _dering_buffers(pcs, etmp, max(1, pcs[0].quantizer))
         orig = None
         if encoder:
             orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w,
@@ -626,7 +628,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         def _dr_job(ti):
             rows = bounds[ti]
             _dering_pass(ecs[ti], states[ti], pcs, orig, encoder, rows,
-                         etmp)
+                         etmp, bufs)
             return ecs[ti], _tile_c_rows(pcs, rows)
 
         for ti, (ec_t, cr) in enumerate(

@@ -575,10 +575,12 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
         orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w, pcs[pli].h),
                          False) for pli in range(nplanes)]
         etmp = [pc.c.copy() for pc in pcs]
+        bufs = _dering_buffers(pcs, etmp, max(1, pcs[0].quantizer))
 
         def _dr_job(ti):
             rows = bounds[ti]
-            _dering_pass(ecs[ti], states[ti], pcs, orig, True, rows, etmp)
+            _dering_pass(ecs[ti], states[ti], pcs, orig, True, rows,
+                         etmp, bufs)
             return ecs[ti], _tile_c_rows(pcs, rows)
 
         for ti, (ec_t, cr) in enumerate(
@@ -611,13 +613,32 @@ def _crop(pcs, info: FrameInfo):
     return out
 
 
-def _dering_pass(ec, state, pcs, orig, encoder, rows=None, etmp=None):
+def _dering_buffers(pcs, etmp, q):
+    """Batched dering of every SB of every plane in one pass per plane
+    (ops/dering.py:dering_frame).  Returns per-plane
+    (nvsb, nhsb, n, n) filtered buffers; the flag pass then just
+    selects."""
+    from ..ops.dering import dering_frame
+
+    nhsb, nvsb = pcs[0].nhsb, pcs[0].nvsb
+    bufs = []
+    dirs = None
+    for pli, pc in enumerate(pcs):
+        buf, d = dering_frame(etmp[pli], nhsb, nvsb, q, pc.xdec, pli,
+                              dirs=dirs)
+        if pli == 0:
+            dirs = d
+        bufs.append(buf)
+    return bufs
+
+
+def _dering_pass(ec, state, pcs, orig, encoder, rows=None, etmp=None,
+                 bufs=None):
     """Per-32x32 dering with RDO flags (encode.c:2550-2686 /
     decode.c:1050-1121).  rows limits the flag coding to one tile's SB
     rows (flag context cut at the tile top); the filter itself always
-    reads the frame-level pre-dering copy, so tiles may run in any
-    order."""
-    from ..ops.dering import dering_sb
+    reads the frame-level pre-dering copy (precomputed batched in
+    `bufs`), so tiles may run in any order."""
     from ..pvq.core import PVQ_LAMBDA
 
     nhsb = pcs[0].nhsb
@@ -627,15 +648,16 @@ def _dering_pass(ec, state, pcs, orig, encoder, rows=None, etmp=None):
     if etmp is None:
         etmp = [pc.c.copy() for pc in pcs]
     q = max(1, pcs[0].quantizer)
+    if bufs is None:
+        bufs = _dering_buffers(pcs, etmp, q)
     for sby in range(row0, row1):
         for sbx in range(nhsb):
             up = int(flags[sby - 1, sbx]) if sby > row0 else 0
             left = int(flags[sby, sbx - 1]) if sbx > 0 else 0
             ctx = (up << 1) + left
             cdf = state.clpf_cdf[ctx]
+            buf = bufs[0][sby, sbx]
             if encoder:
-                buf, dirs = dering_sb(etmp[0], sbx, sby, nhsb, nvsb, q,
-                                      0, 0)
                 y0, x0 = sby << 5, sbx << 5
                 o = orig[0][y0:y0 + 32, x0:x0 + 32].astype(np.float64)
                 cur = pcs[0].c[y0:y0 + 32, x0:x0 + 32].astype(np.float64)
@@ -650,22 +672,16 @@ def _dering_pass(ec, state, pcs, orig, encoder, rows=None, etmp=None):
             else:
                 _loc(ec, "dering:flag", 0, 3, sbx * 32, sby * 32)
                 filt = decode_cdf_adapt(ec, cdf, state.clpf_increment)
-                dirs = None
             flags[sby, sbx] = filt
             if filt:
-                if not encoder:
-                    buf, dirs = dering_sb(etmp[0], sbx, sby, nhsb, nvsb,
-                                          q, 0, 0)
                 y0, x0 = sby << 5, sbx << 5
                 pcs[0].c[y0:y0 + 32, x0:x0 + 32] = buf
                 for pli in range(1, len(pcs)):
                     pc = pcs[pli]
-                    xd = pc.xdec
-                    bufc, _ = dering_sb(etmp[pli], sbx, sby, nhsb, nvsb,
-                                        q, xd, pli, dirs=dirs)
-                    ln = 5 - xd
+                    ln = 5 - pc.xdec
                     cy, cx = sby << ln, sbx << ln
-                    pc.c[cy:cy + (1 << ln), cx:cx + (1 << ln)] = bufc
+                    pc.c[cy:cy + (1 << ln), cx:cx + (1 << ln)] = \
+                        bufs[pli][sby, sbx]
 
 
 def decode_keyframe(packet: bytes, info: FrameInfo,
@@ -735,11 +751,12 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
     _to_spatial(pcs)
     if use_dering:
         etmp = [pc.c.copy() for pc in pcs]
+        bufs = _dering_buffers(pcs, etmp, max(1, pcs[0].quantizer))
 
         def _dr_job(ti):
             rows = bounds[ti]
             _dering_pass(ecs[ti], states[ti], pcs, None, False, rows,
-                         etmp)
+                         etmp, bufs)
             return _tile_c_rows(pcs, rows)
 
         for ti, cr in enumerate(
