@@ -39,6 +39,7 @@ from ..entropy import (
     generic_encode,
 )
 from ..ops.dct import fdct2d
+from ..ops.lapping import lap_frame_h, lap_frame_v
 from ..ops.mc import obmc_predict, obmc_predict_mixed, pad_ref
 from ..pvq.coding import pvq_decode_block, pvq_encode_block
 from ..pvq.scan import coding_to_raster, qm_get_index, raster_to_coding
@@ -235,17 +236,12 @@ def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
     y0 = by << (2 + bsi - pc.xdec)
     x0 = bx << (2 + bsi - pc.xdec)
     d = pc.d
+    # MC prediction transform from the precomputed cascade tables
+    # (_mc_pred_tables) — identical on both sides.
+    pred = pc.mcpred[bs][0][y0 // n, x0 // n]
+    predt = pc.mcpred[bs][1][y0 // n, x0 // n]
     pre = getattr(pc, "pre", None)
     pre_entry = pre.get((int(y0), int(x0))) if pre is not None else None
-    if pre_entry is not None:
-        predt = pre_entry["predt"]
-        pred = pre_entry["pred"]
-    else:
-        # Transform the (incrementally lapped) MC prediction.
-        pred = fdct2d(
-            np.asarray(md[y0:y0 + n, x0:x0 + n], dtype=np.int32)[None],
-            n)[0]
-        predt = raster_to_coding(pred).astype(np.int32)
     q0 = max(1, pc.quantizer)
     qm = state.qm[bs]
     qm_inv = state.qm_inv[bs]
@@ -257,8 +253,7 @@ def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
             np.asarray(d[y0:y0 + n, x0:x0 + n])).astype(np.int32)
         out, skip = pvq_encode_block(
             ec, state, predt, dblock, q0, pli, bs, beta, True, False,
-            qm, qm_inv,
-            precomputed=(pre_entry["results"] if pre_entry else None))
+            qm, qm_inv, precomputed=pre_entry)
         # DC magnitude with dc-skip fusion (encode.c:1192-1207).
         if out[0]:
             new_ex = generic_encode(ec, state.model_dc[pli],
@@ -327,8 +322,6 @@ def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
         if encoder:
             encode_cdf_adapt(ec, 4, state.skip_cdf[2 * bsi][:5],
                              state.skip_increment)
-        if not (encoder and getattr(pc, "pre", None) is not None):
-            _split_lap_mc(pc, md, bx, by, bsi)
     else:
         obs = int(g[cell])
         if max(obs, xdec) == bsi:
@@ -343,63 +336,81 @@ def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
                                          bs, use_masking, False, sk)
             _mark_bskip(pc, bx, by, bsi, skip)
             return
-        if not (encoder and getattr(pc, "pre", None) is not None):
-            _split_lap_mc(pc, md, bx, by, bsi)
     for dy in (0, 1):
         for dx in (0, 1):
             _inter_recursive(ec, state, pc, md, 2 * bx + dx, 2 * by + dy,
                              bsi - 1, use_masking, encoder)
 
 
-def _split_lap_mc(pc, md, bx, by, bsi):
-    """Incremental lapping of the MC prediction across this split
-    node's middle cross (od_prefilter_split on ctx->mc,
-    decode.c:849-851): applied identically by encoder and decoder as
-    the split structure is traversed."""
-    from ..ops.lapping import pre_filter
+def _mc_pred_tables(pc, md, pg=None):
+    """Batch-transform the MC prediction for EVERY aligned block of
+    every size, with split lapping pre-applied as a cascade.
 
-    npx = (4 << bsi) >> pc.xdec
-    y0 = by * npx
-    x0 = bx * npx
-    mid = npx >> 1
-    # Horizontal edge (filter vertically) across the node width.
-    rows = slice(y0 + mid - 2, y0 + mid + 2)
-    seg = np.asarray(md[rows, x0:x0 + npx], dtype=np.int32)
-    md[rows, x0:x0 + npx] = pre_filter(seg.T, 4).T
-    # Vertical edge across the node height.
-    cols = slice(x0 + mid - 2, x0 + mid + 2)
-    seg = np.asarray(md[y0:y0 + npx, cols], dtype=np.int32)
-    md[y0:y0 + npx, cols] = pre_filter(seg, 4)
+    A leaf at node level bsi sees md with the middle-cross laps of all
+    its ancestors applied (od_prefilter_split on ctx->mc,
+    decode.c:849-851).  Because a node's cross only modifies (and only
+    reads) a 4 px strip strictly inside that node, crossing EVERY node
+    of a level at once — full-width/-height strips — is pixel-exact for
+    any leaf that actually exists, regardless of the split structure.
+    So both sides can precompute: record the per-size transform tables
+    top-down, applying each level's crosses before descending.
+
+    When the encoder's block-size grid is known, pass pg to transform
+    only the actual leaf positions (the decoder discovers the grid
+    during its pass, so it precomputes every position).
+
+    Fills pc.mcpred[bs] = (pred (nby, nbx, n, n),
+                           predt (nby, nbx, ncoded))."""
+    from ..pvq.scan import _FLAT
+    from .grid import block_positions
+
+    h, w = md.shape
+    C = np.asarray(md, dtype=np.int32).copy()
+    pc.mcpred = {}
+    for bsi in range(3, pc.xdec - 1, -1):
+        bs = bsi - pc.xdec
+        n = 4 << bs
+        ncoded = len(_FLAT[n])
+        if pg is not None:
+            ys, xs = block_positions(pg, bs)
+            if len(ys):
+                idx_r = ys[:, None, None] + np.arange(n)[None, :, None]
+                idx_c = xs[:, None, None] + np.arange(n)[None, None, :]
+                pred = fdct2d(C[idx_r, idx_c], n)
+                predt = raster_to_coding(pred).astype(np.int32)
+                pt = (np.zeros((h // n, w // n, n, n), dtype=np.int32),
+                      np.zeros((h // n, w // n, ncoded), dtype=np.int32))
+                pt[0][ys // n, xs // n] = pred
+                pt[1][ys // n, xs // n] = predt
+                pc.mcpred[bs] = pt
+        else:
+            blocks = (C.reshape(h // n, n, w // n, n)
+                      .transpose(0, 2, 1, 3).reshape(-1, n, n))
+            pred = fdct2d(blocks, n)
+            predt = raster_to_coding(pred).astype(np.int32)
+            pc.mcpred[bs] = (
+                pred.reshape(h // n, w // n, n, n),
+                predt.reshape(h // n, w // n, ncoded),
+            )
+        if bsi > pc.xdec:
+            npx = (4 << bsi) >> pc.xdec
+            mid = npx >> 1
+            C = lap_frame_h(C, np.arange(mid, h, npx))
+            C = lap_frame_v(C, np.arange(mid, w, npx))
 
 
-def _preorder_split_lap(pc, md, bx=0, by=0, bsi=3):
-    """Pre-apply all split-node MC lapping in the traversal's pre-order
-    (encoder-side; the decoder applies the same filters incrementally
-    during its traversal — the sequences are identical)."""
-    obs = int(pc.grid[by << bsi, bx << bsi])
-    if max(obs, pc.xdec) == bsi:
-        return
-    _split_lap_mc(pc, md, bx, by, bsi)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            _preorder_split_lap(pc, md, 2 * bx + dx, 2 * by + dy,
-                                bsi - 1)
-
-
-def _prepass_inter(pcs, mds, state, use_masking):
+def _prepass_inter(pcs, state, use_masking):
     """Encoder prepass: batch-search every band of every leaf in one
-    native call.  Fills pc.pre[(y0, x0)] = {pred, predt, results}."""
+    native call, using the precomputed MC transform tables.
+    Fills pc.pre[(y0, x0)] = band search results."""
     from ..pvq.coding import batch_band_search
     from ..pvq.scan import BAND_OFFSETS
     from .grid import block_positions
 
     bands = []
     slots = []  # (pc, key, nb_bands, start_index)
-    for pc, md in zip(pcs, mds):
+    for pc in pcs:
         pc.pre = {}
-        for sby in range(pc.nvsb):
-            for sbx in range(pc.nhsb):
-                _preorder_split_lap(pc, md, sbx, sby, 3)
         pg = pc.pg()
         for bs in range(4):
             ys, xs = block_positions(pg, bs)
@@ -408,9 +419,7 @@ def _prepass_inter(pcs, mds, state, use_masking):
             n = 4 << bs
             idx_r = ys[:, None, None] + np.arange(n)[None, :, None]
             idx_c = xs[:, None, None] + np.arange(n)[None, None, :]
-            mdb = np.asarray(md, dtype=np.int32)[idx_r, idx_c]
-            preds = fdct2d(mdb, n)
-            predts = raster_to_coding(preds).astype(np.int32)
+            predts = pc.mcpred[bs][1][ys // n, xs // n]
             dbs = raster_to_coding(
                 np.asarray(pc.d, dtype=np.int32)[idx_r, idx_c]
             ).astype(np.int32)
@@ -418,8 +427,7 @@ def _prepass_inter(pcs, mds, state, use_masking):
             beta = pvq_betas(use_masking, pc.pli, bs)
             for bi in range(len(ys)):
                 key = (int(ys[bi]), int(xs[bi]))
-                slots.append((pc, key, offs[0], len(bands), preds[bi],
-                              predts[bi]))
+                slots.append((pc, key, offs[0], len(bands)))
                 for b in range(offs[0]):
                     lo, hi = offs[1 + b], offs[2 + b]
                     q = max(1, pc.quantizer * int(
@@ -432,11 +440,8 @@ def _prepass_inter(pcs, mds, state, use_masking):
                         "qm_inv": state.qm_inv[bs][lo:hi],
                     })
     results = batch_band_search(bands, True, False)
-    for (pc, key, nb, start, pred, predt) in slots:
-        pc.pre[key] = {
-            "pred": pred, "predt": predt,
-            "results": results[start:start + nb],
-        }
+    for (pc, key, nb, start) in slots:
+        pc.pre[key] = results[start:start + nb]
 
 
 def _mark_bskip(pc, bx, by, bsi, skip):
@@ -599,8 +604,11 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         mcc = lap_frame_h(mcc, np.arange(sbn, pc.h, sbn))
         mcc = lap_frame_v(mcc, np.arange(sbn, pc.w, sbn))
         mds.append(mcc)
+    for pli in range(nplanes):
+        _mc_pred_tables(pcs[pli], mds[pli],
+                        pg=pcs[pli].pg() if encoder else None)
     if encoder:
-        _prepass_inter(pcs, mds, state, use_masking)
+        _prepass_inter(pcs, state, use_masking)
 
     def _sb_job(ti):
         rows = bounds[ti]
