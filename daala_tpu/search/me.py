@@ -60,17 +60,22 @@ def motion_search_dense(cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
     n = 8
     blocks, ys, xs = _vertex_blocks(cur, vy, vx, n)
     refp8 = pad_ref(ref, 64)
-    mv = g.reshape(-1, 2)[idx].copy()
-    # Integer +-2 px window around the interpolated MV.
+    mv = np.clip(g.reshape(-1, 2)[idx], -58 * 8, 58 * 8)
+    # Integer +-2 px window around the interpolated MV.  Every integer
+    # candidate shares the interpolation phase, so ONE subpel pass over
+    # an extended (n+4) window provides all 25 SADs by shifting.
+    ext = subpel_predict_blocks(refp8, 64, ys - 2, xs - 2, mv,
+                                n + 4).astype(np.int32)
+    b32 = blocks.astype(np.int32)
     cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
                       for dx in (-16, -8, 0, 8, 16)], dtype=np.int64)
     dev_bias = (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8)
     sads = np.empty((len(mv), len(cands)), dtype=np.int64)
-    for ci, d in enumerate(cands):
-        p = subpel_predict_blocks(
-            refp8, 64, ys, xs, np.clip(mv + d, -60 * 8, 60 * 8), n)
-        sads[:, ci] = np.abs(blocks.astype(np.int32)
-                             - p.astype(np.int32)).sum(axis=(1, 2)) \
+    for ci, (dy, dx) in enumerate(cands):
+        py = 2 + (int(dy) >> 3)
+        px = 2 + (int(dx) >> 3)
+        sads[:, ci] = np.abs(
+            b32 - ext[:, py:py + n, px:px + n]).sum(axis=(1, 2)) \
             + dev_bias[ci]
     mv = np.clip(mv + cands[np.argmin(sads, axis=1)], -60 * 8, 60 * 8)
     for step in (4, 2, 1):
