@@ -143,10 +143,16 @@ def idct_plane_grid(d: np.ndarray, pg: np.ndarray) -> np.ndarray:
     return c
 
 
-def haar_dc_tree_grid(d: np.ndarray, pg: np.ndarray) -> np.ndarray:
-    """Bottom-up Haar DC combine at split nodes only."""
+def haar_dc_tree_grid(d: np.ndarray, pg: np.ndarray,
+                      max_level: int = 3) -> np.ndarray:
+    """Bottom-up Haar DC combine at split nodes only.
+
+    max_level caps the combine at the plane's superblock size: 3 for
+    luma (32 px), 3 - xdec for subsampled chroma (the chroma SB is
+    16 px, so combining a 32 px chroma node would merge DCs ACROSS
+    superblocks — a level the per-SB coding pass never undoes)."""
     d = d.copy()
-    for level in range(1, 4):        # node sizes 8, 16, 32 px
+    for level in range(1, max_level + 1):   # node sizes 8..32 px
         step = 1 << level            # node size in cells
         node = pg[::step, ::step]
         internal = node < level      # node is split

@@ -538,7 +538,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         planes = None
         streams = unpack_tiles(planes_or_packet)
         bounds = tile_rows(nvsb, len(streams))
-        assert len(bounds) == len(streams)
+        streams = streams[:len(bounds)]  # corrupt ntiles: clamp
         ecs = [RangeDecoder(s) for s in streams]
         mvctxs = [_MvCtx() for _ in bounds]
         cqs = [ecs[0].decode_uint(N_CODED_QUANTIZERS)

@@ -555,7 +555,7 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
         p = pad_plane(planes[pli], pc.w, pc.h)
         c = prefilter_plane_grid(to_coeff(p, False), pg)
         d = fdct_plane_grid(c, pg)
-        pc.d = haar_dc_tree_grid(d, pg)
+        pc.d = haar_dc_tree_grid(d, pg, 3 - pc.xdec)
         pc.c = c
         pcs.append(pc)
     # Per-tile symbol pass — independent streams, forked when
@@ -701,7 +701,7 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
     nplanes = info.nplanes
     streams = unpack_tiles(packet)
     bounds = tile_rows(info.frame_height >> 5, len(streams))
-    assert len(bounds) == len(streams)
+    streams = streams[:len(bounds)]  # corrupt ntiles: clamp
 
     def _mkdec(data, loc=None):
         if acct is not None:

@@ -78,13 +78,20 @@ def run_tiles(fn, n: int, processes: int = 1):
 
 
 def unpack_tiles(packet: bytes):
-    ntiles = packet[0]
+    """Split a frame packet into tile streams.  Corrupt or truncated
+    input degrades to empty streams (the range decoder then returns
+    zeros) rather than raising — decoder robustness contract."""
+    if len(packet) == 0:
+        return [b""]
+    ntiles = max(1, packet[0])
     off = 1 + 4 * (ntiles - 1)
+    if off > len(packet):
+        return [b""]
     lens = [struct.unpack_from("<I", packet, 1 + 4 * i)[0]
             for i in range(ntiles - 1)]
     out = []
     for ln in lens:
         out.append(packet[off:off + ln])
         off += ln
-    out.append(packet[off:])
+    out.append(packet[off:] if off <= len(packet) else b"")
     return out

@@ -348,3 +348,30 @@ def test_422_rejected():
                      xdec=(0, 1, 1), ydec=(0, 0, 0))
     with pytest.raises(ValueError):
         EncoderSession(info, 25)
+
+
+def test_chroma_fidelity_420():
+    """Chroma must track the input, not just stay self-consistent: the
+    chroma Haar-DC tree once combined DCs ACROSS chroma superblocks (a
+    level the coder never undoes), which kept enc-check green while
+    chroma quality saturated at ~22 dB.  Guard reconstruction PSNR of
+    BOTH chroma planes on structured 4:2:0 content."""
+    import numpy as np
+
+    from daala_tpu.core.state import FrameInfo
+    from daala_tpu.pipeline.intra import encode_keyframe
+
+    rng = np.random.default_rng(6)
+    w, h = 96, 128
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = (128 + 60 * np.sin(xx / 19) * np.cos(yy / 17)
+         + rng.normal(0, 3, (h, w))).clip(0, 255).astype(np.uint8)
+    u = (y[::2, ::2] // 2 + 50).astype(np.uint8)
+    v = (220 - y[::2, ::2] // 2).astype(np.uint8)
+    info = FrameInfo(w, h, 3, (0, 1, 1), (0, 1, 1))
+    _, rec = encode_keyframe([y, u, v], info, 18, bs_luma=-1,
+                             return_recon=True)
+    for pli, src in ((1, u), (2, v)):
+        mse = ((src.astype(np.int64) - rec[pli]) ** 2).mean()
+        psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+        assert psnr > 38.0, f"plane {pli} chroma psnr {psnr:.1f}"
