@@ -127,7 +127,7 @@ def _mesh_pred(wrk, vy, vx, s, v0):
 
 
 def _code_mesh_pass(ec, mvctx, wrk, wrids, truth, truth_rids, req, s,
-                    vspan, encoder, nrefs):
+                    vspan, encoder, nrefs, limit=MV_LIMIT):
     """One stride-s vertex pass of the adaptive mesh for one tile.
 
     wrk/wrids hold the working mesh (coarser passes coded, current
@@ -189,17 +189,31 @@ def _code_mesh_pass(ec, mvctx, wrk, wrids, truth, truth_rids, req, s,
                                               mvctx.ey, 2)
                 if dx and ec.decode_bits(1):
                     dx = -dx
-                wrk[vy, vx, 0] = min(max(int(pred[0]) + dy, -MV_LIMIT),
-                                     MV_LIMIT)
-                wrk[vy, vx, 1] = min(max(int(pred[1]) + dx, -MV_LIMIT),
-                                     MV_LIMIT)
+                wrk[vy, vx, 0] = min(max(int(pred[0]) + dy, -limit),
+                                     limit)
+                wrk[vy, vx, 1] = min(max(int(pred[1]) + dx, -limit),
+                                     limit)
+
+
+def _choose_mv_res(quantizer):
+    """Per-frame MV resolution by rate point (the cheap analogue of the
+    reference's RD search over mv_res, mcenc.c:6354): eighth-pel at
+    high rates, quarter/half-pel as the quantizer coarsens and subpel
+    precision stops paying for its bits."""
+    if quantizer >= 380:          # ~cq 44+
+        return 2
+    if quantizer >= 160:          # ~cq 31+
+        return 1
+    return 0
 
 
 def _code_mesh(ecs, mvctxs, bounds, info, nrefs, encoder,
-               truth=None, truth_rids=None, levels=None):
+               truth=None, truth_rids=None, levels=None, quantizer=0):
     """Full adaptive-mesh coding: per-tile level symbols, then the
     three stride passes with the deterministic fill between them.
-    Returns the reconstructed dense (nvy, nvx, 2) grid + ref ids."""
+    The whole mesh is coded at a per-frame MV resolution (2 raw bits
+    in tile 0; 0 = 1/8 pel .. 2 = 1/2 pel, OD_SET_MV_RES_MIN
+    semantics).  Returns the dense (nvy, nvx, 2) grid + ref ids."""
     from ..search.mesh import (
         fill_stride,
         required_stride,
@@ -209,6 +223,12 @@ def _code_mesh(ecs, mvctxs, bounds, info, nrefs, encoder,
     nvy = (info.frame_height >> MV_FINE_LOG) + 1
     nvx = (info.frame_width >> MV_FINE_LOG) + 1
     nsby = info.frame_height >> 5
+    if encoder:
+        res = _choose_mv_res(quantizer)
+        ecs[0].encode_bits(res, 2)
+        truth = np.asarray(truth) >> res
+    else:
+        res = ecs[0].decode_bits(2)
     if levels is None:
         levels = np.zeros((nsby, info.frame_width >> 5), dtype=np.int32)
     for ti, rows in enumerate(bounds):
@@ -217,14 +237,15 @@ def _code_mesh(ecs, mvctxs, bounds, info, nrefs, encoder,
     spans = vertex_spans(bounds, nsby)
     wrk = np.zeros((nvy, nvx, 2), dtype=np.int64)
     wrids = np.zeros((nvy, nvx), dtype=np.int32)
+    limit = MV_LIMIT >> res
     for s in (4, 2, 1):
         if s != 4:
             fill_stride(wrk, wrids, s, spans)
         for ti in range(len(bounds)):
             _code_mesh_pass(ecs[ti], mvctxs[ti], wrk, wrids, truth,
                             truth_rids, req, s, spans[ti], encoder,
-                            nrefs)
-    return wrk, wrids, levels
+                            nrefs, limit)
+    return wrk << res, wrids, levels
 
 
 def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
@@ -533,7 +554,8 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                                sgrid, srids, quantizer, bounds)
         grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,
                                         True, truth=sgrid,
-                                        truth_rids=srids, levels=levels)
+                                        truth_rids=srids, levels=levels,
+                                        quantizer=quantizer)
     else:
         planes = None
         streams = unpack_tiles(planes_or_packet)

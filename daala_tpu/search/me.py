@@ -30,43 +30,30 @@ from ..ops.mc import pad_ref, subpel_predict_blocks
 __all__ = ["motion_search", "motion_search_multi", "motion_search_dense"]
 
 
-def motion_search_dense(cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    """Coarse-to-fine dense mesh search for the adaptive MV mesh
-    (search/mesh.py): the proven 16 px vertex search anchors the field,
-    then the 8 px midpoint vertices refine LOCALLY (+-2 px + subpel)
-    around their dyadic interpolation with a deviation bias.  Bounding
-    the fine deviation keeps the field coherent — raw 8x8 SAD minima
-    are noisy, which costs both prediction quality and MV bits (the
-    role of the rate-aware refinement passes in mcenc.c).
+def _refine_midpoints(cur, refp8, g, vspacing_log):
+    """Refine the odd-lattice (midpoint) vertices of g in place.
 
-    Returns the dense (h/8+1, w/8+1, 2) eighth-pel grid."""
-    g16 = motion_search(cur, ref, 4)
-    h, w = cur.shape
-    nvy = (h >> 3) + 1
-    nvx = (w >> 3) + 1
-    g = np.zeros((nvy, nvx, 2), dtype=np.int64)
-    g[::2, ::2] = g16
-    g[::2, 1::2] = (g16[:, :-1] + g16[:, 1:]) >> 1
-    g[1::2, ::2] = (g16[:-1] + g16[1:]) >> 1
-    g[1::2, 1::2] = (g16[:-1, :-1] + g16[:-1, 1:]
-                     + g16[1:, :-1] + g16[1:, 1:]) >> 2
+    g: grid at vertex spacing 1 << vspacing_log px, midpoints
+    pre-filled by dyadic interpolation.  Each midpoint searches a +-2 px
+    integer window + subpel steps around its interpolation, biased
+    toward it.  The window shares the MV's subpel phase, so ONE
+    interpolation of an (n+4) window yields all integer SADs."""
+    nvy, nvx = g.shape[:2]
+    n = 1 << vspacing_log          # score block = vertex spacing
     mask = np.ones((nvy, nvx), dtype=bool)
     mask[::2, ::2] = False
     idx = np.where(mask.ravel())[0]
-    vy, vx = np.meshgrid(np.arange(nvy) << 3, np.arange(nvx) << 3,
-                         indexing="ij")
+    if len(idx) == 0:
+        return g
+    vy, vx = np.meshgrid(np.arange(nvy) << vspacing_log,
+                         np.arange(nvx) << vspacing_log, indexing="ij")
     vy = vy.ravel()[idx]
     vx = vx.ravel()[idx]
-    n = 8
     blocks, ys, xs = _vertex_blocks(cur, vy, vx, n)
-    refp8 = pad_ref(ref, 64)
+    b32 = blocks.astype(np.int32)
     mv = np.clip(g.reshape(-1, 2)[idx], -58 * 8, 58 * 8)
-    # Integer +-2 px window around the interpolated MV.  Every integer
-    # candidate shares the interpolation phase, so ONE subpel pass over
-    # an extended (n+4) window provides all 25 SADs by shifting.
     ext = subpel_predict_blocks(refp8, 64, ys - 2, xs - 2, mv,
                                 n + 4).astype(np.int32)
-    b32 = blocks.astype(np.int32)
     cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
                       for dx in (-16, -8, 0, 8, 16)], dtype=np.int64)
     dev_bias = (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8)
@@ -84,10 +71,40 @@ def motion_search_dense(cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
         sads = np.empty((len(mv), len(c8)), dtype=np.int64)
         for ci, d in enumerate(c8):
             p = subpel_predict_blocks(refp8, 64, ys, xs, mv + d, n)
-            sads[:, ci] = np.abs(blocks.astype(np.int32)
-                                 - p.astype(np.int32)).sum(axis=(1, 2))
+            sads[:, ci] = np.abs(b32 - p.astype(np.int32)
+                                 ).sum(axis=(1, 2))
         mv = np.clip(mv + c8[np.argmin(sads, axis=1)], -60 * 8, 60 * 8)
     g.reshape(-1, 2)[idx] = mv
+    return g
+
+
+def _upsample_grid(g):
+    """Dyadic 2x upsample of a vertex grid (midpoints = floor avg)."""
+    nvy, nvx = g.shape[:2]
+    u = np.zeros((2 * nvy - 1, 2 * nvx - 1, 2), dtype=np.int64)
+    u[::2, ::2] = g
+    u[::2, 1::2] = (g[:, :-1] + g[:, 1:]) >> 1
+    u[1::2, ::2] = (g[:-1] + g[1:]) >> 1
+    u[1::2, 1::2] = (g[:-1, :-1] + g[:-1, 1:]
+                     + g[1:, :-1] + g[1:, 1:]) >> 2
+    return u
+
+
+def motion_search_dense(cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Fully hierarchical dense mesh search for the adaptive MV mesh
+    (search/mesh.py): a 32 px vertex search anchors the field (so the
+    coarse lattice is optimal for level-0 OBMC blends), then the 16 px
+    and 8 px midpoints refine locally around their dyadic interpolation
+    with a deviation bias.  Bounded refinement keeps the field coherent
+    and the finer levels' coded deltas small — the role of mcenc.c's
+    per-level rate-aware passes.
+
+    Returns the dense (h/8+1, w/8+1, 2) eighth-pel grid."""
+    g = motion_search(cur, ref, 5)
+    refp8 = pad_ref(ref, 64)
+    for lvl in (4, 3):
+        g = _upsample_grid(g)
+        g = _refine_midpoints(cur, refp8, g, lvl)
     return g
 
 
