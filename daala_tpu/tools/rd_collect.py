@@ -39,13 +39,25 @@ def sweep(path: str, qs, limit: int = 0, bs: int = 1,
             src = []
             out = []
             t0 = time.time()
+            outs = {}
             for i, planes in enumerate(rd.frames()):
                 if limit and i >= limit:
                     break
-                pkt, is_key, _ = enc.encode_frame(planes)
-                nbytes += len(pkt)
                 src.append(planes)
-                out.append(dec.decode_frame(pkt, is_key, q == 0))
+                # Full packet metadata (ftype drives the decoder's
+                # golden/B reference rotation — dropping it desyncs
+                # refs after the first golden frame).
+                for p in enc.push_frame(planes):
+                    nbytes += len(p["data"])
+                    outs[p["display_order"]] = dec.decode_frame(
+                        p["data"], p["ftype"] == 0,
+                        p.get("use_haar", False), p["ftype"])
+            for p in enc.flush():
+                nbytes += len(p["data"])
+                outs[p["display_order"]] = dec.decode_frame(
+                    p["data"], p["ftype"] == 0,
+                    p.get("use_haar", False), p["ftype"])
+            out = [outs[i] for i in range(len(src))]
             dt = time.time() - t0
         m = frame_metrics(src, out)
         npx = info.pic_width * info.pic_height * len(src)
