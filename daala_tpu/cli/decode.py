@@ -28,7 +28,7 @@ def main(argv=None):
     cs = {1: "mono", 3: "420" if info.xdec[1] else "444"}[info.nplanes]
     hdr = Y4MHeader(width=info.pic_width, height=info.pic_height,
                     fps_num=info.timebase_num, fps_den=info.timebase_den,
-                    colorspace=cs)
+                    colorspace=cs, bitdepth=info.bitdepth)
     from ..pipeline.inter import DecoderSession
 
     t0 = time.time()

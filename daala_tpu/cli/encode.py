@@ -51,6 +51,7 @@ def main(argv=None):
         info = FrameInfo(
             pic_width=hdr.width, pic_height=hdr.height,
             nplanes=hdr.nplanes, xdec=hdr.xdec, ydec=hdr.ydec,
+            bitdepth=hdr.bitdepth,
             keyframe_rate=args.keyframe_rate,
             timebase_num=hdr.fps_num, timebase_den=hdr.fps_den,
         )

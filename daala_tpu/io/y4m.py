@@ -34,6 +34,7 @@ class Y4MHeader:
     aspect_den: int = 0
     interlace: str = "p"
     colorspace: str = "420"
+    bitdepth: int = 8
 
     @property
     def xdec(self):
@@ -75,6 +76,11 @@ class Y4MReader:
             elif k == "I":
                 hdr.interlace = v
             elif k == "C":
+                # High-depth tags: C420p10 / C444p12 etc.
+                if "p10" in v:
+                    hdr.bitdepth = 10
+                elif "p12" in v:
+                    hdr.bitdepth = 12
                 hdr.colorspace = v.split("p")[0] if v[0].isdigit() else v
                 if v.startswith("mono"):
                     hdr.colorspace = "mono"
@@ -95,14 +101,16 @@ class Y4MReader:
             if not line.startswith(b"FRAME"):
                 raise ValueError("bad frame marker")
             planes = []
+            nb = 2 if hdr.bitdepth > 8 else 1
+            dt = np.dtype("<u2") if nb == 2 else np.uint8
             for pli in range(hdr.nplanes):
                 w = hdr.width >> hdr.xdec[pli]
                 h = hdr.height >> hdr.ydec[pli]
-                data = self.f.read(w * h)
-                if len(data) != w * h:
+                data = self.f.read(w * h * nb)
+                if len(data) != w * h * nb:
                     raise ValueError("truncated frame")
                 planes.append(
-                    np.frombuffer(data, dtype=np.uint8).reshape(h, w))
+                    np.frombuffer(data, dtype=dt).reshape(h, w))
             yield planes
 
 
@@ -113,6 +121,10 @@ class Y4MWriter:
         cs = header.colorspace
         tag = {"420": "420jpeg", "422": "422", "444": "444",
                "mono": "mono"}.get(cs, cs)
+        if header.bitdepth > 8:
+            base = {"420": "420", "422": "422", "444": "444",
+                    "mono": "mono"}.get(cs, cs)
+            tag = f"{base}p{header.bitdepth}"
         line = f"YUV4MPEG2 W{header.width} H{header.height} " \
                f"F{header.fps_num}:{header.fps_den} I{header.interlace} " \
                f"A{header.aspect_num}:{header.aspect_den} C{tag}\n"
@@ -120,8 +132,9 @@ class Y4MWriter:
 
     def write_frame(self, planes: List[np.ndarray]) -> None:
         self.f.write(b"FRAME\n")
+        dt = np.dtype("<u2") if self.header.bitdepth > 8 else np.uint8
         for p in planes:
-            self.f.write(np.ascontiguousarray(p, dtype=np.uint8).tobytes())
+            self.f.write(np.ascontiguousarray(p, dtype=dt).tobytes())
 
 
 def read_y4m(path: str) -> Tuple[Y4MHeader, List[List[np.ndarray]]]:

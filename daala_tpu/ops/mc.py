@@ -48,7 +48,8 @@ def pad_ref(plane: np.ndarray, pad: int = PAD) -> np.ndarray:
 
 def subpel_predict_blocks(ref_padded: np.ndarray, pad: int,
                           ys: np.ndarray, xs: np.ndarray,
-                          mvs: np.ndarray, n: int) -> np.ndarray:
+                          mvs: np.ndarray, n: int,
+                          bitdepth: int = 8) -> np.ndarray:
     """Batched single-MV prediction of N blocks.
 
     ref_padded: (H + 2*pad, W + 2*pad) uint8-ish int array.
@@ -69,21 +70,25 @@ def subpel_predict_blocks(ref_padded: np.ndarray, pad: int,
     fh = SUBPEL_FILTERS[fx]                    # (N, 6)
     k = np.arange(6)
     # h[b, r, c] = sum_k win[b, r, c + k] * fh[b, k], c in [0, n)
+    center = 128 << (bitdepth - 8)
     h = np.einsum("brck,bk->brc",
                   np.lib.stride_tricks.sliding_window_view(win, 6, axis=2),
-                  fh) - (128 << 7)
+                  fh) - (center << 7)
     # Vertical 6-tap (sliding window appends the tap axis last).
     fv = SUBPEL_FILTERS[fy]
     v = np.einsum("brck,bk->brc",
                   np.lib.stride_tricks.sliding_window_view(h, 6, axis=1),
                   fv)
-    out = (v + (1 << 13) + (128 << 14)) >> 14
-    return np.clip(out, 0, 255).astype(np.uint8)
+    out = (v + (1 << 13) + (center << 14)) >> 14
+    maxv = (1 << bitdepth) - 1
+    dtype = np.uint8 if bitdepth <= 8 else np.uint16
+    return np.clip(out, 0, maxv).astype(dtype)
 
 
 def obmc_predict_mixed(ref_padded, pad: int, h: int, w: int,
                        mv_grid: np.ndarray, levels: np.ndarray,
-                       fine_log: int, ref_ids: np.ndarray = None):
+                       fine_log: int, ref_ids: np.ndarray = None,
+                       bitdepth: int = 8):
     """Mixed-block-size OBMC from a dense fine vertex grid + per-SB
     subdivision levels (search/mesh.py) — the od_mc_blend multi-level
     capability (mc.c:1228-1564) restructured for batching: one
@@ -100,7 +105,8 @@ def obmc_predict_mixed(ref_padded, pad: int, h: int, w: int,
     nsby, nsbx = h // sb, w // sb
     levels = np.asarray(levels)
     assert levels.shape == (nsby, nsbx)
-    out = np.zeros((h, w), dtype=np.uint8)
+    out = np.zeros((h, w),
+                   dtype=np.uint8 if bitdepth <= 8 else np.uint16)
     for lv in range(3):
         sel = levels == lv
         if not sel.any():
@@ -111,7 +117,8 @@ def obmc_predict_mixed(ref_padded, pad: int, h: int, w: int,
         bper = 1 << lv                 # blocks per SB side at this level
         bmask = np.repeat(np.repeat(sel, bper, 0), bper, 1)
         obmc_predict(ref_padded, pad, h, w, sub, fine_log + 2 - lv,
-                     ref_ids=subr, block_mask=bmask, out=out)
+                     ref_ids=subr, block_mask=bmask, out=out,
+                     bitdepth=bitdepth)
     return out
 
 
@@ -119,7 +126,8 @@ def obmc_predict(ref_padded, pad: int, h: int, w: int,
                  mv_grid: np.ndarray, blk_log: int,
                  ref_ids: np.ndarray = None,
                  block_mask: np.ndarray = None,
-                 out: np.ndarray = None) -> np.ndarray:
+                 out: np.ndarray = None,
+                 bitdepth: int = 8) -> np.ndarray:
     """Whole-frame OBMC prediction from a uniform MV vertex grid.
 
     mv_grid: (nvy + 1, nvx + 1, 2) 1/8-pel (mvy, mvx) per vertex, where
@@ -160,8 +168,8 @@ def obmc_predict(ref_padded, pad: int, h: int, w: int,
             sel = rid == r
             if np.any(sel):
                 p[sel] = subpel_predict_blocks(
-                    refs[r], pad, ys[sel], xs[sel], mvs[sel], n
-                ).astype(np.int32)
+                    refs[r], pad, ys[sel], xs[sel], mvs[sel], n,
+                    bitdepth).astype(np.int32)
         preds.append(p)
     # Bilinear blend (od_mc_blend_full8_c weights).
     i = np.arange(n)[None, None, :]
@@ -170,12 +178,13 @@ def obmc_predict(ref_padded, pad: int, h: int, w: int,
     b = (preds[3] << blk_log) + (preds[2] - preds[3]) * i
     blk2 = 2 * blk_log
     blocks = ((a << blk_log) + (b - a) * j + (1 << (blk2 - 1))) >> blk2
-    blocks = np.clip(blocks, 0, 255).astype(np.uint8)
+    dtype = np.uint8 if bitdepth <= 8 else np.uint16
+    blocks = np.clip(blocks, 0, (1 << bitdepth) - 1).astype(dtype)
     if block_mask is None:
         return (blocks.reshape(nby, nbx, n, n)
                 .transpose(0, 2, 1, 3).reshape(h, w))
     if out is None:
-        out = np.zeros((h, w), dtype=np.uint8)
+        out = np.zeros((h, w), dtype=dtype)
     r_idx = (ys[:, None, None] + np.arange(n)[None, :, None])
     c_idx = (xs[:, None, None] + np.arange(n)[None, None, :])
     out[r_idx, c_idx] = blocks

@@ -548,9 +548,13 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         for pli in range(nplanes):
             ecs[0].encode_uint(cq, N_CODED_QUANTIZERS)
         cur_y = pad_plane(planes[0], info.frame_width, info.frame_height)
+        ext = info.bitdepth - 8
+        cur_y8 = (cur_y >> ext).astype(np.uint8) if ext else cur_y
+        refs8 = [(r[0] >> ext).astype(np.uint8) if ext else r[0]
+                 for r in refs]
         sgrid, srids = motion_search_multi(
-            cur_y, [r[0] for r in refs], MV_FINE_LOG, dense=True)
-        levels = choose_levels(cur_y, [pad_ref(r[0]) for r in refs], 80,
+            cur_y8, refs8, MV_FINE_LOG, dense=True)
+        levels = choose_levels(cur_y8, [pad_ref(r) for r in refs8], 80,
                                sgrid, srids, quantizer, bounds)
         grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,
                                         True, truth=sgrid,
@@ -584,14 +588,16 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         refps = [pad_ref(r[pli]) for r in refs]
         g = grid if xd == 0 else (grid >> 1)
         mcs.append(obmc_predict_mixed(refps, 80, hh, ww, g, levels,
-                                      MV_FINE_LOG - xd, ref_ids=rids))
+                                      MV_FINE_LOG - xd, ref_ids=rids,
+                                      bitdepth=info.bitdepth))
     if encoder:
         cur_y = pad_plane(planes[0], info.frame_width,
                           info.frame_height)
         if bs_luma < 0:
             bgrid = rdo_split_superblocks(
-                to_coeff(cur_y, False), quantizer, state.qm,
-                state.qm_inv, pred=to_coeff(mcs[0], False))
+                to_coeff(cur_y, False, info.bitdepth), quantizer,
+                state.qm, state.qm_inv,
+                pred=to_coeff(mcs[0], False, info.bitdepth))
         else:
             bgrid = uniform_grid(info.frame_height, info.frame_width,
                                  bs_luma)
@@ -613,7 +619,8 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
             ph, pw = planes[pli].shape
             cur[ph:, :] = mc[ph:, :]
             cur[:ph, pw:] = mc[:ph, pw:]
-            c = prefilter_plane_grid(to_coeff(cur, False), pg)
+            c = prefilter_plane_grid(to_coeff(cur, False, info.bitdepth),
+                                     pg)
             pc.d = fdct_plane_grid(c, pg)
         else:
             pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
@@ -622,7 +629,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         # applied up front; interior split edges are lapped during the
         # traversal (_split_lap_mc) as the grid is discovered.
         sbn = 32 >> info.xdec[pli]
-        mcc = to_coeff(mc, False)
+        mcc = to_coeff(mc, False, info.bitdepth)
         mcc = lap_frame_h(mcc, np.arange(sbn, pc.h, sbn))
         mcc = lap_frame_v(mcc, np.arange(sbn, pc.w, sbn))
         mds.append(mcc)
@@ -652,7 +659,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         orig = None
         if encoder:
             orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w,
-                                       pcs[pli].h), False)
+                                       pcs[pli].h), False, info.bitdepth)
                     for pli in range(nplanes)]
 
         def _dr_job(ti):

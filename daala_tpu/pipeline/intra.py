@@ -86,17 +86,30 @@ def _div_r0(x: int, q: int) -> int:
     return (x + (q >> 1)) // q
 
 
-def to_coeff(plane: np.ndarray, lossless: bool) -> np.ndarray:
-    shift = 0 if lossless else 4
-    return (plane.astype(np.int32) - 128) << shift
+def to_coeff(plane: np.ndarray, lossless: bool,
+             bitdepth: int = 8) -> np.ndarray:
+    """Pixels -> coeff domain (state.c:1209-1249).  High-depth input
+    shifts LESS so the coeff-domain scale — and with it every
+    quantizer, threshold and lambda — is depth-independent
+    (OD_COEFF_SHIFT - (bitdepth - 8))."""
+    ext = bitdepth - 8
+    center = 128 << ext
+    shift = 0 if lossless else 4 - ext
+    return (plane.astype(np.int32) - center) << shift
 
 
-def from_coeff(c: np.ndarray, lossless: bool) -> np.ndarray:
-    if lossless:
-        v = c + 128
+def from_coeff(c: np.ndarray, lossless: bool,
+               bitdepth: int = 8) -> np.ndarray:
+    ext = bitdepth - 8
+    center = 128 << ext
+    shift = 0 if lossless else 4 - ext
+    if shift:
+        v = ((c + (1 << (shift - 1))) >> shift) + center
     else:
-        v = ((c + 8) >> 4) + 128
-    return np.clip(v, 0, 255).astype(np.uint8)
+        v = c + center
+    maxv = (1 << bitdepth) - 1
+    dtype = np.uint8 if bitdepth <= 8 else np.uint16
+    return np.clip(v, 0, maxv).astype(dtype)
 
 
 def pad_plane(plane: np.ndarray, fw: int, fh: int) -> np.ndarray:
@@ -140,6 +153,7 @@ class _PlaneCtx:
         self.n = 4 << self.bs
         self.quantizer = quantizer
         self.lossless = lossless
+        self.bitdepth = info.bitdepth
         self.nhsb = self.w >> (5 - self.xdec)
         self.nvsb = self.h >> (5 - self.xdec)
         self.sb_dc_mem = np.zeros(self.nhsb * self.nvsb, dtype=np.int64)
@@ -539,10 +553,11 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
     from .grid import fdct_plane_grid, haar_dc_tree_grid, \
         prefilter_plane_grid
 
+    bd = info.bitdepth
     pad_y = pad_plane(planes[0], info.frame_width, info.frame_height)
     if bs_luma < 0:  # auto
         grid = rdo_split_superblocks(
-            to_coeff(pad_y, False), quantizer, states[0].qm,
+            to_coeff(pad_y, False, bd), quantizer, states[0].qm,
             states[0].qm_inv)
     else:
         grid = uniform_grid(info.frame_height, info.frame_width, bs_luma)
@@ -553,7 +568,7 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
         pc.grid = grid
         pg = pc.pg()
         p = pad_plane(planes[pli], pc.w, pc.h)
-        c = prefilter_plane_grid(to_coeff(p, False), pg)
+        c = prefilter_plane_grid(to_coeff(p, False, bd), pg)
         d = fdct_plane_grid(c, pg)
         pc.d = haar_dc_tree_grid(d, pg, 3 - pc.xdec)
         pc.c = c
@@ -573,7 +588,7 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
     _to_spatial(pcs)
     if use_dering:
         orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w, pcs[pli].h),
-                         False) for pli in range(nplanes)]
+                         False, bd) for pli in range(nplanes)]
         etmp = [pc.c.copy() for pc in pcs]
         bufs = _dering_buffers(pcs, etmp, max(1, pcs[0].quantizer))
 
@@ -607,7 +622,7 @@ def _to_spatial(pcs):
 def _crop(pcs, info: FrameInfo):
     out = []
     for pc in pcs:
-        pix = from_coeff(pc.c, False)
+        pix = from_coeff(pc.c, False, pc.bitdepth)
         out.append(pix[:info.pic_height >> info.ydec[pc.pli],
                        :info.pic_width >> pc.xdec])
     return out

@@ -291,7 +291,7 @@ def _run(planes_or_packet, info: FrameInfo, quality: int, encoder: bool):
         pc = _PlaneCtx(info, pli, 3, quantizer, lossless)
         if encoder:
             p = pad_plane(planes_or_packet[pli], pc.w, pc.h)
-            c = to_coeff(p, lossless)
+            c = to_coeff(p, lossless, info.bitdepth)
             n = 1 << (5 - pc.xdec)
             blocks = (c.reshape(pc.h // n, n, pc.w // n, n)
                       .transpose(0, 2, 1, 3).reshape(-1, n, n))
@@ -321,7 +321,7 @@ def _run(planes_or_packet, info: FrameInfo, quality: int, encoder: bool):
         sp = ihaar2d(blocks, 5 - pc.xdec)
         c = (sp.reshape(pc.h // n, pc.w // n, n, n)
              .transpose(0, 2, 1, 3).reshape(pc.h, pc.w))
-        pix = from_coeff(c, lossless)
+        pix = from_coeff(c, lossless, info.bitdepth)
         out.append(pix[:info.pic_height >> info.ydec[pc.pli],
                        :info.pic_width >> pc.xdec])
     return out
