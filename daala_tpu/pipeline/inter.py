@@ -515,7 +515,7 @@ def _frame_quality(cq, ftype, b_frames):
 
 def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                        refs, planes_or_packet, encoder, tiles=1,
-                       tile_workers=1):
+                       tile_workers=1, out_info=None):
     """Shared P/B frame coder.  refs: list of padded reference plane
     lists (1 = single-ref P, 2 = multi-ref P or B).
 
@@ -653,6 +653,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         if gr is not None:
             _merge_grid_rows(bgrid, bounds[ti], gr)
     _to_spatial(pcs)
+    dflags = np.zeros((pcs[0].nvsb, pcs[0].nhsb), dtype=np.int32)
     if use_dering:
         etmp = [pc.c.copy() for pc in pcs]
         bufs = _dering_buffers(pcs, etmp, max(1, pcs[0].quantizer))
@@ -664,15 +665,22 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
 
         def _dr_job(ti):
             rows = bounds[ti]
-            _dering_pass(ecs[ti], states[ti], pcs, orig, encoder, rows,
-                         etmp, bufs)
-            return ecs[ti], _tile_c_rows(pcs, rows)
+            fl = _dering_pass(ecs[ti], states[ti], pcs, orig, encoder,
+                              rows, etmp, bufs)
+            return ecs[ti], _tile_c_rows(pcs, rows), fl
 
-        for ti, (ec_t, cr) in enumerate(
+        for ti, (ec_t, cr, fl) in enumerate(
                 run_tiles(_dr_job, len(bounds), tile_workers)):
             ecs[ti] = ec_t
             _merge_c_rows(pcs, bounds[ti], cr)
+            r0, r1 = bounds[ti]
+            dflags[r0:r1] = fl[r0:r1]
     rec = _crop(pcs, info)
+    if out_info is not None:
+        out_info.update(bsize=bgrid.copy(), mv=np.asarray(grid),
+                        mv_levels=np.asarray(levels),
+                        ref_ids=np.asarray(rids), dering=dflags,
+                        quantizer=quantizer)
     if encoder:
         return pack_tiles([e.done() for e in ecs]), rec
     return rec
@@ -826,12 +834,14 @@ class DecoderSession:
 
     def __init__(self, info: FrameInfo, bs_luma: int = 1,
                  use_masking: bool = False, use_dering: bool = True,
-                 tile_workers: int = 1):
+                 tile_workers: int = 1, introspect: bool = False):
         self.info = info
         self.bs_luma = bs_luma
         self.use_masking = use_masking
         self.use_dering = use_dering
         self.tile_workers = tile_workers
+        self.introspect = introspect
+        self.last_info = None   # per-frame bsize/mv/dering introspection
         self.ref_prev = None
         self.ref_next = None
         self.ref_gold = None
@@ -845,6 +855,8 @@ class DecoderSession:
 
         if ftype is None:
             ftype = FT_INTRA if keyframe else FT_P
+        oi = {} if self.introspect else None
+        self.last_info = oi
         if use_haar:
             rec = decode_keyframe_lossless(packet, self.info)
             self._rotate(rec, FT_INTRA)
@@ -854,7 +866,8 @@ class DecoderSession:
                                   use_masking=self.use_masking,
                                   bs_luma=self.bs_luma,
                                   use_dering=self.use_dering,
-                                  tile_workers=self.tile_workers)
+                                  tile_workers=self.tile_workers,
+                                  out_info=oi)
             self._rotate(rec, FT_INTRA)
             return rec
         if ftype == FT_B:
@@ -864,7 +877,7 @@ class DecoderSession:
             rec = _code_inter_packet(
                 self.info, self.bs_luma, self.use_masking,
                 self.use_dering, 0, refs, packet, False,
-                tile_workers=self.tile_workers)
+                tile_workers=self.tile_workers, out_info=oi)
             # B frames are not references; no rotation.
             return rec
         refs = [self.ref_prev]
@@ -872,7 +885,8 @@ class DecoderSession:
             refs.append(self.ref_gold)
         rec = _code_inter_packet(
             self.info, self.bs_luma, self.use_masking, self.use_dering,
-            0, refs, packet, False, tile_workers=self.tile_workers)
+            0, refs, packet, False, tile_workers=self.tile_workers,
+            out_info=oi)
         self._rotate(rec, ftype)
         return rec
 

@@ -697,12 +697,13 @@ def _dering_pass(ec, state, pcs, orig, encoder, rows=None, etmp=None,
                     cy, cx = sby << ln, sbx << ln
                     pc.c[cy:cy + (1 << ln), cx:cx + (1 << ln)] = \
                         bufs[pli][sby, sbx]
+    return flags
 
 
 def decode_keyframe(packet: bytes, info: FrameInfo,
                     use_masking: bool = False, bs_luma: int = 1,
                     use_dering: bool = True, acct=None,
-                    tile_workers: int = 1):
+                    tile_workers: int = 1, out_info: dict = None):
     """Decode a keyframe packet; returns list of uint8 planes.
 
     Each tile's symbol stream is decoded with its own RangeDecoder and
@@ -764,20 +765,26 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
         _merge_d_rows(pcs, bounds[ti], dr)
         _merge_grid_rows(grid, bounds[ti], gr)
     _to_spatial(pcs)
+    dflags = np.zeros((pcs[0].nvsb, pcs[0].nhsb), dtype=np.int32)
     if use_dering:
         etmp = [pc.c.copy() for pc in pcs]
         bufs = _dering_buffers(pcs, etmp, max(1, pcs[0].quantizer))
 
         def _dr_job(ti):
             rows = bounds[ti]
-            _dering_pass(ecs[ti], states[ti], pcs, None, False, rows,
-                         etmp, bufs)
-            return _tile_c_rows(pcs, rows)
+            fl = _dering_pass(ecs[ti], states[ti], pcs, None, False,
+                              rows, etmp, bufs)
+            return _tile_c_rows(pcs, rows), fl
 
-        for ti, cr in enumerate(
+        for ti, (cr, fl) in enumerate(
                 run_tiles(_dr_job, len(bounds), tile_workers)):
             _merge_c_rows(pcs, bounds[ti], cr)
+            r0, r1 = bounds[ti]
+            dflags[r0:r1] = fl[r0:r1]
     _smooth_pass(pcs, bs_luma)
+    if out_info is not None:
+        out_info.update(bsize=grid.copy(), dering=dflags,
+                        quantizer=quantizer)
     return _crop(pcs, info)
 
 

@@ -17,12 +17,52 @@ from ..io.container import read_stream
 from ..pipeline.intra import decode_keyframe
 
 
+def _write_pgm(path, img):
+    img = np.asarray(img)
+    mx = max(int(img.max()), 1)
+    out = (img.astype(np.float64) / mx * 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"P5\n%d %d\n255\n" % (out.shape[1], out.shape[0]))
+        f.write(out.tobytes())
+
+
+def dump_overlays(path, frame_idx, prefix):
+    """Decode up to frame_idx with introspection on and dump the
+    per-block structure: bsize grid, dering flags, and (inter) the MV
+    mesh + subdivision levels + ref ids."""
+    from ..pipeline.inter import DecoderSession
+
+    info, comment, packets = read_stream(path)
+    sess = DecoderSession(info, bs_luma=-1, introspect=True)
+    for i, p in enumerate(packets):
+        sess.decode_frame(p.data, p.keyframe, p.use_haar, ftype=p.ftype)
+        if i == frame_idx:
+            break
+    oi = sess.last_info or {}
+    dumped = []
+    if "bsize" in oi:
+        _write_pgm(prefix + "_bsize.pgm", oi["bsize"])
+        dumped.append("bsize")
+    if "dering" in oi:
+        _write_pgm(prefix + "_dering.pgm", oi["dering"])
+        dumped.append("dering")
+    np.savez(prefix + "_overlays.npz",
+             **{k: v for k, v in oi.items() if hasattr(v, "shape")})
+    return {"dumped": dumped + ["npz"],
+            "keys": sorted(k for k in oi)}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
     ap.add_argument("--frame", type=int, default=0)
     ap.add_argument("--heatmap", default=None,
                     help="write a per-4x4 bits heatmap as PGM")
+    ap.add_argument("--overlays", default=None,
+                    help="prefix: dump bsize/<mv>/dering overlays for "
+                         "--frame (the analyzer.cc block views, as "
+                         "PGM + NPZ via the decoder introspection "
+                         "buffers — OD_DECCTL_SET_*_BUFFER parity)")
     args = ap.parse_args(argv)
     info, comment, packets = read_stream(args.input)
     p = packets[args.frame]
@@ -42,6 +82,9 @@ def main(argv=None):
                      for k, v in acct.by_plane().items()},
         "symbols": len(acct.records),
     }
+    if args.overlays:
+        report["overlays"] = dump_overlays(args.input, args.frame,
+                                           args.overlays)
     print(json.dumps(report, indent=1))
     if args.heatmap:
         hm = acct.heatmap(info.frame_width // 4, info.frame_height // 4)

@@ -203,3 +203,30 @@ def bd_rate(rate1, dist1, rate2, dist2) -> float:
     v1 = np.polyval(p1, xs).mean()
     v2 = np.polyval(p2, xs).mean()
     return float((np.exp(v2 - v1) - 1) * 100)
+
+
+def _main(argv=None):
+    """CLI: metrics between two y4m files (the dump_psnr / dump_psnrhvs /
+    dump_ssim / dump_fastssim / dump_ciede2000 equivalents in one)."""
+    import argparse
+    import json
+
+    from ..io.y4m import read_y4m
+
+    ap = argparse.ArgumentParser(description="daala_tpu quality metrics")
+    ap.add_argument("ref", help="reference .y4m")
+    ap.add_argument("test", help="test .y4m")
+    ap.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args(argv)
+    _, fa = read_y4m(args.ref)
+    _, fb = read_y4m(args.test)
+    n = min(len(fa), len(fb))
+    if args.limit:
+        n = min(n, args.limit)
+    m = frame_metrics(fa[:n], fb[:n])
+    print(json.dumps({k: float(np.mean(v)) for k, v in m.items()}
+                     | {"frames": n}))
+
+
+if __name__ == "__main__":
+    _main()
