@@ -2,10 +2,11 @@
 
 Measures the jitted device encode step (coeff conversion, lapped
 prefilter over every block edge, batched 8x8 DCTs, Haar-DC tree,
-magnitude-compensated quantization, reconstruction) over all three
-4:2:0 planes of a 1080p frame — the per-chip compute path of the
-encoder, with host entropy packing excluded (it overlaps device compute
-in the pipelined design).
+magnitude-compensated quantization, reconstruction, and the batched
+directional dering filter on luma) over all three 4:2:0 planes of a
+1080p frame — the per-chip compute path of the encoder, with host
+entropy packing excluded (it overlaps device compute in the pipelined
+design).
 
 Prints one JSON line: frames/s vs the 30 fps north-star target
 (BASELINE.md).
@@ -40,8 +41,10 @@ def main():
 
     @jax.jit
     def frame_step(y, u, v):
+        ystep = lambda p: encode_step(p, bs, quantizer, qm[bs],
+                                      qm_inv[bs], dering=True)
         step = lambda p: encode_step(p, bs, quantizer, qm[bs], qm_inv[bs])
-        qy, ry = jax.vmap(step)(y)
+        qy, ry = jax.vmap(ystep)(y)
         qu, ru = jax.vmap(step)(u)
         qv, rv = jax.vmap(step)(v)
         # On-device checksum: the returned scalar forces full

@@ -139,15 +139,24 @@ def quantize_blocks(d, bs: int, quantizer: int, qm_coding, qm_inv_coding):
     return quant, _from_blocks(out.reshape(-1, n, n), h, w, n)
 
 
-def encode_step(plane, bs: int, quantizer: int, qm, qm_inv):
+def encode_step(plane, bs: int, quantizer: int, qm, qm_inv,
+                dering: bool = False):
     """One full single-chip encode compute step on a plane of pixels:
-    coeff conversion -> lapped transform -> quantize -> reconstruct.
-    Returns (quantized symbols, reconstructed pixels) — everything but
-    the host entropy pack."""
+    coeff conversion -> lapped transform -> quantize -> reconstruct
+    [-> batched directional dering].  Returns (quantized symbols,
+    reconstructed pixels) — everything but the host entropy pack."""
     c = (plane.astype(jnp.int32) - 128) << 4
     d = transform_frame(c, bs)
     quant, dq = quantize_blocks(d, bs, quantizer, qm, qm_inv)
     rec = inverse_transform_frame(dq, bs)
+    if dering:
+        from ..ops.dering_jax import dering_frame_jax
+
+        h, w = rec.shape[-2], rec.shape[-1]
+        nvsb, nhsb = h // 32, w // 32
+        bufs, _ = dering_frame_jax(rec, nhsb, nvsb, max(1, quantizer),
+                                   0, 0)
+        rec = (bufs.transpose(0, 2, 1, 3).reshape(h, w))
     rec = jnp.clip(((rec + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
     return quant, rec
 
