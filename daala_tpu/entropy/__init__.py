@@ -25,3 +25,26 @@ from .adapt import (
     laplace_encode_vector,
 )
 from .tables import EXP_CDF_TABLE, LAPLACE_OFFSET
+
+
+def make_encoder():
+    """Range encoder for the serialization spine: the native C++ coder
+    when built (identical streams — tests/test_native_ec.py), else the
+    Python oracle.  Force Python with DTPU_PY_EC=1."""
+    import os
+
+    from . import native
+
+    if not os.environ.get("DTPU_PY_EC") and native.available():
+        return native.NativeRangeEncoder()
+    return RangeEncoder()
+
+
+def make_decoder(data: bytes):
+    import os
+
+    from . import native
+
+    if not os.environ.get("DTPU_PY_EC") and native.available():
+        return native.NativeRangeDecoder(data)
+    return RangeDecoder(data)

@@ -53,6 +53,27 @@ def _load():
     lib.dtpu_enc_destroy.argtypes = [ctypes.c_void_p]
     lib.dtpu_dec_destroy.argtypes = [ctypes.c_void_p]
     lib.dtpu_dec_error.argtypes = [ctypes.c_void_p]
+    lib.dtpu_enc_checkpoint.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.dtpu_enc_rollback.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.dtpu_enc_tell_frac.argtypes = [ctypes.c_void_p]
+    lib.dtpu_enc_tell_frac.restype = ctypes.c_int
+    lib.dtpu_enc_serialize.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_int]
+    lib.dtpu_enc_serialize.restype = ctypes.c_int
+    lib.dtpu_enc_deserialize.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.dtpu_enc_deserialize.restype = ctypes.c_void_p
+    lib.dtpu_dec_serialize.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.dtpu_dec_deserialize.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                         ctypes.c_void_p]
+    lib.dtpu_dec_deserialize.restype = ctypes.c_void_p
+    lib.dtpu_dec_symbol32.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_uint32,
+                                      ctypes.c_int]
+    lib.dtpu_dec_symbol32.restype = ctypes.c_int
+    lib.dtpu_dec_symbol64.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_uint32,
+                                      ctypes.c_int]
+    lib.dtpu_dec_symbol64.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -118,11 +139,47 @@ class NativeRangeEncoder:
     def tell(self):
         return self._lib.dtpu_enc_tell(self._h)
 
+    def tell_frac(self):
+        return self._lib.dtpu_enc_tell_frac(self._h)
+
+    def checkpoint(self):
+        st = (ctypes.c_int64 * 7)()
+        self._lib.dtpu_enc_checkpoint(self._h, st)
+        return bytes(st)
+
+    def rollback(self, state):
+        st = (ctypes.c_int64 * 7).from_buffer_copy(state)
+        self._lib.dtpu_enc_rollback(self._h, st)
+
+    def __reduce__(self):
+        n = self._lib.dtpu_enc_serialize(self._h, None, 0)
+        buf = ctypes.create_string_buffer(n)
+        self._lib.dtpu_enc_serialize(self._h, buf, n)
+        return (_enc_from_state, (buf.raw,))
+
     def done(self) -> bytes:
         n = self._lib.dtpu_enc_done(self._h, None, 0)
         buf = ctypes.create_string_buffer(n)
         self._lib.dtpu_enc_done(self._h, buf, n)
         return buf.raw
+
+
+def _enc_from_state(blob: bytes) -> "NativeRangeEncoder":
+    enc = NativeRangeEncoder.__new__(NativeRangeEncoder)
+    enc._lib = _load()
+    enc._h = enc._lib.dtpu_enc_deserialize(blob, len(blob))
+    return enc
+
+
+def _dec_from_state(data: bytes, blob: bytes) -> "NativeRangeDecoder":
+    dec = NativeRangeDecoder.__new__(NativeRangeDecoder)
+    dec._lib = _load()
+    dec._data = ctypes.create_string_buffer(bytes(data), len(data))
+    st = (ctypes.c_int64 * 8).from_buffer_copy(blob)
+    dec._h = dec._lib.dtpu_dec_deserialize(dec._data, len(data), st)
+    dec._raw = bytes(data)
+    dec.error = int(st[7])
+    return dec
 
 
 class NativeRangeDecoder:
@@ -132,6 +189,7 @@ class NativeRangeDecoder:
             raise RuntimeError("native EC library not available")
         self._data = ctypes.create_string_buffer(bytes(data), len(data))
         self._h = self._lib.dtpu_dec_create(self._data, len(data))
+        self._raw = bytes(data)
         self.error = 0
 
     def __del__(self):
@@ -140,10 +198,24 @@ class NativeRangeDecoder:
             self._h = None
 
     def _dec(self, cdf, ft, sh):
+        if isinstance(cdf, np.ndarray) and cdf.flags["C_CONTIGUOUS"]:
+            if cdf.dtype == np.int32:
+                return self._lib.dtpu_dec_symbol32(
+                    self._h, cdf.ctypes.data_as(ctypes.c_void_p),
+                    len(cdf), int(ft), int(sh))
+            if cdf.dtype == np.int64:
+                return self._lib.dtpu_dec_symbol64(
+                    self._h, cdf.ctypes.data_as(ctypes.c_void_p),
+                    len(cdf), int(ft), int(sh))
         arr = np.ascontiguousarray(cdf, dtype=np.uint16)
         return self._lib.dtpu_dec_symbol(
             self._h, arr.ctypes.data_as(ctypes.c_void_p), len(arr),
             int(ft), int(sh))
+
+    def __reduce__(self):
+        st = (ctypes.c_int64 * 8)()
+        self._lib.dtpu_dec_serialize(self._h, st)
+        return (_dec_from_state, (self._raw, bytes(st)))
 
     def decode_cdf_q15(self, cdf):
         return self._dec(cdf, 32768, 0)

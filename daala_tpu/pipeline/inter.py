@@ -35,6 +35,8 @@ from ..entropy import (
     GenericModel,
     RangeDecoder,
     RangeEncoder,
+    make_decoder,
+    make_encoder,
     generic_decode,
     generic_encode,
 )
@@ -543,7 +545,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         planes = planes_or_packet
         quantizer = codedquantizer_to_quantizer(cq)
         bounds = tile_rows(nvsb, tiles)
-        ecs = [RangeEncoder() for _ in bounds]
+        ecs = [make_encoder() for _ in bounds]
         mvctxs = [_MvCtx() for _ in bounds]
         for pli in range(nplanes):
             ecs[0].encode_uint(cq, N_CODED_QUANTIZERS)
@@ -565,7 +567,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         streams = unpack_tiles(planes_or_packet)
         bounds = tile_rows(nvsb, len(streams))
         streams = streams[:len(bounds)]  # corrupt ntiles: clamp
-        ecs = [RangeDecoder(s) for s in streams]
+        ecs = [make_decoder(s) for s in streams]
         mvctxs = [_MvCtx() for _ in bounds]
         cqs = [ecs[0].decode_uint(N_CODED_QUANTIZERS)
                for _ in range(nplanes)]

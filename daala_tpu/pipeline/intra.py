@@ -38,6 +38,8 @@ from ..core.state import QM_SIZE, AdaptState, FrameInfo, interp_pvq_qm
 from ..entropy import (
     RangeDecoder,
     RangeEncoder,
+    make_decoder,
+    make_encoder,
     decode_cdf_adapt,
     encode_cdf_adapt,
     generic_decode,
@@ -541,7 +543,7 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
     nplanes = info.nplanes
     bounds = tile_rows(info.frame_height >> 5, tiles)
     states = _tile_states(nplanes, quantizer, use_masking, len(bounds))
-    ecs = [RangeEncoder() for _ in bounds]
+    ecs = [make_encoder() for _ in bounds]
     # Frame header fields (tile 0 only).
     for pli in range(nplanes):
         for v in states[0].pvq_qm_q4[pli]:
@@ -726,7 +728,7 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
             if loc:
                 acct.set_location(loc)
             return d
-        return RangeDecoder(data)
+        return make_decoder(data)
 
     ecs = [_mkdec(s, "frame:header" if i == 0 else None)
            for i, s in enumerate(streams)]

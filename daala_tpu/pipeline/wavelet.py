@@ -16,7 +16,8 @@ import numpy as np
 
 from ..core.quant import codedquantizer_to_quantizer
 from ..core.state import AdaptState, FrameInfo
-from ..entropy import RangeDecoder, RangeEncoder, decode_cdf_adapt, \
+from ..entropy import RangeDecoder, RangeEncoder, \
+    make_decoder, make_encoder, decode_cdf_adapt, \
     encode_cdf_adapt
 from ..ops.dct import haar2d, ihaar2d
 from .intra import _sb_dc_code, _PlaneCtx, from_coeff, pad_plane, to_coeff
@@ -283,9 +284,9 @@ def _run(planes_or_packet, info: FrameInfo, quality: int, encoder: bool):
     lossless = quality == 0
     quantizer = 0 if lossless else codedquantizer_to_quantizer(quality)
     if encoder:
-        ec = RangeEncoder()
+        ec = make_encoder()
     else:
-        ec = RangeDecoder(planes_or_packet)
+        ec = make_decoder(planes_or_packet)
     pcs = []
     for pli in range(nplanes):
         pc = _PlaneCtx(info, pli, 3, quantizer, lossless)

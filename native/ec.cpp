@@ -252,6 +252,78 @@ int dtpu_dec_symbol(void* h, const uint16_t* cdf, int n, uint32_t ft,
   return dec_symbol((Decoder*)h, cdf, n, ft, sh);
 }
 
+// Same scan over an int32 CDF (numpy adaptation arrays are int32/64;
+// skipping the per-call uint16 copy is most of the symbol cost).
+int dtpu_dec_symbol32(void* h, const int32_t* cdf, int n, uint32_t ft,
+                      int sh) {
+  Decoder* dec = (Decoder*)h;
+  uint32_t dif = dec->dif;
+  uint32_t r = dec->rng;
+  uint32_t fts = ft << sh;
+  if (r - fts >= fts) {
+    fts <<= 1;
+    sh++;
+  }
+  uint32_t d = r - fts;
+  uint32_t c = dif >> 16;
+  int64_t q = c >> 1;
+  if ((int64_t)c - (int64_t)d > q) q = (int64_t)c - (int64_t)d;
+  uint32_t e = 2 * d > fts ? 2 * d - fts : 0;
+  int64_t q2 = (2 * (int64_t)c + 1 - (int64_t)e) / 3;
+  if (q2 > q) q = q2;
+  uint32_t qq = (uint32_t)q >> sh;
+  uint32_t fl = 0;
+  int ret = 0;
+  uint32_t fh = (uint32_t)cdf[0];
+  while (fh <= qq && ret + 1 < n) {
+    fl = fh;
+    ret++;
+    fh = (uint32_t)cdf[ret];
+  }
+  if (fh <= qq) dec->error = 1;
+  fl <<= sh;
+  fh <<= sh;
+  uint32_t u = part(fl, d, e);
+  uint32_t v = part(fh, d, e);
+  dec_normalize(dec, dif - (u << 16), v - u);
+  return ret;
+}
+
+int dtpu_dec_symbol64(void* h, const int64_t* cdf, int n, uint32_t ft,
+                      int sh) {
+  Decoder* dec = (Decoder*)h;
+  uint32_t dif = dec->dif;
+  uint32_t r = dec->rng;
+  uint32_t fts = ft << sh;
+  if (r - fts >= fts) {
+    fts <<= 1;
+    sh++;
+  }
+  uint32_t d = r - fts;
+  uint32_t c = dif >> 16;
+  int64_t q = c >> 1;
+  if ((int64_t)c - (int64_t)d > q) q = (int64_t)c - (int64_t)d;
+  uint32_t e = 2 * d > fts ? 2 * d - fts : 0;
+  int64_t q2 = (2 * (int64_t)c + 1 - (int64_t)e) / 3;
+  if (q2 > q) q = q2;
+  uint32_t qq = (uint32_t)q >> sh;
+  uint32_t fl = 0;
+  int ret = 0;
+  uint32_t fh = (uint32_t)cdf[0];
+  while (fh <= qq && ret + 1 < n) {
+    fl = fh;
+    ret++;
+    fh = (uint32_t)cdf[ret];
+  }
+  if (fh <= qq) dec->error = 1;
+  fl <<= sh;
+  fh <<= sh;
+  uint32_t u = part(fl, d, e);
+  uint32_t v = part(fh, d, e);
+  dec_normalize(dec, dif - (u << 16), v - u);
+  return ret;
+}
+
 uint32_t dtpu_dec_bits(void* h, int ftb) {
   Decoder* dec = (Decoder*)h;
   uint64_t w = dec->end_window;
@@ -276,6 +348,113 @@ uint32_t dtpu_dec_bits(void* h, int ftb) {
 }
 
 int dtpu_dec_error(void* h) { return ((Decoder*)h)->error; }
+
+// -- checkpoint / rollback (od_ec_enc_checkpoint semantics: O(1)
+// snapshot, rollback truncates the buffers to a causal ancestor) -----
+
+void dtpu_enc_checkpoint(void* h, int64_t* out7) {
+  Encoder* e = (Encoder*)h;
+  out7[0] = (int64_t)e->precarry.size();
+  out7[1] = e->low;
+  out7[2] = e->rng;
+  out7[3] = e->cnt;
+  out7[4] = (int64_t)e->end_flushed.size();
+  out7[5] = (int64_t)e->end_window;
+  out7[6] = e->nend_bits;
+}
+
+void dtpu_enc_rollback(void* h, const int64_t* s7) {
+  Encoder* e = (Encoder*)h;
+  e->precarry.resize((size_t)s7[0]);
+  e->low = (uint32_t)s7[1];
+  e->rng = (uint32_t)s7[2];
+  e->cnt = (int)s7[3];
+  e->end_flushed.resize((size_t)s7[4]);
+  e->end_window = (uint64_t)s7[5];
+  e->nend_bits = (int)s7[6];
+}
+
+int dtpu_enc_tell_frac(void* h) {
+  Encoder* e = (Encoder*)h;
+  int nbits = ((int)((e->precarry.size() + e->end_flushed.size()) * 8)
+               + e->cnt + e->nend_bits + 10) << 3;
+  uint32_t rng = e->rng;
+  int l = 0;
+  for (int i = 0; i < 3; i++) {
+    rng = (rng * rng) >> 15;
+    int b = (int)(rng >> 16);
+    l = (l << 1) | b;
+    rng >>= b;
+  }
+  return nbits - l;
+}
+
+// -- pickle support (tile workers fork and ship coders back) ---------
+
+int dtpu_enc_serialize(void* h, uint8_t* out, int cap) {
+  Encoder* e = (Encoder*)h;
+  int need = (int)(sizeof(int64_t) * 7 + e->precarry.size() * 2
+                   + e->end_flushed.size());
+  if (!out) return need;
+  if (cap < need) return -1;
+  int64_t hdr[7] = {(int64_t)e->precarry.size(),
+                    (int64_t)e->end_flushed.size(), e->low, e->rng,
+                    e->cnt, (int64_t)e->end_window, e->nend_bits};
+  memcpy(out, hdr, sizeof(hdr));
+  uint8_t* p = out + sizeof(hdr);
+  memcpy(p, e->precarry.data(), e->precarry.size() * 2);
+  p += e->precarry.size() * 2;
+  memcpy(p, e->end_flushed.data(), e->end_flushed.size());
+  return need;
+}
+
+void* dtpu_enc_deserialize(const uint8_t* buf, int len) {
+  if (len < (int)(sizeof(int64_t) * 7)) return nullptr;
+  int64_t hdr[7];
+  memcpy(hdr, buf, sizeof(hdr));
+  Encoder* e = new Encoder();
+  e->precarry.resize((size_t)hdr[0]);
+  e->end_flushed.resize((size_t)hdr[1]);
+  e->low = (uint32_t)hdr[2];
+  e->rng = (uint32_t)hdr[3];
+  e->cnt = (int)hdr[4];
+  e->end_window = (uint64_t)hdr[5];
+  e->nend_bits = (int)hdr[6];
+  const uint8_t* p = buf + sizeof(hdr);
+  memcpy(e->precarry.data(), p, e->precarry.size() * 2);
+  p += e->precarry.size() * 2;
+  memcpy(e->end_flushed.data(), p, e->end_flushed.size());
+  return e;
+}
+
+int dtpu_dec_serialize(void* h, int64_t* out8) {
+  Decoder* d = (Decoder*)h;
+  out8[0] = (int64_t)d->bpos;
+  out8[1] = d->epos;
+  out8[2] = d->dif;
+  out8[3] = d->rng;
+  out8[4] = d->cnt;
+  out8[5] = (int64_t)d->end_window;
+  out8[6] = d->nend_bits;
+  out8[7] = d->error;
+  return 0;
+}
+
+void* dtpu_dec_deserialize(const uint8_t* buf, int size,
+                           const int64_t* s8) {
+  Decoder* d = new Decoder();
+  d->buf = buf;
+  d->size = (size_t)size;
+  d->bpos = (size_t)s8[0];
+  d->epos = (long)s8[1];
+  d->dif = (uint32_t)s8[2];
+  d->rng = (uint32_t)s8[3];
+  d->cnt = (int)s8[4];
+  d->end_window = (uint64_t)s8[5];
+  d->nend_bits = (int)s8[6];
+  d->error = (int)s8[7];
+  return d;
+}
 
 }  // extern "C"
 
