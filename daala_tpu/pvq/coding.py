@@ -651,10 +651,87 @@ def _pvq_theta_py(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
 # -- band stream coding ---------------------------------------------------
 
 
+
+
+# -- native band-symbol dispatch ------------------------------------------
+
+_PLIB = None
+
+
+def _partition_lib():
+    """The C++ band symbol coder (native/ec.cpp) — used when the range
+    coder spine is native (the handle is shared)."""
+    global _PLIB
+    if _PLIB is not None:
+        return _PLIB
+    import ctypes
+
+    from ..entropy import native as _n
+
+    lib = _n._load()
+    if not lib or not hasattr(lib, "dtpu_encode_partition"):
+        _PLIB = False
+        return False
+    from ..entropy.tables import EXP_CDF_TABLE, LAPLACE_OFFSET
+
+    p = ctypes.c_void_p
+    lib.dtpu_set_tables.argtypes = [p, p]
+    lib.dtpu_encode_partition.argtypes = [
+        p, p, ctypes.c_int, ctypes.c_int, p, ctypes.c_int, p, p, p, p,
+        ctypes.c_int, p, p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.dtpu_decode_partition_symbols1.argtypes = [
+        p, p, ctypes.c_int, ctypes.c_int, p]
+    lib.dtpu_decode_generic.argtypes = [
+        p, p, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int]
+    lib.dtpu_decode_generic.restype = ctypes.c_int
+    lib.dtpu_decode_codeword.argtypes = [
+        p, p, ctypes.c_int, p, p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    _partition_lib._exp = np.ascontiguousarray(EXP_CDF_TABLE,
+                                               dtype=np.int32)
+    _partition_lib._off = np.ascontiguousarray(LAPLACE_OFFSET,
+                                               dtype=np.int32)
+    lib.dtpu_set_tables(
+        _partition_lib._exp.ctypes.data_as(p),
+        _partition_lib._off.ctypes.data_as(p))
+    _PLIB = lib
+    return lib
+
+
+def _ptr(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
 def _encode_partition(enc: RangeEncoder, adapt: PvqAdapt, qg, theta,
                       max_theta, y, n, k, pli, band, nodesync,
                       cdf_ctx, is_keyframe, code_skip, skip_rest,
                       bs) -> None:
+    h = getattr(enc, "_h", None)
+    lib = _partition_lib() if h is not None else False
+    if lib:
+        import ctypes
+        noref = theta == -1
+        model = adapt.param_model[0 if noref else 1]
+        y64 = np.ascontiguousarray(y, dtype=np.int64)
+        cdf_id = 2 * (n == 15) + (0 if noref else 1)
+        exg_off = ((pli * NBSIZES + bs) * PVQ_MAX_PARTITIONS + band) * 8
+        ext_off = (bs * PVQ_MAX_PARTITIONS + band) * 8
+        lib.dtpu_encode_partition(
+            h, _ptr(adapt.gaintheta_cdf[cdf_ctx]),
+            8 + 7 * code_skip, adapt.gaintheta_increment,
+            _ptr(model.cdf), model.increment,
+            ctypes.c_void_p(adapt.exg.ctypes.data + exg_off),
+            ctypes.c_void_p(adapt.ext.ctypes.data + ext_off),
+            _ptr(adapt.param_model[2].cdf),
+            _ptr(adapt.k1_cdf[cdf_id]), adapt.k1_increment,
+            _ptr(adapt.pvq_adapt[2 * bs + (1 if noref else 0)]),
+            _ptr(y64), n, k, int(qg), int(theta), int(max_theta),
+            int(bool(nodesync)), int(bool(is_keyframe)),
+            int(code_skip), int(skip_rest), bs)
+        return
     noref = theta == -1
     pid = (1 if qg > 0 else 0) + 2 * min(theta + 1, 3) \
         + 8 * code_skip * skip_rest
@@ -690,6 +767,8 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
                       cdf_ctx, cfl, has_skip, skip_rest, band, bs,
                       qm, qm_inv):
     """Returns (out, noref, skip)."""
+    h = getattr(dec, "_h", None)
+    lib = _partition_lib() if h is not None else False
     nodesync = robust or is_keyframe
     theta = 0.0
     gr = 0.0
@@ -703,9 +782,18 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
             itheta = 0
             noref = False
     else:
-        pid = decode_cdf_adapt(
-            dec, adapt.gaintheta_cdf[cdf_ctx][:8 + 7 * has_skip],
-            adapt.gaintheta_increment)
+        if lib:
+            import ctypes
+            _pid = ctypes.c_int()
+            lib.dtpu_decode_partition_symbols1(
+                h, _ptr(adapt.gaintheta_cdf[cdf_ctx]),
+                8 + 7 * has_skip, adapt.gaintheta_increment,
+                ctypes.byref(_pid))
+            pid = _pid.value
+        else:
+            pid = decode_cdf_adapt(
+                dec, adapt.gaintheta_cdf[cdf_ctx][:8 + 7 * has_skip],
+                adapt.gaintheta_increment)
         if not is_keyframe and pid >= 10:
             pid += 1
         if is_keyframe and pid >= 8:
@@ -717,8 +805,14 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
         itheta = (pid >> 1) - 1
         noref = itheta == -1
     if qg > 0:
-        v, _ = generic_decode(dec, adapt.param_model[0 if noref else 1],
-                              -1, int(adapt.exg[pli, bs, band]), 2)
+        model = adapt.param_model[0 if noref else 1]
+        if lib:
+            v = lib.dtpu_decode_generic(
+                h, _ptr(model.cdf), model.increment, -1,
+                int(adapt.exg[pli, bs, band]), 2)
+        else:
+            v, _ = generic_decode(dec, model, -1,
+                                  int(adapt.exg[pli, bs, band]), 2)
         qg = 1 + v
         adapt.exg[pli, bs, band] += ((qg << 16)
                                      - adapt.exg[pli, bs, band]) >> 2
@@ -742,9 +836,16 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
         max_theta = core.compute_max_theta(qcg, beta)
         if itheta > 1 and (nodesync or max_theta > 3):
             ei = bs * PVQ_MAX_PARTITIONS + band
-            v, _ = generic_decode(dec, adapt.param_model[2],
-                                  -1 if nodesync else max_theta - 3,
-                                  int(adapt.ext[ei]), 2)
+            if lib:
+                v = lib.dtpu_decode_generic(
+                    h, _ptr(adapt.param_model[2].cdf),
+                    adapt.param_model[2].increment,
+                    -1 if nodesync else max_theta - 3,
+                    int(adapt.ext[ei]), 2)
+            else:
+                v, _ = generic_decode(dec, adapt.param_model[2],
+                                      -1 if nodesync else max_theta - 3,
+                                      int(adapt.ext[ei]), 2)
             itheta = 2 + v
             adapt.ext[ei] += ((itheta << 16) - adapt.ext[ei]) >> 2
         theta = core.compute_theta(itheta, max_theta)
@@ -757,7 +858,15 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
             skip = SKIP_ZERO
     k = core.compute_k(qcg, itheta, theta, noref, n, beta, nodesync)
     if k != 0:
-        y = _decode_codeword(dec, adapt, n, k, noref, bs)
+        if lib:
+            y = np.zeros(n, dtype=np.int64)
+            cdf_id = 2 * (n == 15) + (0 if noref else 1)
+            lib.dtpu_decode_codeword(
+                h, _ptr(adapt.k1_cdf[cdf_id]), adapt.k1_increment,
+                _ptr(adapt.pvq_adapt[2 * bs + (1 if noref else 0)]),
+                _ptr(y), n, int(k), int(bool(noref)), bs)
+        else:
+            y = _decode_codeword(dec, adapt, n, k, noref, bs)
     else:
         y = np.zeros(n, dtype=np.int64)
     if cfl["allow_flip"] and not noref:

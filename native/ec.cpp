@@ -778,3 +778,589 @@ extern "C" int dtpu_pvq_theta_batch(
   }
   return 0;
 }
+
+extern "C" uint32_t dtpu_dec_bits(void* h, int ftb);
+
+// ====================================================================
+// Adaptive symbol models + the PVQ band partition coder — C++ twins of
+// entropy/adapt.py and pvq/coding.py's _encode/_decode_partition symbol
+// work, operating in place on the SAME numpy adaptation arrays the
+// Python path uses (pointers passed per call).  Floating-point work
+// (gain/householder/synthesis) stays in Python per the consistency
+// contract; only integer symbol coding and adaptation live here.
+// ====================================================================
+
+namespace {
+
+struct Tables {
+  const int32_t* exp_cdf = nullptr;   // (128, 16), rows end at 32768
+  const int32_t* lap_off = nullptr;   // (128,)
+};
+Tables g_tab;
+
+const int64_t OD_ADAPT_NO_VALUE = -((int64_t)1 << 31);
+
+inline void adapt_cdf32(int32_t* cdf, int n, int val, int inc) {
+  if (cdf[n - 1] + inc > 32767) {
+    for (int i = 0; i < n; i++) cdf[i] = (cdf[i] >> 1) + i + 1;
+  }
+  for (int i = val; i < n; i++) cdf[i] += inc;
+}
+
+inline void enc_cdf_unscaled32(Encoder* e, int s, const int32_t* cdf,
+                               int n) {
+  uint32_t ft = (uint32_t)cdf[n - 1];
+  int sh = 15 - ilog(ft - 1);
+  uint32_t fl = s > 0 ? ((uint32_t)cdf[s - 1] << sh) : 0;
+  enc_symbol(e, fl, (uint32_t)cdf[s] << sh, ft << sh);
+}
+
+inline void enc_cdf_adapt32(Encoder* e, int val, int32_t* cdf, int n,
+                            int inc) {
+  enc_cdf_unscaled32(e, val, cdf, n);
+  adapt_cdf32(cdf, n, val, inc);
+}
+
+inline int dec_cdf_unscaled32(Decoder* d, const int32_t* cdf, int n) {
+  uint32_t ft = (uint32_t)cdf[n - 1];
+  int sh = 15 - ilog(ft - 1);
+  uint32_t fts = ft << sh;
+  uint32_t dif = d->dif;
+  uint32_t r = d->rng;
+  if (r - fts >= fts) { fts <<= 1; sh++; }
+  uint32_t dd = r - fts;
+  uint32_t c = dif >> 16;
+  int64_t q = c >> 1;
+  if ((int64_t)c - (int64_t)dd > q) q = (int64_t)c - (int64_t)dd;
+  uint32_t ee = 2 * dd > fts ? 2 * dd - fts : 0;
+  int64_t q2 = (2 * (int64_t)c + 1 - (int64_t)ee) / 3;
+  if (q2 > q) q = q2;
+  uint32_t qq = (uint32_t)q >> sh;
+  uint32_t fl = 0;
+  int ret = 0;
+  uint32_t fh = (uint32_t)cdf[0];
+  while (fh <= qq && ret + 1 < n) { fl = fh; ret++; fh = (uint32_t)cdf[ret]; }
+  if (fh <= qq) d->error = 1;
+  fl <<= sh;
+  fh <<= sh;
+  uint32_t u = part(fl, dd, ee);
+  uint32_t v = part(fh, dd, ee);
+  dec_normalize(d, dif - (u << 16), v - u);
+  return ret;
+}
+
+inline int dec_cdf_adapt32(Decoder* d, int32_t* cdf, int n, int inc) {
+  int val = dec_cdf_unscaled32(d, cdf, n);
+  adapt_cdf32(cdf, n, val, inc);
+  return val;
+}
+
+// Offset CDF variant: encode with (cdf[i] - off) as the effective CDF
+// (laplace_encode's "cdf = EXP_CDF_TABLE[idx] - offset").
+inline void enc_cdf_unscaled_off(Encoder* e, int s, const int32_t* cdf,
+                                 int off, int n) {
+  uint32_t ft = (uint32_t)(cdf[n - 1] - off);
+  int sh = 15 - ilog(ft - 1);
+  uint32_t fl = s > 0 ? ((uint32_t)(cdf[s - 1] - off) << sh) : 0;
+  enc_symbol(e, fl, (uint32_t)(cdf[s] - off) << sh, ft << sh);
+}
+
+inline int dec_cdf_unscaled_off(Decoder* d, const int32_t* cdf, int off,
+                                int n) {
+  // Mirror of enc_cdf_unscaled_off via a small stack copy (n <= 16).
+  int32_t tmp[16];
+  for (int i = 0; i < n; i++) tmp[i] = cdf[i] - off;
+  return dec_cdf_unscaled32(d, tmp, n);
+}
+
+inline void enc_cdf_q15_32(Encoder* e, int s, const int32_t* cdf, int n) {
+  uint32_t fl = s > 0 ? (uint32_t)cdf[s - 1] : 0;
+  enc_symbol(e, fl, (uint32_t)cdf[s], (uint32_t)cdf[n - 1]);
+}
+
+inline int dec_cdf_q15_32(Decoder* d, const int32_t* cdf, int n) {
+  return dec_cdf_unscaled32(d, cdf, n);  // ft=32768 -> sh==0 path
+}
+
+inline int log_ex_c(int64_t ex_q16) {
+  int lg = 0;
+  { int64_t v = ex_q16; while (v) { lg++; v >>= 1; } }
+  int odd;
+  if (lg < 15) {
+    odd = ex_q16 * ex_q16 > ((int64_t)2 << (2 * lg)) ? 1 : 0;
+  } else {
+    int64_t tmp = ex_q16 >> (lg - 8);
+    odd = tmp * tmp > ((int64_t)1 << 15) ? 1 : 0;
+  }
+  int r = 2 * lg - 33 + odd;
+  return r > 0 ? r : 0;
+}
+
+void laplace_encode_special_c(Encoder* e, int x, int decay, int maxval) {
+  int shift = 0;
+  if (maxval == 0) return;
+  while (((maxval >> shift) >= 15 || maxval == -1) && decay > 235) {
+    decay = (decay * decay + 128) >> 8;
+    shift++;
+  }
+  decay = decay < 2 ? 2 : (decay > 254 ? 254 : decay);
+  int xs = x >> shift;
+  int ms = maxval >> shift;
+  const int32_t* cdf = g_tab.exp_cdf + 16 * ((decay + 1) >> 1);
+  for (;;) {
+    int sym = xs < 15 ? xs : 15;
+    if (0 < ms && ms < 15) {
+      enc_cdf_unscaled32(e, sym, cdf, ms + 1);
+    } else {
+      enc_cdf_q15_32(e, sym, cdf, 16);
+    }
+    xs -= 15;
+    ms -= 15;
+    if (!(sym >= 15 && ms != 0)) break;
+  }
+  if (shift) enc_bits(e, (uint32_t)(x & ((1 << shift) - 1)), shift);
+}
+
+int laplace_decode_special_c(Decoder* d, int decay, int maxval) {
+  int shift = 0;
+  if (maxval == 0) return 0;
+  while (((maxval >> shift) >= 15 || maxval == -1) && decay > 235) {
+    decay = (decay * decay + 128) >> 8;
+    shift++;
+  }
+  decay = decay < 2 ? 2 : (decay > 254 ? 254 : decay);
+  int ms = maxval >> shift;
+  const int32_t* cdf = g_tab.exp_cdf + 16 * ((decay + 1) >> 1);
+  int xs = 0;
+  for (;;) {
+    int sym;
+    if (0 < ms && ms < 15) {
+      sym = dec_cdf_unscaled32(d, cdf, ms + 1);
+    } else {
+      sym = dec_cdf_q15_32(d, cdf, 16);
+    }
+    xs += sym;
+    ms -= 15;
+    if (!(sym >= 15 && ms != 0)) break;
+  }
+  int pos = xs;
+  if (shift) {
+    pos = (xs << shift) + (int)dtpu_dec_bits((void*)d, shift);
+  }
+  if (maxval != -1 && pos > maxval) { pos = maxval; d->error = 1; }
+  return pos;
+}
+
+int64_t generic_encode_c(Encoder* e, int32_t* model_cdf, int model_inc,
+                         int x, int maxval, int64_t ex_q16, int integ) {
+  if (maxval == 0) return ex_q16;
+  int lg = log_ex_c(ex_q16);
+  int shift = (lg - 5) >> 1;
+  if (shift < 0) shift = 0;
+  int mid = lg < 11 ? lg : 11;
+  int32_t* cdf = model_cdf + 16 * mid;
+  int xs = (x + ((1 << shift) >> 1)) >> shift;
+  int ms = (maxval + ((1 << shift) >> 1)) >> shift;
+  if (maxval == -1) {
+    enc_cdf_unscaled32(e, xs < 15 ? xs : 15, cdf, 16);
+  } else {
+    int nn = ms + 1 < 16 ? ms + 1 : 16;
+    enc_cdf_unscaled32(e, xs < 15 ? xs : 15, cdf, nn);
+  }
+  if (xs >= 15) {
+    int64_t ee = (((2 * ex_q16) >> 8) + ((1 << shift) >> 1)) >> shift;
+    int decay = (int)(256 * ee / (ee + 256));
+    decay = decay < 2 ? 2 : (decay > 254 ? 254 : decay);
+    laplace_encode_special_c(e, xs - 15, decay,
+                             maxval == -1 ? -1 : ms - 15);
+  }
+  if (shift != 0) {
+    int special = xs == 0 ? 1 : 0;
+    if (shift - special > 0) {
+      enc_bits(e, (uint32_t)(x - (xs << shift)
+                             + ((1 - special) << (shift - 1))),
+               shift - special);
+    }
+  }
+  // model update
+  if (cdf[15] + model_inc > 32767) {
+    for (int i = 0; i < 16; i++) cdf[i] = (cdf[i] >> 1) + i + 1;
+  }
+  for (int i = xs < 15 ? xs : 15; i < 16; i++) cdf[i] += model_inc;
+  int64_t xc = x < 32767 ? x : 32767;
+  return ex_q16 + (((xc << 16) - ex_q16) >> integ);
+}
+
+int64_t generic_decode_c(Decoder* d, int32_t* model_cdf, int model_inc,
+                         int maxval, int64_t ex_q16, int integ,
+                         int* out_x) {
+  if (maxval == 0) { *out_x = 0; return ex_q16; }
+  int lg = log_ex_c(ex_q16);
+  int shift = (lg - 5) >> 1;
+  if (shift < 0) shift = 0;
+  int mid = lg < 11 ? lg : 11;
+  int32_t* cdf = model_cdf + 16 * mid;
+  int ms = (maxval + ((1 << shift) >> 1)) >> shift;
+  int xs;
+  if (maxval == -1) {
+    xs = dec_cdf_unscaled32(d, cdf, 16);
+  } else {
+    int nn = ms + 1 < 16 ? ms + 1 : 16;
+    xs = dec_cdf_unscaled32(d, cdf, nn);
+  }
+  if (xs == 15) {
+    int64_t ee = (((2 * ex_q16) >> 8) + ((1 << shift) >> 1)) >> shift;
+    int decay = (int)(256 * ee / (ee + 256));
+    decay = decay < 2 ? 2 : (decay > 254 ? 254 : decay);
+    xs += laplace_decode_special_c(d, decay,
+                                   maxval == -1 ? -1 : ms - 15);
+  }
+  int lsb = 0;
+  if (shift != 0) {
+    int special = xs == 0 ? 1 : 0;
+    if (shift - special > 0) {
+      lsb = (int)dtpu_dec_bits((void*)d, shift - special);
+    }
+    lsb -= (1 - special) << (shift - 1);
+  }
+  int x = (xs << shift) + lsb;
+  if (cdf[15] + model_inc > 32767) {
+    for (int i = 0; i < 16; i++) cdf[i] = (cdf[i] >> 1) + i + 1;
+  }
+  for (int i = xs < 15 ? xs : 15; i < 16; i++) cdf[i] += model_inc;
+  *out_x = x;
+  int64_t xc = x < 32767 ? x : 32767;
+  return ex_q16 + (((xc << 16) - ex_q16) >> integ);
+}
+
+void laplace_encode_c(Encoder* e, int x, int ex_q8, int k) {
+  int shift = ilog((uint32_t)ex_q8) - 11;
+  if (shift < 0) shift = 0;
+  ex_q8 = (ex_q8 + ((1 << shift) >> 1)) >> shift;
+  k = (k + ((1 << shift) >> 1)) >> shift;
+  int xs = (x + ((1 << shift) >> 1)) >> shift;
+  int decay = 256 * ex_q8 / (ex_q8 + 256);
+  if (decay > 254) decay = 254;
+  int idx = (decay + 1) >> 1;
+  int off = g_tab.lap_off[idx];
+  const int32_t* cdf = g_tab.exp_cdf + 16 * idx;
+  int sym = xs < 15 ? xs : 15;
+  if (k != 0) {
+    int nn = k + 1 < 16 ? k + 1 : 16;
+    enc_cdf_unscaled_off(e, sym, cdf, off, nn);
+  }
+  if (shift) {
+    int special = xs == 0 ? 1 : 0;
+    if (shift - special > 0) {
+      enc_bits(e, (uint32_t)(x - (xs << shift)
+                             + ((1 - special) << (shift - 1))),
+               shift - special);
+    }
+  }
+  if (xs >= 15) laplace_encode_special_c(e, xs - 15, decay, k - 15);
+}
+
+int laplace_decode_c(Decoder* d, int ex_q8, int k) {
+  int shift = ilog((uint32_t)ex_q8) - 11;
+  if (shift < 0) shift = 0;
+  ex_q8 = (ex_q8 + ((1 << shift) >> 1)) >> shift;
+  k = (k + ((1 << shift) >> 1)) >> shift;
+  int decay = 256 * ex_q8 / (ex_q8 + 256);
+  if (decay > 254) decay = 254;
+  int idx = (decay + 1) >> 1;
+  int off = g_tab.lap_off[idx];
+  const int32_t* cdf = g_tab.exp_cdf + 16 * idx;
+  int sym = 0;
+  if (k != 0) {
+    int nn = k + 1 < 16 ? k + 1 : 16;
+    sym = dec_cdf_unscaled_off(d, cdf, off, nn);
+  }
+  int lsb = 0;
+  if (shift) {
+    int special = sym == 0 ? 1 : 0;
+    if (shift - special > 0) {
+      lsb = (int)dtpu_dec_bits((void*)d, shift - special);
+    }
+    lsb -= (1 - special) << (shift - 1);
+  }
+  if (sym == 15) sym += laplace_decode_special_c(d, decay, k - 15);
+  return (sym << shift) + lsb;
+}
+
+inline int delta_decay_c(int64_t coef, int n, int prev, int k_left) {
+  int64_t ex = coef * (n - prev) / k_left;
+  if (ex > 65280) return 255;
+  int64_t v = 256 * ex / (ex + 256)
+      + (ex >> 5) * ex / ((int64_t)(n + 1) * (n - 1) * (n - 1));
+  return v < 255 ? (int)v : 255;
+}
+
+void encode_vector_delta_c(Encoder* e, const int64_t* y, int n, int k,
+                           int64_t* curr, const int64_t* means) {
+  int prev = 0;
+  int64_t sum_ex = 0, sum_c = 0;
+  int first = 1;
+  int k_left = k;
+  int64_t coef = 256 * means[2] / (1 + means[3]);
+  if (coef < 1) coef = 1;
+  for (int i = 0; i < n; i++) {
+    if (y[i] != 0) {
+      int mag = (int)(y[i] < 0 ? -y[i] : y[i]);
+      int count = i - prev;
+      if (first) {
+        int decay = delta_decay_c(coef, n, prev, k_left);
+        laplace_encode_special_c(e, count, decay, n - 1);
+        first = 0;
+      } else {
+        laplace_encode_c(e, count, (int)(coef * (n - prev) / k_left),
+                         n - prev - 1);
+      }
+      sum_ex += 256 * (int64_t)(n - prev);
+      sum_c += (int64_t)count * k_left;
+      enc_bits(e, y[i] < 0 ? 1u : 0u, 1);
+      for (int j = 0; j < mag - 1; j++) {
+        laplace_encode_c(e, 0, (int)(coef * (n - i) / (k_left - 1 - j)),
+                         n - i - 1);
+        sum_ex += 256 * (int64_t)(n - i);
+      }
+      k_left -= mag;
+      prev = i;
+      if (k_left == 0) break;
+    }
+  }
+  if (k > 0) {
+    curr[2] = 256 * sum_c;
+    curr[3] = sum_ex;
+  } else {
+    curr[2] = OD_ADAPT_NO_VALUE;
+    curr[3] = OD_ADAPT_NO_VALUE;
+  }
+  curr[0] = 0;
+  curr[1] = 0;
+}
+
+void laplace_encode_vector_c(Encoder* e, const int64_t* y, int n, int k,
+                             int64_t* curr, const int64_t* means) {
+  if (k <= 1) {
+    encode_vector_delta_c(e, y, n, k, curr, means);
+    return;
+  }
+  int64_t sum_ex = 0;
+  int kn = k;
+  int64_t mean_k = means[0], mean_sum_ex = means[1];
+  int64_t exp_q8 = mean_k < ((int64_t)1 << 23)
+      ? 256 * mean_k / (1 + mean_sum_ex)
+      : mean_k / (1 + (mean_sum_ex >> 8));
+  int ran_delta = 0;
+  for (int i = 0; i < n; i++) {
+    if (kn == 0) break;
+    if (kn <= 1 && i != n - 1) {
+      encode_vector_delta_c(e, y + i, n - i, kn, curr, means);
+      ran_delta = 1;
+      break;
+    }
+    int x = (int)(y[i] < 0 ? -y[i] : y[i]);
+    int64_t ex = (2 * exp_q8 * kn + (n - i)) / (2 * (int64_t)(n - i));
+    if (ex > kn * 256) ex = kn * 256;
+    sum_ex += (2 * 256 * (int64_t)kn + (n - i)) / (2 * (int64_t)(n - i));
+    if (i != n - 1) laplace_encode_c(e, x, (int)ex, kn);
+    if (x != 0) enc_bits(e, y[i] < 0 ? 1u : 0u, 1);
+    kn -= x;
+  }
+  if (!ran_delta) {
+    curr[2] = OD_ADAPT_NO_VALUE;
+    curr[3] = OD_ADAPT_NO_VALUE;
+  }
+  curr[0] = k - kn;
+  curr[1] = sum_ex;
+}
+
+void decode_vector_delta_c(Decoder* d, int64_t* y, int n, int k,
+                           int64_t* curr, const int64_t* means) {
+  int prev = 0;
+  int64_t sum_ex = 0, sum_c = 0;
+  int64_t coef = 256 * means[2] / (1 + means[3]);
+  if (coef < 1) coef = 1;
+  int pos = 0, sign = 0, first = 1, k_left = k;
+  for (int i = 0; i < n; i++) y[i] = 0;
+  for (int iter = 0; iter < k; iter++) {
+    int count;
+    if (first) {
+      int decay = delta_decay_c(coef, n, prev, k_left);
+      count = laplace_decode_special_c(d, decay, n - 1);
+      first = 0;
+    } else {
+      count = laplace_decode_c(d, (int)(coef * (n - prev) / k_left),
+                               n - prev - 1);
+    }
+    sum_ex += 256 * (int64_t)(n - prev);
+    sum_c += (int64_t)count * k_left;
+    pos += count;
+    if (pos < 0 || pos >= n) { d->error = 1; pos = n - 1; }
+    if (y[pos] == 0) sign = (int)dtpu_dec_bits((void*)d, 1);
+    y[pos] += sign ? -1 : 1;
+    prev = pos;
+    k_left -= 1;
+    if (k_left == 0) break;
+  }
+  if (k > 0) {
+    curr[2] = 256 * sum_c;
+    curr[3] = sum_ex;
+  } else {
+    curr[2] = OD_ADAPT_NO_VALUE;
+    curr[3] = OD_ADAPT_NO_VALUE;
+  }
+  curr[0] = 0;
+  curr[1] = 0;
+}
+
+void laplace_decode_vector_c(Decoder* d, int64_t* y, int n, int k,
+                             int64_t* curr, const int64_t* means) {
+  if (k <= 1) {
+    decode_vector_delta_c(d, y, n, k, curr, means);
+    return;
+  }
+  int64_t sum_ex = 0;
+  int kn = k;
+  int64_t mean_k = means[0], mean_sum_ex = means[1];
+  int64_t exp_q8 = mean_k < ((int64_t)1 << 23)
+      ? 256 * mean_k / (1 + mean_sum_ex)
+      : mean_k / (1 + (mean_sum_ex >> 8));
+  int ran_delta = 0;
+  int i = 0;
+  while (i < n) {
+    if (kn == 0) break;
+    if (kn <= 1 && i != n - 1) {
+      decode_vector_delta_c(d, y + i, n - i, kn, curr, means);
+      ran_delta = 1;
+      i = n;
+      break;
+    }
+    int64_t ex = (2 * exp_q8 * kn + (n - i)) / (2 * (int64_t)(n - i));
+    if (ex > kn * 256) ex = kn * 256;
+    sum_ex += (2 * 256 * (int64_t)kn + (n - i)) / (2 * (int64_t)(n - i));
+    int x;
+    if (i != n - 1) x = laplace_decode_c(d, (int)ex, kn);
+    else x = kn;
+    if (x != 0 && dtpu_dec_bits((void*)d, 1)) x = -x;
+    y[i] = x;
+    kn -= x < 0 ? -x : x;
+    i++;
+  }
+  if (!ran_delta) {
+    curr[2] = OD_ADAPT_NO_VALUE;
+    curr[3] = OD_ADAPT_NO_VALUE;
+  }
+  curr[0] = k - kn;
+  curr[1] = sum_ex;
+  for (; i < n; i++) y[i] = 0;
+}
+
+inline void merge_adapt_c(int64_t* row, const int64_t* curr, int speed) {
+  if (curr[0] > 0) {
+    row[0] += (256 * curr[0] - row[0]) >> speed;
+    row[1] += (curr[1] - row[1]) >> speed;
+  }
+  if (curr[2] > 0) {
+    row[2] += (curr[2] - row[2]) >> speed;
+    row[3] += (curr[3] - row[3]) >> speed;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void dtpu_set_tables(const int32_t* exp_cdf, const int32_t* lap_off) {
+  g_tab.exp_cdf = exp_cdf;
+  g_tab.lap_off = lap_off;
+}
+
+// One PVQ band's symbols, encoder side (pvq/coding.py
+// _encode_partition + _encode_codeword + _merge_adapt).
+void dtpu_encode_partition(
+    void* h,
+    int32_t* gaintheta_row, int gt_len, int gt_inc,
+    int32_t* model_cdf, int model_inc,       // param model (12x16)
+    int64_t* exg_cell, int64_t* ext_cell,    // leaky expectations
+    int32_t* theta_model_cdf,                // param model 2
+    int32_t* k1_cdf_row, int k1_inc,
+    int64_t* pvq_adapt_row,
+    const int64_t* y, int n, int k,
+    int qg, int theta, int max_theta,
+    int nodesync, int is_keyframe, int code_skip, int skip_rest,
+    int bs) {
+  Encoder* e = (Encoder*)h;
+  int noref = theta == -1;
+  int pid = (qg > 0 ? 1 : 0)
+      + 2 * (theta + 1 < 3 ? theta + 1 : 3)
+      + 8 * code_skip * skip_rest;
+  if (is_keyframe) {
+    if (pid >= 8) pid -= 1;
+  } else {
+    if (pid >= 10) pid -= 1;
+  }
+  enc_cdf_adapt32(e, pid, gaintheta_row, gt_len, gt_inc);
+  if (qg > 0) {
+    int64_t ex = *exg_cell;
+    generic_encode_c(e, model_cdf, model_inc, qg - 1, -1, ex, 2);
+    *exg_cell += (((int64_t)qg << 16) - *exg_cell) >> 2;
+  }
+  if (theta > 1 && (nodesync || max_theta > 3)) {
+    int64_t ex = *ext_cell;
+    generic_encode_c(e, theta_model_cdf, model_inc, theta - 2,
+                     nodesync ? -1 : max_theta - 3, ex, 2);
+    *ext_cell += (((int64_t)theta << 16) - *ext_cell) >> 2;
+  }
+  // codeword
+  if (k == 1 && n < 16) {
+    int cdf_id_len = n - (noref ? 0 : 1);
+    int pos = 0;
+    for (int i = 0; i < cdf_id_len; i++) {
+      if (y[i] != 0) { pos = i; break; }
+    }
+    enc_cdf_adapt32(e, pos, k1_cdf_row, cdf_id_len, k1_inc);
+    enc_bits(e, y[pos] < 0 ? 1u : 0u, 1);
+  } else {
+    int64_t curr[4] = {0, 0, 0, 0};
+    laplace_encode_vector_c(e, y, n - (noref ? 0 : 1), k, curr,
+                            pvq_adapt_row);
+    merge_adapt_c(pvq_adapt_row, curr, 5);
+  }
+}
+
+// Decoder side: pid/gain/theta/codeword symbols only — float synthesis
+// stays in Python.  Outputs via pointers; returns pid.
+void dtpu_decode_partition_symbols1(
+    void* h,
+    int32_t* gaintheta_row, int gt_len, int gt_inc,
+    int* out_pid) {
+  *out_pid = dec_cdf_adapt32((Decoder*)h, gaintheta_row, gt_len, gt_inc);
+}
+
+int dtpu_decode_generic(void* h, int32_t* model_cdf, int model_inc,
+                        int maxval, int64_t ex_q16, int integ) {
+  int x;
+  generic_decode_c((Decoder*)h, model_cdf, model_inc, maxval, ex_q16,
+                   integ, &x);
+  return x;
+}
+
+void dtpu_decode_codeword(void* h, int32_t* k1_cdf_row, int k1_inc,
+                          int64_t* pvq_adapt_row, int64_t* y, int n,
+                          int k, int noref, int bs) {
+  Decoder* d = (Decoder*)h;
+  for (int i = 0; i < n; i++) y[i] = 0;
+  if (k == 1 && n < 16) {
+    int nn = n - (noref ? 0 : 1);
+    int pos = dec_cdf_adapt32(d, k1_cdf_row, nn, k1_inc);
+    y[pos] = dtpu_dec_bits((void*)d, 1) ? -1 : 1;
+  } else {
+    int64_t curr[4] = {0, 0, 0, 0};
+    laplace_decode_vector_c(d, y, n - (noref ? 0 : 1), k, curr,
+                            pvq_adapt_row);
+    merge_adapt_c(pvq_adapt_row, curr, 5);
+  }
+}
+
+}  // extern "C"
