@@ -62,27 +62,59 @@ def subpel_predict_blocks(ref_padded: np.ndarray, pad: int,
     ix = xs + (mvx >> 3) + pad
     fy = (mvy & 7).astype(np.int32)
     fx = (mvx & 7).astype(np.int32)
-    # Gather (n + 5) x (n + 5) windows starting at the top apron.
-    wy = iy[:, None] - TOP_APRON + np.arange(n + 5)[None, :]
-    wx = ix[:, None] - TOP_APRON + np.arange(n + 5)[None, :]
-    win = ref_padded[wy[:, :, None], wx[:, None, :]].astype(np.int32)
-    # Horizontal 6-tap with per-block phase filters.
-    fh = SUBPEL_FILTERS[fx]                    # (N, 6)
-    k = np.arange(6)
-    # h[b, r, c] = sum_k win[b, r, c + k] * fh[b, k], c in [0, n)
-    center = 128 << (bitdepth - 8)
-    h = np.einsum("brck,bk->brc",
-                  np.lib.stride_tricks.sliding_window_view(win, 6, axis=2),
-                  fh) - (center << 7)
-    # Vertical 6-tap (sliding window appends the tap axis last).
-    fv = SUBPEL_FILTERS[fy]
-    v = np.einsum("brck,bk->brc",
-                  np.lib.stride_tricks.sliding_window_view(h, 6, axis=1),
-                  fv)
-    out = (v + (1 << 13) + (center << 14)) >> 14
     maxv = (1 << bitdepth) - 1
     dtype = np.uint8 if bitdepth <= 8 else np.uint16
-    return np.clip(out, 0, maxv).astype(dtype)
+    out = np.empty((len(mvs), n, n), dtype=dtype)
+    rng_n = np.arange(n)
+    # Phase-0 filters are the identity, so integer MVs are a pure
+    # gather — but splitting the batch only pays when a sizable share
+    # is integer (static/panning content); otherwise one fused pass
+    # is faster.
+    center = 128 << (bitdepth - 8)
+    zero = (fy == 0) & (fx == 0)
+    nzero = int(zero.sum())
+    if nzero * 2 < len(mvs):
+        # Few integer MVs: one fused pass over the whole batch.
+        wy = iy[:, None] - TOP_APRON + np.arange(n + 5)[None, :]
+        wx = ix[:, None] - TOP_APRON + np.arange(n + 5)[None, :]
+        win = ref_padded[wy[:, :, None], wx[:, None, :]].astype(np.int32)
+        fh = SUBPEL_FILTERS[fx]                # (N, 6)
+        h = np.einsum(
+            "brck,bk->brc",
+            np.lib.stride_tricks.sliding_window_view(win, 6, axis=2),
+            fh) - (center << 7)
+        fv = SUBPEL_FILTERS[fy]
+        v = np.einsum(
+            "brck,bk->brc",
+            np.lib.stride_tricks.sliding_window_view(h, 6, axis=1),
+            fv)
+        res = (v + (1 << 13) + (center << 14)) >> 14
+        return np.clip(res, 0, maxv).astype(dtype)
+    zi = np.where(zero)[0]
+    wy = iy[zi, None] + rng_n[None, :]
+    wx = ix[zi, None] + rng_n[None, :]
+    out[zi] = ref_padded[wy[:, :, None], wx[:, None, :]]
+    sub = np.where(~zero)[0]
+    if len(sub):
+        wy = iy[sub, None] - TOP_APRON + np.arange(n + 5)[None, :]
+        wx = ix[sub, None] - TOP_APRON + np.arange(n + 5)[None, :]
+        win = ref_padded[wy[:, :, None], wx[:, None, :]].astype(np.int32)
+        # Horizontal 6-tap with per-block phase filters:
+        # h[b, r, c] = sum_k win[b, r, c + k] * fh[b, k], c in [0, n).
+        fh = SUBPEL_FILTERS[fx[sub]]           # (N, 6)
+        h = np.einsum(
+            "brck,bk->brc",
+            np.lib.stride_tricks.sliding_window_view(win, 6, axis=2),
+            fh) - (center << 7)
+        # Vertical 6-tap (sliding window appends the tap axis last).
+        fv = SUBPEL_FILTERS[fy[sub]]
+        v = np.einsum(
+            "brck,bk->brc",
+            np.lib.stride_tricks.sliding_window_view(h, 6, axis=1),
+            fv)
+        res = (v + (1 << 13) + (center << 14)) >> 14
+        out[sub] = np.clip(res, 0, maxv)
+    return out
 
 
 def obmc_predict_mixed(ref_padded, pad: int, h: int, w: int,
