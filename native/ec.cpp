@@ -11,8 +11,10 @@
 //
 // Build: make -C native   (produces libdtpu_ec.so)
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <cmath>
 
@@ -760,6 +762,44 @@ extern "C" int dtpu_pvq_theta_batch(
     int32_t* y_out, int32_t* qg_out, int32_t* itheta_out,
     int32_t* max_theta_out, int32_t* k_out, int32_t* noref_out,
     double* skip_diff_out, double* extras_out /* nbands*6 */) {
+  // Bands are independent (analytic rate model, no shared state):
+  // split across cores with per-call std::threads (fork-safe: no
+  // persistent pool to deadlock in forked tile/GOP workers).
+  int nthreads = 1;
+  {
+    unsigned hw = std::thread::hardware_concurrency();
+    if (nbands >= 64 && hw > 1) nthreads = hw < 4 ? (int)hw : 4;
+  }
+  if (nthreads > 1) {
+    std::vector<std::thread> ts;
+    std::atomic<int> next(0);
+    auto work = [&]() {
+      for (;;) {
+        int b = next.fetch_add(8);
+        if (b >= nbands) break;
+        int hi = b + 8 < nbands ? b + 8 : nbands;
+        for (; b < hi; b++) {
+          int lo = offsets[b];
+          int n = offsets[b + 1] - lo;
+          int qg, itheta, max_theta, k, noref;
+          double sd;
+          dtpu_pvq_theta(x0s + lo, r0s + lo, n, q0s[b], betas[b],
+                         nodesync, is_keyframe, plis[b], qms + lo,
+                         lambda, y_out + lo, &qg, &itheta, &max_theta,
+                         &k, &noref, &sd, extras_out + 6 * b);
+          qg_out[b] = qg;
+          itheta_out[b] = itheta;
+          max_theta_out[b] = max_theta;
+          k_out[b] = k;
+          noref_out[b] = noref;
+          skip_diff_out[b] = sd;
+        }
+      }
+    };
+    for (int t = 0; t < nthreads; t++) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+    return 0;
+  }
   for (int b = 0; b < nbands; b++) {
     int lo = offsets[b];
     int n = offsets[b + 1] - lo;
