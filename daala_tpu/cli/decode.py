@@ -12,7 +12,6 @@ import time
 
 from ..io.container import read_stream
 from ..io.y4m import Y4MHeader, Y4MWriter
-from ..pipeline.intra import decode_keyframe
 
 
 def main(argv=None):

@@ -15,7 +15,6 @@ import time
 from ..core.state import FrameInfo
 from ..io.container import FramePacket, write_stream
 from ..io.y4m import Y4MReader
-from ..pipeline.intra import encode_keyframe
 
 
 def main(argv=None):

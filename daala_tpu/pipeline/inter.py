@@ -30,36 +30,28 @@ import numpy as np
 
 from ..core.quant import N_CODED_QUANTIZERS, QM8_HVS, \
     codedquantizer_to_quantizer, init_qm
-from ..core.state import QM_SIZE, AdaptState, FrameInfo, interp_pvq_qm
+from ..core.state import FrameInfo
 from ..entropy import (
     GenericModel,
-    RangeDecoder,
-    RangeEncoder,
-    make_decoder,
-    make_encoder,
     generic_decode,
     generic_encode,
+    make_decoder,
+    make_encoder,
 )
 from ..ops.dct import fdct2d
 from ..ops.lapping import lap_frame_h, lap_frame_v
-from ..ops.mc import obmc_predict, obmc_predict_mixed, pad_ref
+from ..ops.mc import obmc_predict_mixed, pad_ref
 from ..pvq.coding import pvq_decode_block, pvq_encode_block
 from ..pvq.scan import coding_to_raster, qm_get_index, raster_to_coding
-from ..search.me import motion_search, motion_search_multi
+from ..search.me import motion_search_multi
 from ..search.mesh import MV_FINE_LOG, choose_levels
 from .intra import (
     _PlaneCtx,
-    _code_frame,
     _crop,
     _dering_buffers,
     _dering_pass,
-    _div_r0,
-    _from_blocks,
-    _to_blocks,
     _to_spatial,
-    from_coeff,
     pad_plane,
-    prefilter_frame,
     pvq_betas,
     to_coeff,
 )

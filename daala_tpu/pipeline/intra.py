@@ -36,17 +36,13 @@ from ..core.quant import (
 )
 from ..core.state import QM_SIZE, AdaptState, FrameInfo, interp_pvq_qm
 from ..entropy import (
-    RangeDecoder,
-    RangeEncoder,
-    make_decoder,
-    make_encoder,
     decode_cdf_adapt,
     encode_cdf_adapt,
     generic_decode,
     generic_encode,
+    make_decoder,
+    make_encoder,
 )
-from ..ops.dct import fdct2d, idct2d
-from ..ops.lapping import postfilter_frame, prefilter_frame
 from ..pvq.coding import pvq_decode_block, pvq_encode_block
 from ..pvq.scan import (
     BAND_OFFSETS,

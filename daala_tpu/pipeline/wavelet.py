@@ -16,7 +16,7 @@ import numpy as np
 
 from ..core.quant import codedquantizer_to_quantizer
 from ..core.state import AdaptState, FrameInfo
-from ..entropy import RangeDecoder, RangeEncoder, \
+from ..entropy import \
     make_decoder, make_encoder, decode_cdf_adapt, \
     encode_cdf_adapt
 from ..ops.dct import haar2d, ihaar2d

@@ -90,7 +90,7 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
 
     coeffs: (h, w) int32 lapped coeff-domain luma (pred subtracted for
     inter).  Returns the (h/4, w/4) int8 grid."""
-    from ..ops.dct import fdct2d, idct2d
+    from ..ops.dct import fdct2d
     from ..pvq.scan import BAND_OFFSETS, _FLAT
 
     h, w = coeffs.shape

@@ -11,11 +11,10 @@ environment).
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 
-from ..io.y4m import Y4MHeader, Y4MReader, Y4MWriter, read_y4m
+from ..io.y4m import Y4MHeader, Y4MWriter, read_y4m
 
 
 def _read_pnm(path):

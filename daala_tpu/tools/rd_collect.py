@@ -14,8 +14,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 from ..core.state import FrameInfo
 from ..io.y4m import Y4MReader
 from ..pipeline.inter import DecoderSession, EncoderSession
