@@ -375,3 +375,41 @@ def test_chroma_fidelity_420():
         mse = ((src.astype(np.int64) - rec[pli]) ** 2).mean()
         psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-12))
         assert psnr > 38.0, f"plane {pli} chroma psnr {psnr:.1f}"
+
+
+def test_long_session_stress():
+    """40 frames through keyframe cadence, golden rotation, B-frames
+    and tiles: the encoder-check invariant must hold at every frame
+    (catches long-session adaptation/reference-rotation bugs)."""
+    import numpy as np
+
+    from daala_tpu.core.state import FrameInfo
+    from daala_tpu.pipeline.inter import DecoderSession, EncoderSession
+
+    rng = np.random.default_rng(12)
+    w, h = 96, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    info = FrameInfo(w, h, 3, (0, 1, 1), (0, 1, 1))
+    enc = EncoderSession(info, quality=30, b_frames=2, bs_luma=-1,
+                         keyframe_rate=10, tiles=2)
+    dec = DecoderSession(info, bs_luma=-1)
+    n = 0
+    pkts = []
+    for t in range(40):
+        y = (128 + 50 * np.sin(xx / 13 + t * 0.2) * np.cos(yy / 11)
+             + rng.normal(0, 3, (h, w))).clip(0, 255).astype(np.uint8)
+        u = (y[::2, ::2] // 2 + 40).astype(np.uint8)
+        v = (210 - y[::2, ::2] // 2).astype(np.uint8)
+        pkts += enc.push_frame([y, u, v])
+    pkts += enc.flush()
+    ftypes = set()
+    for p in pkts:
+        rec = dec.decode_frame(p["data"], p["ftype"] == 0,
+                               p.get("use_haar", False), p["ftype"])
+        ftypes.add(p["ftype"])
+        for a, b in zip(p["recon"], rec):
+            assert np.array_equal(a, b), f"frame {p['display_order']}"
+        n += 1
+    assert n == 40
+    # The cadence must actually exercise I, P, B and golden frames.
+    assert ftypes >= {0, 1, 2, 3}
