@@ -2,7 +2,8 @@
 
 Measures the jitted device encode step (coeff conversion, lapped
 prefilter over every block edge, batched 8x8 DCTs, Haar-DC tree,
-magnitude-compensated quantization, reconstruction, and the batched
+the batched fast-mode PVQ gain/shape quantization (gain rounding, K,
+greedy pulse allocation, synthesis), reconstruction, and the batched
 directional dering filter on luma) over all three 4:2:0 planes of a
 1080p frame — the per-chip compute path of the encoder, with host
 entropy packing excluded (it overlaps device compute in the pipelined
@@ -42,8 +43,9 @@ def main():
     @jax.jit
     def frame_step(y, u, v):
         ystep = lambda p: encode_step(p, bs, quantizer, qm[bs],
-                                      qm_inv[bs], dering=True)
-        step = lambda p: encode_step(p, bs, quantizer, qm[bs], qm_inv[bs])
+                                      qm_inv[bs], dering=True, pvq=True)
+        step = lambda p: encode_step(p, bs, quantizer, qm[bs],
+                                     qm_inv[bs], pvq=True)
         qy, ry = jax.vmap(ystep)(y)
         qu, ru = jax.vmap(step)(u)
         qv, rv = jax.vmap(step)(v)

@@ -140,14 +140,23 @@ def quantize_blocks(d, bs: int, quantizer: int, qm_coding, qm_inv_coding):
 
 
 def encode_step(plane, bs: int, quantizer: int, qm, qm_inv,
-                dering: bool = False):
+                dering: bool = False, pvq: bool = False):
     """One full single-chip encode compute step on a plane of pixels:
-    coeff conversion -> lapped transform -> quantize -> reconstruct
+    coeff conversion -> lapped transform -> quantize (deadzone, or the
+    batched fast-mode PVQ gain/shape quantizer) -> reconstruct
     [-> batched directional dering].  Returns (quantized symbols,
     reconstructed pixels) — everything but the host entropy pack."""
     c = (plane.astype(jnp.int32) - 128) << 4
     d = transform_frame(c, bs)
-    quant, dq = quantize_blocks(d, bs, quantizer, qm, qm_inv)
+    if pvq:
+        from ..pvq.device_search import pvq_quantize_frame
+
+        dc_quant = max(1, quantizer)
+        dq, ksum, qgsum = pvq_quantize_frame(d, bs, quantizer, qm,
+                                             qm_inv, dc_quant)
+        quant = jnp.stack([ksum, qgsum])
+    else:
+        quant, dq = quantize_blocks(d, bs, quantizer, qm, qm_inv)
     rec = inverse_transform_frame(dq, bs)
     if dering:
         from ..ops.dering_jax import dering_frame_jax

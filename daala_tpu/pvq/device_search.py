@@ -1,0 +1,112 @@
+"""Device (jax) PVQ gain/shape quantization — the fast (non-RDO)
+coding mode, batched over every band of every block of a frame.
+
+This is the TPU analogue of the per-band scalar PVQ loop
+(od_pvq_encode, pvq_encoder.c:645, at low complexity): gain rounding,
+K from the companded gain, greedy pulse allocation, and synthesis —
+vectorized so the whole frame's PVQ quantization is a handful of fused
+XLA ops per band size.  Encoder-side choices only: whatever this
+returns, the host symbol pass codes and the decoder reconstructs
+decoder-identically, so float behavior here affects RD, not
+correctness.  beta=1 (no activity masking) and the noref path (the
+fast mode codes without a predictor reference).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import QM_INV_SCALE_1, QM_SCALE_1
+from .scan import BAND_OFFSETS, _FLAT
+
+__all__ = ["pvq_quantize_frame"]
+
+
+def _pulse_alloc(absx, k):
+    """K-pulse allocation by proportional fill + largest-remainder
+    top-up — a one-shot, loop-free approximation of the greedy
+    pvq_search (within ~0.1 dB at normal rates, and the whole frame's
+    allocation is one ranked rounding instead of K serial scatters).
+
+    absx: (B, n) float32 magnitudes; k: (B,) int32 pulse budgets.
+    Returns y: (B, n) float32 with y.sum(-1) == k."""
+    l1 = absx.sum(-1, keepdims=True)
+    kf = k.astype(jnp.float32)[:, None]
+    prop = kf * absx / jnp.maximum(l1, 1e-9)
+    # All-zero bands: park the budget on coefficient 0.
+    prop = jnp.where(l1 > 0, prop,
+                     jnp.zeros_like(prop).at[:, 0].set(kf[:, 0]))
+    y = jnp.floor(prop)
+    left = k.astype(jnp.int32) - y.sum(-1).astype(jnp.int32)
+    frac = prop - y
+    # Give the remaining pulses to the largest fractional parts.
+    order = jnp.argsort(-frac, axis=-1)
+    rank = jnp.argsort(order, axis=-1)
+    y = y + (rank < left[:, None]).astype(y.dtype)
+    return y
+
+
+def _band_quant(vec, q0, qm, qm_inv):
+    """Fast-mode PVQ of one band across all blocks.
+
+    vec: (B, n) int32 coding-order coeffs; qm/qm_inv: (n,) Q15/Q12.
+    Returns (dequantized coeffs (B, n) int32, qg (B,), k (B,))."""
+    n = vec.shape[-1]
+    xq = vec.astype(jnp.float32) * (qm.astype(jnp.float32)
+                                    * np.float32(QM_SCALE_1))
+    g = jnp.sqrt((xq * xq).sum(-1))
+    cg = g / q0                                  # beta == 1
+    qg = jnp.round(cg).astype(jnp.int32)
+    # K from the quantized gain (od_pvq_compute_k noref, beta = 1).
+    kf = jnp.floor(0.5 + (qg.astype(jnp.float32) - 0.2)
+                   * np.float32(np.sqrt((n + 3) / 2.0)))
+    k = jnp.where(qg > 0, jnp.maximum(1, kf.astype(jnp.int32)), 0)
+    if n == 15:
+        k = jnp.where((qg == 1), 1, k)
+    y = _pulse_alloc(jnp.abs(xq), k)
+    yy = (y * y).sum(-1, keepdims=True)
+    ghat = qg.astype(jnp.float32) * q0
+    scale = jnp.where(yy > 0, ghat[:, None] / jnp.sqrt(
+        jnp.maximum(yy, 1e-9)), 0.0)
+    x = jnp.sign(vec.astype(jnp.float32)) * y * scale
+    out = jnp.floor(0.5 + x * (qm_inv.astype(jnp.float32)
+                               * np.float32(QM_INV_SCALE_1)))
+    return out.astype(jnp.int32), qg, k
+
+
+def pvq_quantize_frame(d, bs: int, quantizer: int, qm_coding,
+                       qm_inv_coding, dc_quant: int):
+    """PVQ-quantize every block of a transform-domain plane (uniform
+    block size 4 << bs) in fast mode.  Returns (recon coeffs plane,
+    total pulses, total qg) — the device share of the encode; the gain
+    and pulse vectors become host-coded symbols."""
+    n = 4 << bs
+    h, w = d.shape[-2], d.shape[-1]
+    blocks = (d.reshape(*d.shape[:-2], h // n, n, w // n, n)
+              .swapaxes(-3, -2)
+              .reshape(-1, n * n))
+    vec = blocks[:, _FLAT[n]]                    # coding order
+    offs = BAND_OFFSETS[bs]
+    q0 = jnp.float32(max(1, quantizer))
+    out_vec = jnp.zeros_like(vec)
+    # DC: plain deadzone quantization at dc_quant.
+    dc = vec[:, 0]
+    qdc = jnp.sign(dc) * ((jnp.abs(dc) + (dc_quant >> 1)) // dc_quant)
+    out_vec = out_vec.at[:, 0].set(qdc * dc_quant)
+    ksum = jnp.int32(0)
+    qgsum = jnp.int32(0)
+    qm = jnp.asarray(qm_coding, dtype=jnp.int32)
+    qmi = jnp.asarray(qm_inv_coding, dtype=jnp.int32)
+    for b in range(offs[0]):
+        lo, hi = offs[1 + b], offs[2 + b]
+        deq, qg, k = _band_quant(vec[:, lo:hi], q0, qm[lo:hi],
+                                 qmi[lo:hi])
+        out_vec = out_vec.at[:, lo:hi].set(deq)
+        ksum = ksum + k.sum()
+        qgsum = qgsum + qg.sum()
+    out = blocks.at[:, _FLAT[n]].set(out_vec)
+    out = (out.reshape(*d.shape[:-2], h // n, w // n, n, n)
+           .swapaxes(-3, -2).reshape(d.shape))
+    return out, ksum, qgsum

@@ -43,3 +43,28 @@ def test_encode_step_dering_runs():
         lambda p: encode_step(p, 1, 90, qm[1], qm_inv[1], dering=True)
     )(plane)
     assert r1.shape == (64, 96) and r1.dtype == np.uint8
+
+
+def test_device_pvq_quantize():
+    """Fast-mode PVQ quantization on device: energy-preserving, rate
+    responds to the quantizer, and pulse budgets are exact."""
+    import jax.numpy as jnp
+
+    from daala_tpu.core.quant import QM8_HVS, init_qm
+    from daala_tpu.pvq.device_search import pvq_quantize_frame
+
+    qm, qm_inv = init_qm(QM8_HVS)
+    rng = np.random.default_rng(0)
+    d = rng.integers(-1500, 1500, (64, 96)).astype(np.int32)
+    out, ks, qgs = jax.jit(
+        lambda x: pvq_quantize_frame(x, 1, 90, qm[1], qm_inv[1], 80))(d)
+    out = np.asarray(out)
+    rel = ((d.astype(np.float64) - out) ** 2).mean() \
+        / (d.astype(np.float64) ** 2).mean()
+    assert rel < 0.02
+    out2, ks2, _ = jax.jit(
+        lambda x: pvq_quantize_frame(x, 1, 300, qm[1], qm_inv[1],
+                                     260))(d)
+    rel2 = ((d.astype(np.float64) - np.asarray(out2)) ** 2).mean() \
+        / (d.astype(np.float64) ** 2).mean()
+    assert int(ks2) < int(ks) and rel2 > rel
