@@ -22,7 +22,7 @@ from .dering import (
     _ONE_HOT,
 )
 
-__all__ = ["dering_frame_jax"]
+__all__ = ["dering_frame_jax", "dering_padded_jax"]
 
 
 def _ilog(x):
@@ -79,15 +79,25 @@ def dering_frame_jax(frame, nhsb: int, nvsb: int, q: int, xdec: int,
 
     frame: (h, w) int32 coeff-domain plane (pre-dering).  Returns
     (filtered (nvsb, nhsb, n, n) int32, dirs)."""
-    ln = 5 - xdec
-    n = 1 << ln
-    bsize = 3 - xdec
-    nb = n >> bsize
     b = FILT_BORDER
     h, w = frame.shape
     P = jnp.full((h + 2 * b, w + 2 * b), DERING_VERY_LARGE,
                  dtype=jnp.int32)
     P = P.at[b:b + h, b:b + w].set(frame.astype(jnp.int32))
+    return dering_padded_jax(P, nhsb, nvsb, q, xdec, pli, dirs,
+                             threshold_scale)
+
+
+def dering_padded_jax(P, nhsb: int, nvsb: int, q: int, xdec: int,
+                      pli: int, dirs=None, threshold_scale: float = 1.0):
+    """Dering from a pre-built padded plane (h + 6, w + 6) — the
+    sharded path supplies real neighbor-tile halo rows instead of the
+    VERY_LARGE frame border."""
+    ln = 5 - xdec
+    n = 1 << ln
+    bsize = 3 - xdec
+    nb = n >> bsize
+    b = FILT_BORDER
     # (nvsb*nhsb, n+6, n+6) overlapping SB windows in one gather.
     k = n + 2 * b
     patches = jax.lax.conv_general_dilated_patches(

@@ -9,11 +9,12 @@ The encoder splits into:
     prepared symbols (pipeline/intra.py).
 
 Multi-chip: the frame is sharded in SB-row bands over a `tile` mesh
-axis; the 4-point lapped filter straddling band boundaries is resolved
-by exchanging 2-row halos with jax.lax.ppermute, so each device filters
-its own half of every boundary span (replacing the reference's
-single-threaded od_apply_*filter_frame_sbs with an ICI halo exchange —
-SURVEY.md section 2.11).  A `gop` axis shards independent frames
+axis; the 4-point lapped pre/post filters straddling band boundaries
+exchange 2-row halos with jax.lax.ppermute (each device filters its
+own half of every boundary span), and the directional dering filter
+exchanges its 3-row apron the same way — the ICI replacement for the
+reference's single-threaded od_apply_*filter_frame_sbs and od_dering
+(SURVEY.md section 2.11).  A `gop` axis shards independent frames
 (data parallel).
 """
 
@@ -230,11 +231,50 @@ def _band_encode(band, bs, quantizer, qm, qm_inv, ntiles):
     quant = jnp.sign(scaled) * ((jnp.abs(scaled) + (q >> 1)) // q)
     deq = (quant * q * qm_inv) >> 12
     out = blocks.at[..., _FLAT[n]].set(deq).reshape(d.shape)
-    rec = idct2d(out, n)
-    # Rate/distortion summaries ride the collectives.
+    recb = idct2d(out, n)
+    # -- inverse lapping (mirror of the forward halo exchange) -----------
+    rec = _from_blocks(recb, h, w, n)
+    rec = lap_cols(rec, cols[:, None] + np.arange(-2, 2), inverse=True)
+    rtop2 = rec[..., :2, :]
+    rbot2 = rec[..., -2:, :]
+    rfrom_next = jax.lax.ppermute(rtop2, "tile", perm_up)
+    rfrom_prev = jax.lax.ppermute(rbot2, "tile", perm_dn)
+    span_b = jnp.concatenate([rbot2, rfrom_next], axis=-2).swapaxes(-1, -2)
+    fb = post_filter(span_b, 4).swapaxes(-1, -2)
+    rec = jnp.where((t < ntiles - 1),
+                    rec.at[..., -2:, :].set(fb[..., :2, :]), rec)
+    span_t = jnp.concatenate([rfrom_prev, rtop2], axis=-2).swapaxes(-1, -2)
+    ft = post_filter(span_t, 4).swapaxes(-1, -2)
+    rec = jnp.where((t > 0), rec.at[..., :2, :].set(ft[..., 2:, :]), rec)
+    rec = lap_rows(rec, inner[:, None] + np.arange(-2, 2), inverse=True)
+    # -- directional dering with a 3-row halo ----------------------------
+    from ..ops.dering import DERING_VERY_LARGE
+    from ..ops.dering_jax import dering_padded_jax
+
+    halo_up = jax.lax.ppermute(rec[..., :3, :], "tile", perm_up)
+    halo_dn = jax.lax.ppermute(rec[..., -3:, :], "tile", perm_dn)
+    nhsb = w // 32
+    nvsb = h // 32
+
+    def _dering_one(plane, top3, bot3, is_first, is_last):
+        P = jnp.full((h + 6, w + 6), DERING_VERY_LARGE, dtype=jnp.int32)
+        P = P.at[3:3 + h, 3:3 + w].set(plane.astype(jnp.int32))
+        big = jnp.full((3, w), DERING_VERY_LARGE, dtype=jnp.int32)
+        P = P.at[0:3, 3:3 + w].set(jnp.where(is_first, big, top3))
+        P = P.at[3 + h:, 3:3 + w].set(jnp.where(is_last, big, bot3))
+        bufs, _ = dering_padded_jax(P, nhsb, nvsb, max(1, quantizer),
+                                    0, 0)
+        return bufs.transpose(0, 2, 1, 3).reshape(h, w)
+
+    rec = jax.vmap(_dering_one, in_axes=(0, 0, 0, None, None))(
+        rec, halo_dn.astype(jnp.int32), halo_up.astype(jnp.int32),
+        t == 0, t == ntiles - 1)
+    # Rate/distortion summaries ride the collectives; the dering
+    # output feeds the checksum so the full pipeline stays live.
     nz = jax.lax.psum(jnp.sum(quant != 0), ("gop", "tile"))
     err = jax.lax.psum(
-        jnp.sum(((rec - _to_blocks(c, n)).astype(jnp.float32)) ** 2),
+        jnp.sum(((recb - _to_blocks(c, n)).astype(jnp.float32)) ** 2)
+        + jnp.float32(jnp.sum(jnp.abs(rec)) % 997),
         ("gop", "tile"))
     return quant, nz, err
 
