@@ -95,6 +95,9 @@ def _code_levels(ec, mvctx, levels, rows, encoder):
             else:
                 ctx = 0
             cdf = mvctx.level_cdf[ctx]
+            a = getattr(ec, "acct", None)
+            if a is not None:
+                a.set_location("mv:level", 0, 0, c * 32, r * 32)
             if encoder:
                 encode_cdf_adapt(ec, int(levels[r, c]), cdf,
                                  mvctx.level_increment)
@@ -509,7 +512,7 @@ def _frame_quality(cq, ftype, b_frames):
 
 def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                        refs, planes_or_packet, encoder, tiles=1,
-                       tile_workers=1, out_info=None):
+                       tile_workers=1, out_info=None, acct=None):
     """Shared P/B frame coder.  refs: list of padded reference plane
     lists (1 = single-ref P, 2 = multi-ref P or B).
 
@@ -559,8 +562,17 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         streams = unpack_tiles(planes_or_packet)
         bounds = tile_rows(nvsb, len(streams))
         streams = streams[:len(bounds)]  # corrupt ntiles: clamp
-        ecs = [make_decoder(s) for s in streams]
+        if acct is not None:
+            from ..entropy.accounting import AccountingDecoder
+
+            tile_workers = 1  # accounting accumulates in-process
+            ecs = [AccountingDecoder(s, acct) for s in streams]
+        else:
+            ecs = [make_decoder(s) for s in streams]
         mvctxs = [_MvCtx() for _ in bounds]
+        a0 = getattr(ecs[0], "acct", None)
+        if a0 is not None:
+            a0.set_location("frame:header")
         cqs = [ecs[0].decode_uint(N_CODED_QUANTIZERS)
                for _ in range(nplanes)]
         quantizer = codedquantizer_to_quantizer(cqs[0])
@@ -841,7 +853,8 @@ class DecoderSession:
         self.ref_gold = None
 
     def decode_frame(self, packet: bytes, keyframe: bool,
-                     use_haar: bool = False, ftype: int = None):
+                     use_haar: bool = False, ftype: int = None,
+                     acct=None):
         """Single-packet decode (coding order).  ftype defaults to
         I/P by the keyframe flag for b_frames=0 streams."""
         from .intra import decode_keyframe
@@ -861,7 +874,7 @@ class DecoderSession:
                                   bs_luma=self.bs_luma,
                                   use_dering=self.use_dering,
                                   tile_workers=self.tile_workers,
-                                  out_info=oi)
+                                  out_info=oi, acct=acct)
             self._rotate(rec, FT_INTRA)
             return rec
         if ftype == FT_B:
@@ -871,7 +884,7 @@ class DecoderSession:
             rec = _code_inter_packet(
                 self.info, self.bs_luma, self.use_masking,
                 self.use_dering, 0, refs, packet, False,
-                tile_workers=self.tile_workers, out_info=oi)
+                tile_workers=self.tile_workers, out_info=oi, acct=acct)
             # B frames are not references; no rotation.
             return rec
         refs = [self.ref_prev]
@@ -880,7 +893,7 @@ class DecoderSession:
         rec = _code_inter_packet(
             self.info, self.bs_luma, self.use_masking, self.use_dering,
             0, refs, packet, False, tile_workers=self.tile_workers,
-            out_info=oi)
+            out_info=oi, acct=acct)
         self._rotate(rec, ftype)
         return rec
 

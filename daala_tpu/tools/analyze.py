@@ -66,11 +66,19 @@ def main(argv=None):
     args = ap.parse_args(argv)
     info, comment, packets = read_stream(args.input)
     p = packets[args.frame]
-    if not p.keyframe or p.use_haar:
-        print("accounting currently reports keyframe PVQ packets",
+    if p.use_haar:
+        print("accounting covers PVQ packets (not haar-lossless)",
               file=sys.stderr)
+    from ..pipeline.inter import DecoderSession
+
     acct = Accounting()
-    decode_keyframe(p.data, info, acct=acct)
+    sess = DecoderSession(info, bs_luma=-1)
+    for i, pk in enumerate(packets):
+        sess.decode_frame(pk.data, pk.keyframe, pk.use_haar,
+                          ftype=pk.ftype,
+                          acct=acct if i == args.frame else None)
+        if i == args.frame:
+            break
     total = sum(fb for *_, fb in acct.records) / 8.0
     report = {
         "frame": args.frame,
