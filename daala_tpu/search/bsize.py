@@ -97,7 +97,11 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
     if pred is not None:
         coeffs = coeffs - pred
     q = max(1, quantizer)
-    lam = 0.55 * q * q
+    # Below the reference's od_bs_rdo_lambda (0.55 q^2): the trial
+    # quantization here is deadzone, which understates PVQ's distortion
+    # on small blocks for textured content — a lighter lambda corrects
+    # the split bias (RD-swept on texture + warp clips, RDCOMP.md).
+    lam = 0.35 * q * q
     costs = {}
     for bs in range(4):
         n = 4 << bs
