@@ -76,36 +76,81 @@ def split_superblocks(plane: np.ndarray, quantizer: int,
     return grid
 
 
-def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
-                          qm, qm_inv, pred: np.ndarray = None) -> np.ndarray:
-    """Rate-distortion block-size decision, fully vectorized.
+def _win_var4(plane, y0, x0):
+    """4x4 window variance at every (stride-2) offset (y0, x0) over the
+    8x8 tile grid: returns (h//8, w//8) int64 variances
+    (od_compute_var_4x4, encode.c:948)."""
+    h, w = plane.shape
+    # Extract 4x4 sums via cumulative sums once per plane is overkill
+    # here: gather the 16 taps of the 4x4 window directly at the tile
+    # lattice (8-stride), which is 16 strided adds.
+    ys = np.arange(0, h - 7, 8)
+    xs = np.arange(0, w - 7, 8)
+    s = np.zeros((len(ys), len(xs)), dtype=np.int64)
+    s2 = np.zeros_like(s)
+    for dy in range(4):
+        for dx in range(4):
+            v = plane[y0 + dy::8, x0 + dx::8][:len(ys), :len(xs)]
+            v = v.astype(np.int64)
+            s += v
+            s2 += v * v
+    return (s2 - (s * s >> 4)) >> 4
 
-    The TPU-native reformulation of the reference's trial-encode RDO
-    splitter (od_encode_recursive rdo_only, encode.c:1554-1673): instead
-    of serial trial encodes with EC rollback, transform + quantize the
-    whole plane at ALL four block sizes (4 batched passes), score each
-    block with real distortion + the analytic PVQ rate, and run the
-    bottom-up quadtree DP  cost(node) = min(leaf, sum children + split
-    overhead)  with lambda = 0.55 q^2 (od_bs_rdo_lambda, encode.c:1061).
 
-    coeffs: (h, w) int32 lapped coeff-domain luma (pred subtracted for
-    inter).  Returns the (h/4, w/4) int8 grid."""
+def _perceptual_dist8(orig, rec, bs):
+    """Per-8x8-tile perceptual distortion (od_compute_dist_8x8,
+    encode.c:962): HVS/basis-magnitude-weighted error spectrum plus the
+    variance-preservation term, scaled by the activity weight.  orig,
+    rec: (h, w) int coeff-domain spatial planes.  Returns
+    (h//8, w//8) float64."""
+    from ..core.quant import QM8_HVS, lapped_basis_magnitudes
+    from ..ops.dct import fdct2d
+
+    h, w = orig.shape
+    nty, ntx = h // 8, w // 8
+    # 3x3 overlapped 4x4 variances per tile: vardist + min-variance.
+    min_var = None
+    vardist = np.zeros((nty, ntx), dtype=np.float64)
+    for y0 in (0, 2, 4):
+        for x0 in (0, 2, 4):
+            vx = _win_var4(orig, y0, x0)
+            vy = _win_var4(rec, y0, x0)
+            diff = np.sqrt(vx) - np.sqrt(vy)
+            vardist += diff * diff
+            min_var = vx if min_var is None else np.minimum(min_var, vx)
+    activity = 1.62 * np.power(0.25 + min_var / 256.0, -1.0 / 6)
+    # Spectral term: DCT8 of the error, HVS + basis-magnitude weighted.
+    err = (orig - rec).astype(np.int32)
+    blocks = (err.reshape(nty, 8, ntx, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8))
+    et = fdct2d(blocks, 8).astype(np.float64)
+    n = 4 << bs
+    bm = np.asarray(lapped_basis_magnitudes(n), dtype=np.float64)
+    # Subsample the n-point basis magnitudes onto the 8-tap analysis
+    # (encode.c:1023: i << (bs - 1); for 4x4 content each 4-pt
+    # magnitude covers two analysis taps).
+    idx = (np.arange(8) << (bs - 1)) if bs >= 1 else (np.arange(8) >> 1)
+    mag = (16.0 / QM8_HVS.astype(np.float64)) \
+        * bm[idx][:, None] * bm[idx][None, :]
+    sum_sp = (et * et * (mag * mag)[None]).sum(axis=(1, 2))
+    sum_sp = sum_sp.reshape(nty, ntx)
+    return activity * activity * (sum_sp + vardist) * 1.7
+
+
+def _rdo_split_inter(res: np.ndarray, quantizer: int, qm, qm_inv):
+    """Inter block-size RDO on the prediction residual — the proven
+    deadzone-SSE trial (head-to-head validated): per-4x4-cell costs
+    with the analytic PVQ rate and a light lambda."""
     from ..ops.dct import fdct2d
     from ..pvq.scan import BAND_OFFSETS, _FLAT
 
-    h, w = coeffs.shape
-    if pred is not None:
-        coeffs = coeffs - pred
+    h, w = res.shape
     q = max(1, quantizer)
-    # Below the reference's od_bs_rdo_lambda (0.55 q^2): the trial
-    # quantization here is deadzone, which understates PVQ's distortion
-    # on small blocks for textured content — a lighter lambda corrects
-    # the split bias (RD-swept on texture + warp clips, RDCOMP.md).
     lam = 0.35 * q * q
     costs = {}
     for bs in range(4):
         n = 4 << bs
-        blocks = (coeffs.reshape(h // n, n, w // n, n)
+        blocks = (res.reshape(h // n, n, w // n, n)
                   .transpose(0, 2, 1, 3).reshape(-1, n, n))
         d = fdct2d(blocks, n).reshape(-1, n * n)
         vec = d[:, _FLAT[n]].astype(np.int64)
@@ -114,8 +159,6 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
         scaled = (vec * qmv) >> 15
         quant = np.sign(scaled) * ((np.abs(scaled) + (q >> 1)) // q)
         deq = (quant * q * qmiv) >> 12
-        # Distortion: SSE of the coded subset + full energy of the
-        # never-coded coefficients (the 32x32 high half).
         full = d.astype(np.int64)
         rec = np.zeros_like(full)
         rec[:, _FLAT[n]] = deq
@@ -123,7 +166,6 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
         mask[_FLAT[n]] = True
         dist = ((full - rec) ** 2 * mask).sum(axis=1) \
             + (full ** 2 * ~mask).sum(axis=1)
-        # Rate: analytic PVQ codeword model per band + DC magnitude.
         offs = BAND_OFFSETS[bs]
         rate = np.zeros(len(d))
         for b in range(offs[0]):
@@ -135,10 +177,9 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
                 0.5)
         rate += np.log2(1 + np.abs(quant[:, 0])) + 2.0
         costs[bs] = (dist + lam * rate).reshape(h // n, w // n)
-    # Bottom-up quadtree DP.
     best = costs[0]
     choice = {0: np.zeros_like(best, dtype=np.int8)}
-    split_overhead = lam * 2.5  # split-symbol rate estimate
+    split_overhead = lam * 2.5
     for bs in range(1, 4):
         kids = (best[0::2, 0::2] + best[0::2, 1::2]
                 + best[1::2, 0::2] + best[1::2, 1::2]) + split_overhead
@@ -146,10 +187,136 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
         take_leaf = leaf <= kids
         choice[bs] = take_leaf
         best = np.where(take_leaf, leaf, kids)
-    # Emit the grid top-down.
     grid = np.zeros((h // 4, w // 4), dtype=np.int8)
     decided = np.zeros((h // 4, w // 4), dtype=bool)
     for bs in range(3, 0, -1):
+        cells = 1 << bs
+        up = np.repeat(np.repeat(choice[bs], cells, 0), cells, 1)
+        sel = up & ~decided
+        grid[sel] = bs
+        decided |= sel
+    return grid
+
+
+def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
+                          qm, qm_inv, pred: np.ndarray = None) -> np.ndarray:
+    """Rate-distortion block-size decision, fully vectorized.
+
+    The TPU-native reformulation of the reference's trial-encode RDO
+    splitter (od_encode_recursive rdo_only, encode.c:1554-1673):
+    instead of serial trial encodes with EC rollback, lap + transform +
+    PVQ-trial-quantize the whole plane at ALL four block sizes (4
+    batched passes), score every 8x8 tile with the reference's
+    perceptual distortion (od_compute_dist: HVS-weighted error
+    spectrum + variance preservation + activity, encode.c:962-1060)
+    plus the analytic PVQ rate, and run the bottom-up quadtree DP with
+    lambda from od_bs_rdo_lambda (0.55 q^2, encode.c:1061).
+
+    coeffs: (h, w) int32 coeff-domain luma (pred subtracted for
+    inter).  Returns the (h/4, w/4) int8 grid."""
+    from ..ops.dct import fdct2d, idct2d
+    from ..ops.lapping import postfilter_frame, prefilter_frame
+    from ..pvq.core import QM_SCALE_1
+    from ..pvq.scan import BAND_OFFSETS, _FLAT
+
+    h, w = coeffs.shape
+    if pred is not None:
+        # Inter: the perceptual statistics are meaningless on
+        # prediction residuals; use the validated SSE trial.
+        return _rdo_split_inter(coeffs - pred, quantizer, qm, qm_inv)
+    q = max(1, quantizer)
+    lam = 0.55 * q * q
+    # The perceptual metric's scale differs from plain SSE; the
+    # divisor calibrates rate (swept on texture + warp clips so flat
+    # content keeps its operating points while texture splits).
+    lam_p = lam / 10.0
+    dists = {}          # (h//8, w//8) per size
+    rates = {}          # (h//n, w//n) per size
+    for bs in range(4):
+        n = 4 << bs
+        lap = prefilter_frame(coeffs, n)
+        blocks = (lap.reshape(h // n, n, w // n, n)
+                  .transpose(0, 2, 1, 3).reshape(-1, n, n))
+        d = fdct2d(blocks, n).reshape(-1, n * n)
+        vec = d[:, _FLAT[n]].astype(np.float64)
+        # Trial quantization with the actual fast-mode PVQ (gain
+        # rounding + K pulses + synthesis), not deadzone.
+        offs = BAND_OFFSETS[bs]
+        rec = np.zeros_like(d)
+        rate = np.zeros(len(d))
+        dc = np.rint(vec[:, 0] / q)
+        rec[:, _FLAT[n][0]] = (dc * q).astype(np.int64)
+        rate += np.log2(1 + np.abs(dc)) + 2.0
+        for b in range(offs[0]):
+            lo, hi = offs[1 + b], offs[2 + b]
+            nb = hi - lo
+            qmv = qm[bs][lo:hi].astype(np.float64) * QM_SCALE_1
+            xq = vec[:, lo:hi] * qmv
+            g = np.sqrt((xq * xq).sum(axis=1))
+            qg = np.rint(g / q)
+            k = np.where(qg > 0, np.maximum(
+                1, np.rint((qg - 0.2) * np.sqrt((nb + 3) / 2.0))), 0
+            ).astype(np.int64)
+            absx = np.abs(xq)
+            l1 = absx.sum(axis=1, keepdims=True)
+            prop = k[:, None] * absx / np.maximum(l1, 1e-9)
+            y = np.floor(prop)
+            left = k - y.sum(axis=1).astype(np.int64)
+            frac = prop - y
+            order = np.argsort(-frac, axis=1)
+            rank = np.argsort(order, axis=1)
+            y += rank < left[:, None]
+            yy = (y * y).sum(axis=1, keepdims=True)
+            scale = np.where(yy > 0, (qg * q)[:, None]
+                             / np.sqrt(np.maximum(yy, 1e-9)), 0.0)
+            xhat = np.sign(xq) * y * scale
+            deq = np.rint(xhat / np.maximum(qmv, 1e-9))
+            rec[:, _FLAT[n][lo:hi]] = deq.astype(np.int64)
+            rate += np.where(
+                k > 0, nb * np.log2(1 + np.log(nb * 2) * k / nb) + 3.0,
+                0.5)
+        # Spatial reconstruction (inverse transform + unlap) and the
+        # perceptual distortion per 8x8 tile.
+        rblocks = idct2d(rec.reshape(-1, n, n).astype(np.int32), n)
+        rplane = (rblocks.reshape(h // n, w // n, n, n)
+                  .transpose(0, 2, 1, 3).reshape(h, w))
+        rplane = postfilter_frame(rplane, n)
+        dists[bs] = _perceptual_dist8(coeffs, rplane, bs)
+        rates[bs] = rate.reshape(h // n, w // n)
+
+    def _tiles_to_nodes(t8, cells):
+        """Sum (h//8, w//8) tiles into (h//(8*cells), ...) nodes."""
+        a, b = t8.shape
+        return (t8.reshape(a // cells, cells, b // cells, cells)
+                .sum(axis=(1, 3)))
+
+    # Costs at 8x8-node granularity and up.  The 4x4 option is "this
+    # 8x8 area coded as four 4x4s" (the reference also scores 4x4
+    # leaves over their 8x8 parent area).
+    r4 = (rates[0].reshape(h // 8, 2, w // 8, 2).sum(axis=(1, 3)))
+    cost = {
+        0: dists[0] + lam_p * r4,
+        1: dists[1] + lam_p * rates[1],
+        2: _tiles_to_nodes(dists[2], 2) + lam_p * rates[2],
+        3: _tiles_to_nodes(dists[3], 4) + lam_p * rates[3],
+    }
+    split_overhead = lam_p * 2.5
+    # DP from 8x8 nodes up.
+    take8 = cost[1] <= cost[0] + split_overhead
+    best8 = np.where(take8, cost[1], cost[0] + split_overhead)
+    choice = {1: take8}
+    best = best8
+    for bs in (2, 3):
+        kids = (best[0::2, 0::2] + best[0::2, 1::2]
+                + best[1::2, 0::2] + best[1::2, 1::2]) + split_overhead
+        leaf = cost[bs]
+        take_leaf = leaf <= kids
+        choice[bs] = take_leaf
+        best = np.where(take_leaf, leaf, kids)
+    # Emit the grid top-down (default = 4x4 split).
+    grid = np.zeros((h // 4, w // 4), dtype=np.int8)
+    decided = np.zeros((h // 4, w // 4), dtype=bool)
+    for bs in (3, 2, 1):
         cells = 1 << bs
         up = np.repeat(np.repeat(choice[bs], cells, 0), cells, 1)
         sel = up & ~decided

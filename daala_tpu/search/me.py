@@ -262,4 +262,21 @@ def motion_search(cur: np.ndarray, ref: np.ndarray, blk_log: int,
                    - p_med.astype(np.int32)).sum(axis=(1, 2))
     keep_med = (s_med <= s_cur + (s_cur >> 4)).reshape(nvy, nvx)
     grid = np.where(keep_med[..., None], med, grid)
+    # -- stage 5: global-motion candidate --------------------------------
+    # Self-similar content (texture, repeated patterns) leaves the
+    # per-vertex SAD ambiguous; a dominant global motion resolves the
+    # aperture problem the way the reference's rate-aware DP converges
+    # neighbors.  Accept the field-wide median wherever it is nearly as
+    # good as the local choice.
+    gmv = np.median(grid.reshape(-1, 2), axis=0).astype(np.int64)
+    p_glob = subpel_predict_blocks(
+        refp8, 64, ys, xs, np.broadcast_to(gmv, (len(ys), 2)), n)
+    s_cur2 = np.abs(blocks.astype(np.int32)
+                    - subpel_predict_blocks(refp8, 64, ys, xs,
+                                            grid.reshape(-1, 2), n)
+                    .astype(np.int32)).sum(axis=(1, 2))
+    s_glob = np.abs(blocks.astype(np.int32)
+                    - p_glob.astype(np.int32)).sum(axis=(1, 2))
+    keep_glob = (s_glob <= s_cur2 + (s_cur2 >> 3) + n).reshape(nvy, nvx)
+    grid = np.where(keep_glob[..., None], gmv, grid)
     return grid
