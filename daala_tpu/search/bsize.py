@@ -97,7 +97,22 @@ def _win_var4(plane, y0, x0):
     return (s2 - (s * s >> 4)) >> 4
 
 
-def _perceptual_dist8(orig, rec, bs):
+def _orig_var_stats(orig):
+    """Precompute the original plane's overlapped 4x4 window std devs
+    and the per-tile activity weight (shared by all four trial
+    sizes)."""
+    stds = {}
+    min_var = None
+    for y0 in (0, 2, 4):
+        for x0 in (0, 2, 4):
+            vx = _win_var4(orig, y0, x0)
+            stds[(y0, x0)] = np.sqrt(vx)
+            min_var = vx if min_var is None else np.minimum(min_var, vx)
+    activity = 1.62 * np.power(0.25 + min_var / 256.0, -1.0 / 6)
+    return stds, activity
+
+
+def _perceptual_dist8(orig, rec, bs, stats=None):
     """Per-8x8-tile perceptual distortion (od_compute_dist_8x8,
     encode.c:962): HVS/basis-magnitude-weighted error spectrum plus the
     variance-preservation term, scaled by the activity weight.  orig,
@@ -109,16 +124,13 @@ def _perceptual_dist8(orig, rec, bs):
     h, w = orig.shape
     nty, ntx = h // 8, w // 8
     # 3x3 overlapped 4x4 variances per tile: vardist + min-variance.
-    min_var = None
+    stds, activity = stats if stats is not None else _orig_var_stats(orig)
     vardist = np.zeros((nty, ntx), dtype=np.float64)
     for y0 in (0, 2, 4):
         for x0 in (0, 2, 4):
-            vx = _win_var4(orig, y0, x0)
             vy = _win_var4(rec, y0, x0)
-            diff = np.sqrt(vx) - np.sqrt(vy)
+            diff = stds[(y0, x0)] - np.sqrt(vy)
             vardist += diff * diff
-            min_var = vx if min_var is None else np.minimum(min_var, vx)
-    activity = 1.62 * np.power(0.25 + min_var / 256.0, -1.0 / 6)
     # Spectral term: DCT8 of the error, HVS + basis-magnitude weighted.
     err = (orig - rec).astype(np.int32)
     blocks = (err.reshape(nty, 8, ntx, 8).transpose(0, 2, 1, 3)
@@ -230,6 +242,7 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
     # divisor calibrates rate (swept on texture + warp clips so flat
     # content keeps its operating points while texture splits).
     lam_p = lam / 10.0
+    var_stats = _orig_var_stats(coeffs)
     dists = {}          # (h//8, w//8) per size
     rates = {}          # (h//n, w//n) per size
     for bs in range(4):
@@ -281,7 +294,7 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
         rplane = (rblocks.reshape(h // n, w // n, n, n)
                   .transpose(0, 2, 1, 3).reshape(h, w))
         rplane = postfilter_frame(rplane, n)
-        dists[bs] = _perceptual_dist8(coeffs, rplane, bs)
+        dists[bs] = _perceptual_dist8(coeffs, rplane, bs, var_stats)
         rates[bs] = rate.reshape(h // n, w // n)
 
     def _tiles_to_nodes(t8, cells):
