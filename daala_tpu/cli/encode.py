@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--tile-jobs", type=int, default=1,
                     help="encode tiles in this many forked workers "
                          "(bit-identical to serial)")
+    ap.add_argument("-V", "--bitrate", type=int, default=0,
+                    help="rate target in kbit/s (0 = constant quality; "
+                         "-v becomes the starting quality)")
     args = ap.parse_args(argv)
 
     with open(args.input, "rb") as f:
@@ -82,7 +85,8 @@ def main(argv=None):
                               use_masking=args.masking, bs_luma=bs,
                               keyframe_rate=args.keyframe_rate,
                               b_frames=args.b_frames, tiles=args.tiles,
-                              tile_workers=args.tile_jobs)
+                              tile_workers=args.tile_jobs,
+                              bitrate=args.bitrate * 1000)
         packets = []
         t0 = time.time()
 

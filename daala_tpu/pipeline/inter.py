@@ -701,7 +701,7 @@ class EncoderSession:
                  use_masking: bool = False, bs_luma: int = 1,
                  use_dering: bool = True, keyframe_rate: int = None,
                  b_frames: int = 0, tiles: int = 1,
-                 tile_workers: int = 1):
+                 tile_workers: int = 1, bitrate: int = 0):
         if tuple(info.xdec) != tuple(info.ydec):
             raise ValueError(
                 "only 4:4:4 / 4:2:0 / mono are supported (the codec "
@@ -722,6 +722,46 @@ class EncoderSession:
         self.ref_gold = None
         self.queue = []             # buffered (display_idx, planes)
         self.qm, self.qm_inv = init_qm(QM8_HVS)
+        # -- rate control (bits/s target; 0 = constant quality) ----------
+        # The reference's encoder_example exposes -V but encode.c never
+        # implemented it; this is a leaky-bucket controller: each coded
+        # frame pays into a rolling budget and the coded quantizer
+        # index steps against the fullness error (cq is signaled per
+        # frame, so no format change).
+        self.bitrate = int(bitrate)
+        fps = info.timebase_num / max(1, info.timebase_den)
+        self.rc_target = (bitrate / 8.0 / max(1e-9, fps)
+                          if bitrate else 0.0)  # bytes per frame
+        self.rc_balance = 0.0       # bytes of credit (+) / debt (-)
+        self.rc_quality = float(quality)
+
+    def _rc_update(self, packets):
+        """Consume coded packets and adapt quality toward the target."""
+        if not self.bitrate:
+            return
+        import math
+
+        for p in packets:
+            self.rc_balance += self.rc_target - len(p["data"])
+            # Multiplicative correction: one coded-quantizer step is
+            # roughly 11% rate, so the log of the overshoot ratio maps
+            # directly to steps.  Keyframes spend several frames'
+            # budget by design — damp their contribution.
+            ratio = len(p["data"]) / max(1.0, self.rc_target)
+            if p["ftype"] == FT_INTRA:
+                ratio /= 4.0
+            step = math.log(max(ratio, 1e-3)) / math.log(1.11)
+            self.rc_quality += min(max(0.6 * step, -3.0), 3.0)
+        # Clamp the bucket to ~1s of video so a big keyframe does not
+        # starve the rest of the GOP forever, then bleed the remaining
+        # debt in slowly.
+        limit = self.rc_target * 30
+        self.rc_balance = min(max(self.rc_balance, -limit), limit)
+        self.rc_quality -= 0.2 * self.rc_balance / max(
+            1.0, self.rc_target * 8)
+        self.rc_quality = min(max(self.rc_quality, 4.0),
+                              float(N_CODED_QUANTIZERS - 6))
+        self.quality = int(round(self.rc_quality))
 
     # -- public API ------------------------------------------------------
 
@@ -746,6 +786,7 @@ class EncoderSession:
             if self.queue:
                 out += self._flush_queue(next_anchor=None)
             out.append(self._encode_anchor(planes, idx, is_key))
+            self._rc_update(out)
             return out
         self.queue.append((idx, planes))
         if len(self.queue) > self.b_frames:
@@ -754,6 +795,7 @@ class EncoderSession:
             anchor_idx, anchor_planes = self.queue.pop()
             out = [self._encode_anchor(anchor_planes, anchor_idx, False)]
             out += self._flush_queue(next_anchor=self.ref_next)
+            self._rc_update(out)
             return out
         return []
 

@@ -413,3 +413,38 @@ def test_long_session_stress():
     assert n == 40
     # The cadence must actually exercise I, P, B and golden frames.
     assert ftypes >= {0, 1, 2, 3}
+
+
+def test_rate_control_converges():
+    """The leaky-bucket rate controller must steer the coded quantizer
+    toward the bits/s target (steady state within ~25%) while keeping
+    the encoder-check invariant."""
+    import numpy as np
+
+    from daala_tpu.core.state import FrameInfo
+    from daala_tpu.pipeline.inter import DecoderSession, EncoderSession
+
+    rng = np.random.default_rng(3)
+    w, h = 96, 64
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    frames = []
+    for t in range(24):
+        y = (128 + 50 * np.sin(xx / 13 + t * 0.2) * np.cos(yy / 11)
+             + rng.normal(0, 3, (h, w))).clip(0, 255).astype(np.uint8)
+        frames.append([y, (y[::2, ::2] // 2 + 40).astype(np.uint8),
+                       (210 - y[::2, ::2] // 2).astype(np.uint8)])
+    info = FrameInfo(w, h, 3, (0, 1, 1), (0, 1, 1))
+    target_kbps = 80
+    enc = EncoderSession(info, quality=20, bs_luma=-1,
+                         keyframe_rate=256, bitrate=target_kbps * 1000)
+    dec = DecoderSession(info, bs_luma=-1)
+    sizes = []
+    for f in frames:
+        for p in enc.push_frame(f):
+            r = dec.decode_frame(p["data"], p["ftype"] == 0,
+                                 p.get("use_haar", False), p["ftype"])
+            for a, b in zip(p["recon"], r):
+                assert np.array_equal(a, b)
+            sizes.append(len(p["data"]))
+    steady = sum(sizes[12:]) * 8 * 30 / len(sizes[12:]) / 1000
+    assert 0.5 * target_kbps < steady < 1.6 * target_kbps, steady
