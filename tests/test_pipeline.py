@@ -318,16 +318,22 @@ def test_decoder_fuzz_robustness():
     enc = EncoderSession(info, 25)
     outs = enc.push_frame(planes) + enc.push_frame(planes)
     key, pfr = outs
-    for trial in range(20):
+    for trial in range(30):
         dec = DecoderSession(info)
         for pkt, is_key in ((key, True), (pfr, False)):
             data = bytearray(pkt["data"])
-            if trial % 2 == 0 and len(data) > 2:
+            mode = trial % 3
+            if mode == 0 and len(data) > 2:
                 for _ in range(3):
                     data[rng.integers(0, len(data))] ^= int(
                         rng.integers(1, 256))
-            else:
+            elif mode == 1:
                 data = data[:rng.integers(0, len(data))]
+            elif len(data) > 9:
+                # Target the tile table (ntiles byte + u32 lengths).
+                for i in range(min(9, len(data))):
+                    if rng.random() < 0.5:
+                        data[i] = int(rng.integers(0, 256))
             dec.decode_frame(bytes(data), is_key)  # must not raise
 
 
