@@ -9,6 +9,21 @@ keyframe rate, block size, masking knobs.
 from __future__ import annotations
 
 import argparse
+import os
+
+if (os.environ.get("DTPU_JAX_DERING") == "1"
+        and not os.environ.get("JAX_PLATFORMS")):
+    # Opt-in fused-jax dering on the host: the TPU plugin only honors
+    # platform selection at interpreter start, so re-exec with the CPU
+    # platform pinned (same pattern as tests/conftest.py).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_backend_optimization_level=0")
+    import sys as _sys
+
+    os.execv(_sys.executable,
+             [_sys.executable, "-m", "daala_tpu.cli.encode"] + _sys.argv[1:])
 import sys
 import time
 

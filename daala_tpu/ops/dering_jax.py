@@ -84,15 +84,17 @@ def dering_frame_jax(frame, nhsb: int, nvsb: int, q: int, xdec: int,
     P = jnp.full((h + 2 * b, w + 2 * b), DERING_VERY_LARGE,
                  dtype=jnp.int32)
     P = P.at[b:b + h, b:b + w].set(frame.astype(jnp.int32))
-    return dering_padded_jax(P, nhsb, nvsb, q, xdec, pli, dirs,
-                             threshold_scale)
+    thr = np.int32(np.power(float(q), 0.84182) * threshold_scale)
+    return dering_padded_jax(P, nhsb, nvsb, thr, xdec, pli, dirs)
 
 
-def dering_padded_jax(P, nhsb: int, nvsb: int, q: int, xdec: int,
+def dering_padded_jax(P, nhsb: int, nvsb: int, q, xdec: int,
                       pli: int, dirs=None, threshold_scale: float = 1.0):
     """Dering from a pre-built padded plane (h + 6, w + 6) — the
     sharded path supplies real neighbor-tile halo rows instead of the
-    VERY_LARGE frame border."""
+    VERY_LARGE frame border.  q may be a traced scalar (the q^0.84182
+    threshold is computed with jnp so the jit does not specialize on
+    the quantizer)."""
     ln = 5 - xdec
     n = 1 << ln
     bsize = 3 - xdec
@@ -105,7 +107,10 @@ def dering_padded_jax(P, nhsb: int, nvsb: int, q: int, xdec: int,
     padded = (patches.reshape(k * k, nvsb, nhsb)
               .transpose(1, 2, 0).reshape(-1, k, k).astype(jnp.int32))
     N = nvsb * nhsb
-    threshold = int(np.power(q, 0.84182) * threshold_scale)
+    # q may be the PRE-COMPUTED integer threshold (exact host float64
+    # q^0.84182, passed traced so the jit never specializes on the
+    # quantizer) — decoder and encoder must share the identical value.
+    threshold = jnp.asarray(q, dtype=jnp.int32)
     if pli == 0:
         blocks = (padded[:, b:b + n, b:b + n]
                   .reshape(N, nb, 8, nb, 8).transpose(0, 1, 3, 2, 4)

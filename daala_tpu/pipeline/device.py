@@ -262,8 +262,8 @@ def _band_encode(band, bs, quantizer, qm, qm_inv, ntiles):
         big = jnp.full((3, w), DERING_VERY_LARGE, dtype=jnp.int32)
         P = P.at[0:3, 3:3 + w].set(jnp.where(is_first, big, top3))
         P = P.at[3 + h:, 3:3 + w].set(jnp.where(is_last, big, bot3))
-        bufs, _ = dering_padded_jax(P, nhsb, nvsb, max(1, quantizer),
-                                    0, 0)
+        thr = np.int32(np.power(float(max(1, quantizer)), 0.84182))
+        bufs, _ = dering_padded_jax(P, nhsb, nvsb, thr, 0, 0)
         return bufs.transpose(0, 2, 1, 3).reshape(h, w)
 
     rec = jax.vmap(_dering_one, in_axes=(0, 0, 0, None, None))(

@@ -626,14 +626,66 @@ def _crop(pcs, info: FrameInfo):
     return out
 
 
+_DERING_JAX_FNS = {}
+
+
+def _dering_jax_fn(h, w, xdec, is_luma):
+    """Cached jit of the bit-exact jax dering for one plane shape
+    (threshold is a traced arg so the quantizer never recompiles)."""
+    key = (h, w, xdec, is_luma)
+    fn = _DERING_JAX_FNS.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dering import DERING_VERY_LARGE
+    from ..ops.dering_jax import dering_padded_jax
+
+    ln = 5 - xdec
+    nvsb, nhsb = h >> ln, w >> ln
+
+    def pad(frame):
+        P = jnp.full((h + 6, w + 6), DERING_VERY_LARGE, dtype=jnp.int32)
+        return P.at[3:3 + h, 3:3 + w].set(frame.astype(jnp.int32))
+
+    if is_luma:
+        def f(frame, thr):
+            return dering_padded_jax(pad(frame), nhsb, nvsb, thr, 0, 0)
+    else:
+        def f(frame, thr, dirs):
+            return dering_padded_jax(pad(frame), nhsb, nvsb, thr, xdec,
+                                     1, dirs)[0]
+    fn = jax.jit(f)
+    _DERING_JAX_FNS[key] = fn
+    return fn
+
+
 def _dering_buffers(pcs, etmp, q):
-    """Batched dering of every SB of every plane in one pass per plane
-    (ops/dering.py:dering_frame).  Returns per-plane
-    (nvsb, nhsb, n, n) filtered buffers; the flag pass then just
-    selects."""
-    from ..ops.dering import dering_frame
+    """Batched dering of every SB of every plane in one pass per plane.
+    Returns per-plane (nvsb, nhsb, n, n) filtered buffers; the flag
+    pass then just selects.
+
+    On larger frames the bit-exact jax twin runs the whole filter as
+    one fused jit on the host CPU backend (an order of magnitude over
+    the numpy temporaries at 1080p); numpy remains the fallback and
+    the oracle."""
+    import os
+    import sys
 
     nhsb, nvsb = pcs[0].nhsb, pcs[0].nvsb
+    # Only reach for jax when it is already (or safely) initializable:
+    # the axon TPU plugin hangs on lazy in-process platform selection,
+    # so plain host runs opt in via DTPU_JAX_DERING=1 (the CLIs re-exec
+    # themselves with the right env).
+    jax_ok = "jax" in sys.modules or os.environ.get("JAX_PLATFORMS")
+    if jax_ok and pcs[0].w * pcs[0].h >= 512 * 288:
+        try:
+            return _dering_buffers_jax(pcs, etmp, q)
+        except Exception:
+            pass
+    from ..ops.dering import dering_frame
+
     bufs = []
     dirs = None
     for pli, pc in enumerate(pcs):
@@ -642,6 +694,26 @@ def _dering_buffers(pcs, etmp, q):
         if pli == 0:
             dirs = d
         bufs.append(buf)
+    return bufs
+
+
+def _dering_buffers_jax(pcs, etmp, q):
+    import jax
+
+    thr = np.int32(np.power(float(q), 0.84182))
+    cpu = jax.devices("cpu")[0]
+    bufs = []
+    dirs = None
+    with jax.default_device(cpu):
+        for pli, pc in enumerate(pcs):
+            fn = _dering_jax_fn(pc.h, pc.w, pc.xdec, pli == 0)
+            if pli == 0:
+                buf, dirs = fn(np.asarray(etmp[pli], dtype=np.int32),
+                               thr)
+            else:
+                buf = fn(np.asarray(etmp[pli], dtype=np.int32), thr,
+                         dirs)
+            bufs.append(np.asarray(buf))
     return bufs
 
 
