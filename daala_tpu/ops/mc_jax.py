@@ -1,0 +1,138 @@
+"""Device (jax) motion compensation — bit-exact twin of ops/mc.py.
+
+Same integer arithmetic as the numpy subpel/OBMC path (6-tap Q7
+filters, Q14 rounding, bilinear corner blend), expressed as one fused
+jit per (shape, block size) so a whole frame's prediction is a single
+XLA computation.  Exactness matters: the decoder may run either
+implementation, so every op mirrors the numpy twin bit for bit
+(tests/test_device.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mc import SUBPEL_FILTERS, TOP_APRON
+
+__all__ = ["subpel_predict_blocks_jax", "obmc_predict_jax"]
+
+
+def subpel_predict_blocks_jax(ref_padded, pad, ys, xs, mvs, n,
+                              bitdepth=8):
+    """jax twin of mc.subpel_predict_blocks (single fused pass)."""
+    mvy = mvs[:, 0]
+    mvx = mvs[:, 1]
+    iy = ys + (mvy >> 3) + pad
+    ix = xs + (mvx >> 3) + pad
+    fy = (mvy & 7).astype(jnp.int32)
+    fx = (mvx & 7).astype(jnp.int32)
+    wy = iy[:, None] - TOP_APRON + jnp.arange(n + 5)[None, :]
+    wx = ix[:, None] - TOP_APRON + jnp.arange(n + 5)[None, :]
+    win = ref_padded[wy[:, :, None], wx[:, None, :]].astype(jnp.int32)
+    filters = jnp.asarray(SUBPEL_FILTERS, dtype=jnp.int32)
+    center = 128 << (bitdepth - 8)
+    fh = filters[fx]
+    # h[b, r, c] = sum_k win[b, r, c + k] * fh[b, k]
+    hacc = jnp.zeros(win.shape[:2] + (n,), dtype=jnp.int32)
+    for k in range(6):
+        hacc = hacc + win[:, :, k:k + n] * fh[:, k][:, None, None]
+    hacc = hacc - (center << 7)
+    fv = filters[fy]
+    vacc = jnp.zeros((win.shape[0], n, n), dtype=jnp.int32)
+    for k in range(6):
+        vacc = vacc + hacc[:, k:k + n, :] * fv[:, k][:, None, None]
+    out = (vacc + (1 << 13) + (center << 14)) >> 14
+    maxv = (1 << bitdepth) - 1
+    dtype = jnp.uint8 if bitdepth <= 8 else jnp.uint16
+    return jnp.clip(out, 0, maxv).astype(dtype)
+
+
+def obmc_predict_jax(refs, pad, h, w, mv_grid, blk_log, ref_ids=None,
+                     bitdepth=8):
+    """jax twin of mc.obmc_predict (uniform grid, whole frame).
+
+    refs: list of padded reference planes (jnp arrays)."""
+    n = 1 << blk_log
+    nby = h >> blk_log
+    nbx = w >> blk_log
+    by, bx = jnp.meshgrid(jnp.arange(nby), jnp.arange(nbx),
+                          indexing="ij")
+    by = by.ravel()
+    bx = bx.ravel()
+    ys = (by << blk_log).astype(jnp.int64)
+    xs = (bx << blk_log).astype(jnp.int64)
+    if ref_ids is None:
+        ref_ids = jnp.zeros(mv_grid.shape[:2], dtype=jnp.int32)
+    corners = [(by, bx), (by, bx + 1), (by + 1, bx + 1), (by + 1, bx)]
+    preds = []
+    for cy, cx in corners:
+        mvs = mv_grid[cy, cx].astype(jnp.int64)
+        rid = ref_ids[cy, cx]
+        p = jnp.zeros((len(ys), n, n), dtype=jnp.int32)
+        for r in range(len(refs)):
+            pr = subpel_predict_blocks_jax(refs[r], pad, ys, xs, mvs,
+                                           n, bitdepth).astype(jnp.int32)
+            p = jnp.where((rid == r)[:, None, None], pr, p)
+        preds.append(p)
+    i = jnp.arange(n)[None, None, :]
+    j = jnp.arange(n)[None, :, None]
+    a = (preds[0] << blk_log) + (preds[1] - preds[0]) * i
+    b = (preds[3] << blk_log) + (preds[2] - preds[3]) * i
+    blk2 = 2 * blk_log
+    blocks = ((a << blk_log) + (b - a) * j + (1 << (blk2 - 1))) >> blk2
+    maxv = (1 << bitdepth) - 1
+    dtype = jnp.uint8 if bitdepth <= 8 else jnp.uint16
+    blocks = jnp.clip(blocks, 0, maxv).astype(dtype)
+    return (blocks.reshape(nby, nbx, n, n)
+            .transpose(0, 2, 1, 3).reshape(h, w))
+
+
+_JIT_CACHE = {}
+
+
+def obmc_jit(h, w, blk_log, nrefs, bitdepth):
+    """Cached jit of the uniform-grid OBMC for one configuration."""
+    key = (h, w, blk_log, nrefs, bitdepth)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def f(refs, grid, rids):
+            return obmc_predict_jax(list(refs), 80, h, w, grid,
+                                    blk_log, ref_ids=rids,
+                                    bitdepth=bitdepth)
+        fn = jax.jit(f)
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def obmc_predict_mixed_gated(ref_padded, pad, h, w, mv_grid, levels,
+                             fine_log, ref_ids, bitdepth):
+    """Mixed-size OBMC via per-level fused jax passes + host per-SB
+    selection — bit-exact with ops.mc.obmc_predict_mixed (each level's
+    full-frame pass equals the numpy pass block for block, and blocks
+    never straddle superblocks).  Only the levels actually present
+    run."""
+    assert pad == 80
+    cpu = jax.devices("cpu")[0]
+    sb = 1 << (fine_log + 2)
+    lv_present = sorted(set(np.asarray(levels).ravel().tolist()))
+    refs = tuple(jnp.asarray(r) for r in ref_padded)
+    if ref_ids is None:
+        ref_ids = np.zeros(mv_grid.shape[:2], dtype=np.int32)
+    out = None
+    with jax.default_device(cpu):
+        for lv in lv_present:
+            stride = 4 >> lv
+            fn = obmc_jit(h, w, fine_log + 2 - lv, len(refs), bitdepth)
+            p = np.asarray(fn(refs,
+                              np.ascontiguousarray(
+                                  mv_grid[::stride, ::stride]),
+                              np.ascontiguousarray(
+                                  ref_ids[::stride, ::stride])))
+            if out is None and len(lv_present) == 1:
+                return p
+            mask = np.repeat(np.repeat(np.asarray(levels) == lv, sb, 0),
+                             sb, 1)
+            out = p if out is None else np.where(mask, p, out)
+    return out

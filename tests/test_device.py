@@ -68,3 +68,25 @@ def test_device_pvq_quantize():
     rel2 = ((d.astype(np.float64) - np.asarray(out2)) ** 2).mean() \
         / (d.astype(np.float64) ** 2).mean()
     assert int(ks2) < int(ks) and rel2 > rel
+
+
+def test_mc_jax_bit_exact():
+    """The jax MC twin (round-2 device-encode building block) must
+    match the numpy OBMC bit for bit across block sizes, multi-ref and
+    bit depths."""
+    from daala_tpu.ops.mc import obmc_predict, pad_ref
+    from daala_tpu.ops.mc_jax import obmc_predict_jax
+
+    rng = np.random.default_rng(0)
+    h, w = 64, 96
+    refs = [pad_ref(rng.integers(0, 256, (h, w)).astype(np.uint8))
+            for _ in range(2)]
+    jrefs = [jax.numpy.asarray(r) for r in refs]
+    for bl in (3, 4, 5):
+        g = rng.integers(-200, 200,
+                         ((h >> bl) + 1, (w >> bl) + 1, 2)
+                         ).astype(np.int64)
+        rid = rng.integers(0, 2, g.shape[:2]).astype(np.int32)
+        a = obmc_predict(refs, 80, h, w, g, bl, ref_ids=rid)
+        b = obmc_predict_jax(jrefs, 80, h, w, g, bl, ref_ids=rid)
+        assert np.array_equal(a, np.asarray(b))
