@@ -18,8 +18,6 @@ if (os.environ.get("DTPU_JAX_DERING") == "1"
     # platform pinned (same pattern as tests/conftest.py).
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
-    os.environ.setdefault(
-        "XLA_FLAGS", "--xla_backend_optimization_level=0")
     import sys as _sys
 
     os.execv(_sys.executable,

@@ -136,3 +136,54 @@ def obmc_predict_mixed_gated(ref_padded, pad, h, w, mv_grid, levels,
                              sb, 1)
             out = p if out is None else np.where(mask, p, out)
     return out
+
+
+_REFINE_CACHE = {}
+
+
+def refine_midpoints_jit(ref_shape, nblocks, n):
+    """Cached jit of the full midpoint-refinement inner loop
+    (search/me.py:_refine_midpoints): one fused computation instead of
+    ~16 separate interpolation passes.  Encoder-side only, but the
+    arithmetic mirrors numpy exactly, so the searched MVs — and hence
+    the streams — are identical either way."""
+    key = (ref_shape, nblocks, n)
+    fn = _REFINE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
+                      for dx in (-16, -8, 0, 8, 16)], dtype=np.int64)
+    dev_bias = jnp.asarray(
+        (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8))
+
+    def f(refp8, blocks, ys, xs, mv):
+        b32 = blocks.astype(jnp.int32)
+        mv = jnp.clip(mv, -58 * 8, 58 * 8)
+        ext = subpel_predict_blocks_jax(refp8, 64, ys - 2, xs - 2, mv,
+                                        n + 4).astype(jnp.int32)
+        sads = []
+        for ci, (dy, dx) in enumerate(cands):
+            py = 2 + (int(dy) >> 3)
+            px = 2 + (int(dx) >> 3)
+            sads.append(jnp.abs(
+                b32 - ext[:, py:py + n, px:px + n]
+            ).sum(axis=(1, 2)).astype(jnp.int64) + dev_bias[ci])
+        pick = jnp.argmin(jnp.stack(sads, axis=1), axis=1)
+        mv = jnp.clip(mv + jnp.asarray(cands)[pick], -60 * 8, 60 * 8)
+        for step in (4, 2, 1):
+            c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
+                           (0, step)], dtype=np.int64)
+            s2 = []
+            for d in c8:
+                p = subpel_predict_blocks_jax(refp8, 64, ys, xs,
+                                              mv + jnp.asarray(d), n)
+                s2.append(jnp.abs(b32 - p.astype(jnp.int32)
+                                  ).sum(axis=(1, 2)))
+            pick = jnp.argmin(jnp.stack(s2, axis=1), axis=1)
+            mv = jnp.clip(mv + jnp.asarray(c8)[pick], -60 * 8, 60 * 8)
+        return mv
+
+    fn = jax.jit(f)
+    _REFINE_CACHE[key] = fn
+    return fn

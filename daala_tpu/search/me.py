@@ -50,6 +50,27 @@ def _refine_midpoints(cur, refp8, g, vspacing_log):
     vy = vy.ravel()[idx]
     vx = vx.ravel()[idx]
     blocks, ys, xs = _vertex_blocks(cur, vy, vx, n)
+    # Fused jax path when the platform is up (same arithmetic — the
+    # searched MVs are identical; ~16 interpolation passes become one
+    # jit).
+    import os
+    import sys
+    if (len(idx) * n * n >= 1 << 18
+            and ("jax" in sys.modules
+                 or os.environ.get("JAX_PLATFORMS"))):
+        try:
+            import jax
+
+            from ..ops.mc_jax import refine_midpoints_jit
+
+            fn = refine_midpoints_jit(refp8.shape, len(idx), n)
+            with jax.default_device(jax.devices("cpu")[0]):
+                mv = np.asarray(fn(refp8, blocks, ys, xs,
+                                   g.reshape(-1, 2)[idx]))
+            g.reshape(-1, 2)[idx] = mv
+            return g
+        except Exception:
+            pass
     b32 = blocks.astype(np.int32)
     mv = np.clip(g.reshape(-1, 2)[idx], -58 * 8, 58 * 8)
     ext = subpel_predict_blocks(refp8, 64, ys - 2, xs - 2, mv,
