@@ -61,14 +61,14 @@ def obmc_predict_jax(refs, pad, h, w, mv_grid, blk_log, ref_ids=None,
                           indexing="ij")
     by = by.ravel()
     bx = bx.ravel()
-    ys = (by << blk_log).astype(jnp.int64)
-    xs = (bx << blk_log).astype(jnp.int64)
+    ys = (by << blk_log).astype(jnp.int32)
+    xs = (bx << blk_log).astype(jnp.int32)
     if ref_ids is None:
         ref_ids = jnp.zeros(mv_grid.shape[:2], dtype=jnp.int32)
     corners = [(by, bx), (by, bx + 1), (by + 1, bx + 1), (by + 1, bx)]
     preds = []
     for cy, cx in corners:
-        mvs = mv_grid[cy, cx].astype(jnp.int64)
+        mvs = mv_grid[cy, cx].astype(jnp.int32)
         rid = ref_ids[cy, cx]
         p = jnp.zeros((len(ys), n, n), dtype=jnp.int32)
         for r in range(len(refs)):
