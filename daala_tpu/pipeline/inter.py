@@ -642,22 +642,50 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
     for pli in range(nplanes):
         _mc_pred_tables(pcs[pli], mds[pli],
                         pg=pcs[pli].pg() if encoder else None)
-    if encoder:
-        _prepass_inter(pcs, state, use_masking)
+    # Native symbol pass: one C++ call per tile (pvq/native_walk.py),
+    # with the search and the reconstruction fully batched around it.
+    # The Python per-block path below remains the fallback (no native
+    # lib, pure-Python EC, or the accounting decoder) and the oracle.
+    import os as _os
 
-    def _sb_job(ti):
-        rows = bounds[ti]
-        _code_inter_frame(ecs[ti], states[ti], pcs, mds, info, bs_luma,
-                          use_masking, encoder, rows)
-        gr = None if encoder else _tile_grid_rows(bgrid, rows)
-        return ecs[ti], states[ti], _tile_d_rows(pcs, rows), gr
+    from ..pvq import native_walk as _nw
 
-    for ti, (ec_t, st_t, dr, gr) in enumerate(
-            run_tiles(_sb_job, len(bounds), tile_workers)):
-        ecs[ti], states[ti] = ec_t, st_t
-        _merge_d_rows(pcs, bounds[ti], dr)
-        if gr is not None:
-            _merge_grid_rows(bgrid, bounds[ti], gr)
+    use_native = (_nw.available()
+                  and not _os.environ.get("DTPU_PY_WALK")
+                  and acct is None
+                  and all(getattr(e, "_h", None) is not None for e in ecs))
+    if use_native and encoder:
+        pre = _nw.prepass_search(pcs, state, use_masking)
+        out_dc = np.zeros(pre.nslots, dtype=np.int32)
+        out_acskip = np.zeros(pre.nslots, dtype=np.uint8)
+        out_bskip = np.zeros(pre.nslots, dtype=np.uint8)
+        for ti, rows in enumerate(bounds):
+            _nw.walk_enc(ecs[ti], states[ti], pcs, pre, rows,
+                         pcs[0].nhsb, use_masking, out_dc, out_acskip,
+                         out_bskip)
+        _nw.assemble_recon(pcs, pre, out_dc, out_acskip, out_bskip)
+    elif use_native:
+        results = [_nw.walk_dec(ecs[ti], states[ti], pcs, rows,
+                                pcs[0].nhsb, use_masking)
+                   for ti, rows in enumerate(bounds)]
+        _nw.assemble_dec(pcs, state, results, use_masking)
+    else:
+        if encoder:
+            _prepass_inter(pcs, state, use_masking)
+
+        def _sb_job(ti):
+            rows = bounds[ti]
+            _code_inter_frame(ecs[ti], states[ti], pcs, mds, info,
+                              bs_luma, use_masking, encoder, rows)
+            gr = None if encoder else _tile_grid_rows(bgrid, rows)
+            return ecs[ti], states[ti], _tile_d_rows(pcs, rows), gr
+
+        for ti, (ec_t, st_t, dr, gr) in enumerate(
+                run_tiles(_sb_job, len(bounds), tile_workers)):
+            ecs[ti], states[ti] = ec_t, st_t
+            _merge_d_rows(pcs, bounds[ti], dr)
+            if gr is not None:
+                _merge_grid_rows(bgrid, bounds[ti], gr)
     _to_spatial(pcs)
     dflags = np.zeros((pcs[0].nvsb, pcs[0].nhsb), dtype=np.int32)
     if use_dering:

@@ -13,6 +13,8 @@
 
 #include <atomic>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -1404,3 +1406,602 @@ void dtpu_decode_codeword(void* h, int32_t* k1_cdf_row, int k1_inc,
 }
 
 }  // extern "C"
+
+// ====================================================================
+// Inter-frame tile symbol walk + batched PVQ synthesis.
+//
+// The Python inter pipeline (pipeline/inter.py) splits a P/B frame
+// into:   (1) a batched band SEARCH prepass (dtpu_pvq_theta_batch),
+//         (2) a strictly sequential SYMBOL pass per tile,
+//         (3) a batched reconstruction.
+// This section makes (2) one FFI call per tile and provides the shared
+// batched synthesis used by BOTH encoder and decoder, so float
+// reconstruction is bit-identical by construction (same code, same
+// operation order).  Behavioral spec: pvq_encoder.c:645-815 /
+// pvq_decoder.c:311-387 / od_block_encode encode.c:1066-1285, as
+// restructured in pipeline/inter.py + pvq/coding.py.
+// ====================================================================
+
+namespace {
+
+// Band layout (OD_BAND_OFFSETS*, partition.c:77-90).
+const int BNB[4] = {1, 4, 7, 9};
+const int BOFFS[4][10] = {
+    {1, 16, 0, 0, 0, 0, 0, 0, 0, 0},
+    {1, 16, 24, 32, 64, 0, 0, 0, 0, 0},
+    {1, 16, 24, 32, 64, 96, 128, 256, 0, 0},
+    {1, 16, 24, 32, 64, 96, 128, 256, 384, 512},
+};
+const int NCODED[4] = {16, 64, 256, 512};
+const double QM1 = 1.0 / 32767.0;
+const double QMI1 = 1.0 / 4096.0;
+const double CSC = 256 * 16;
+const double CSC1 = 1.0 / (256 * 16);
+
+inline int qm_idx(int bs, int band) {
+  return bs * (bs + 1) + band - band / 3;
+}
+
+inline double band_beta(int use_masking, int pli) {
+  return (use_masking && pli == 0) ? 1.5 : 1.0;
+}
+
+// Companded gain of a coding-order vector (od_pvq_compute_gain,
+// pvq.c:422-474).  MUST keep the exact expression order used in
+// dtpu_pvq_theta so encoder search, encoder walk, decoder walk and
+// synthesis all agree bit-for-bit.
+inline double band_cgr(const int32_t* r0, const int32_t* qm, int n,
+                       int q0, double beta, double* gr_out) {
+  double gr = 0;
+  for (int i = 0; i < n; i++) {
+    double ri = (double)r0[i] * qm[i] * QM1;
+    gr += ri * ri;
+  }
+  gr = std::sqrt(gr);
+  *gr_out = gr;
+  double cgr = beta == 1 ? gr / q0
+                         : CSC * std::pow(gr * CSC1, 1.0 / beta) / q0;
+  return cgr;
+}
+
+inline double gain_expand_c(double cg, int q0, double beta) {
+  if (beta == 1) return cg * q0;
+  if (beta == 1.5) {
+    cg *= q0 * CSC1;
+    return CSC * cg * std::sqrt(cg);
+  }
+  return CSC * std::pow(cg * q0 * CSC1, beta);
+}
+
+inline int neg_interleave_c(int x, int ref) {
+  if (x < ref) return -2 * (x - ref) - 1;
+  if (x < 2 * ref) return 2 * (x - ref);
+  return x - 1;
+}
+
+inline int neg_deinterleave_c(int x, int ref) {
+  if (x < 2 * ref - 1) {
+    if (x & 1) return ref - 1 - (x >> 1);
+    return ref + (x >> 1);
+  }
+  return x + 1;
+}
+
+inline int rdo_quant_c(int x, int q, double delta0, double lambda) {
+  int t = (int)(256 * lambda * delta0 / 2);
+  if (t < 0) t = 0;
+  if (t > 128) t = 128;
+  int threshold = 128 + t;
+  int ax = x < 0 ? -x : x;
+  if (ax < q * threshold / 256) return 0;
+  if (x < 0) return -((-x + (q >> 1)) / q);
+  return (x + (q >> 1)) / q;
+}
+
+}  // namespace
+
+// Batched synthesis of PVQ bands (od_pvq_synthesis_partial pvq.c:552 +
+// the skip rules of pvq_encoder.c:718-813 / pvq_decoder.c:311-387).
+// Inputs are per band; qg is in the TRUE (decoded) domain.  Used by
+// both sides so reconstruction is identical by construction.
+extern "C" int dtpu_pvq_synth_batch(
+    int nb, const int32_t* offsets, const int32_t* r0s,
+    const int32_t* qms, const int32_t* qm_invs, const int32_t* ys,
+    const int32_t* qgs, const int32_t* ithetas, const int32_t* norefs,
+    const int32_t* q0s, const double* betas, int is_keyframe,
+    const int32_t* plis, int32_t* outs) {
+  for (int b = 0; b < nb; b++) {
+    int lo = offsets[b];
+    int n = offsets[b + 1] - lo;
+    const int32_t* r0 = r0s + lo;
+    const int32_t* qm = qms + lo;
+    const int32_t* qmi = qm_invs + lo;
+    const int32_t* y = ys + lo;
+    int32_t* out = outs + lo;
+    int qg = qgs[b], itheta = ithetas[b], noref = norefs[b];
+    int q0 = q0s[b];
+    double beta = betas[b];
+    int cfl = is_keyframe && plis[b] != 0;
+    double gr = 0, cgr = 0, gain_offset = 0;
+    int icgr = 0;
+    if (!noref) {
+      cgr = band_cgr(r0, qm, n, q0, beta, &gr);
+      if (cfl) cgr = 1.0;
+      icgr = (int)std::floor(.5 + cgr);
+      gain_offset = cgr - icgr;
+    }
+    int skip = 0;
+    if (noref) {
+      if (qg == 0) skip = 1;  // SKIP_ZERO
+    } else {
+      if (!is_keyframe && qg == 0) skip = icgr ? 1 : 2;
+      if (qg == icgr && itheta == 0 && !cfl) skip = 2;  // SKIP_COPY
+    }
+    if (skip == 2) {
+      for (int i = 0; i < n; i++) out[i] = r0[i];
+      continue;
+    }
+    if (skip == 1) {
+      for (int i = 0; i < n; i++) out[i] = 0;
+      continue;
+    }
+    double go = noref ? 0.0 : gain_offset;
+    double g = gain_expand_c(qg + go, q0, beta);
+    double theta = 0;
+    double rr[128];
+    int m = 0, s = 1;
+    if (!noref) {
+      int ts = compute_max_theta(qg + gain_offset, beta);
+      theta = compute_theta_v(itheta, ts);
+      double maxr = 0;
+      for (int i = 0; i < n; i++) {
+        rr[i] = (double)r0[i] * qm[i] * QM1;
+        double a = std::fabs(rr[i]);
+        if (a > maxr) { maxr = a; m = i; }
+      }
+      // argmax-first semantics (np.argmax): strictly-greater keeps the
+      // FIRST maximum, matching the loop above.
+      s = rr[m] > 0 ? 1 : -1;
+      rr[m] += gr * s;
+    }
+    int yn = noref ? n : n - 1;
+    int64_t yy = 0;
+    for (int i = 0; i < yn; i++) yy += (int64_t)y[i] * y[i];
+    double scale = yy == 0 ? 0.0 : g / std::sqrt((double)yy);
+    double x[128];
+    if (noref) {
+      for (int i = 0; i < n; i++) x[i] = y[i] * scale;
+    } else {
+      scale *= std::sin(theta);
+      for (int i = 0; i < m; i++) x[i] = y[i] * scale;
+      x[m] = -s * g * std::cos(theta);
+      for (int i = m + 1; i < n; i++) x[i] = y[i - 1] * scale;
+      double l2r = 0, proj = 0;
+      for (int i = 0; i < n; i++) l2r += rr[i] * rr[i];
+      for (int i = 0; i < n; i++) proj += rr[i] * x[i];
+      double p2 = 2.0 * proj / (1e-100 + l2r);
+      for (int i = 0; i < n; i++) x[i] -= rr[i] * p2;
+    }
+    for (int i = 0; i < n; i++) {
+      out[i] = (int32_t)std::floor(.5 + x[i] * (qmi[i] * QMI1));
+    }
+  }
+  return 0;
+}
+
+// -- the walk context (mirrored by a ctypes.Structure in
+// pvq/native_walk.py; field order/types must match exactly). ----------
+
+struct DtpuWalkCtx {
+  // adaptation state (in-place numpy buffers, one tile's AdaptState)
+  int32_t* skip_cdf;       // (8,5)
+  int32_t* gaintheta_cdf;  // (72,16)
+  int32_t* skip_dir_cdf;   // (6,7)
+  int32_t* k1_cdf;         // (4,16)
+  int64_t* pvq_adapt;      // (8,4)
+  int64_t* exg;            // (4,4,9)
+  int64_t* ext;            // (36,)
+  int32_t* pm_cdf0;        // param models, (12,16) each
+  int32_t* pm_cdf1;
+  int32_t* pm_cdf2;
+  int32_t* dc_cdf[4];      // model_dc per plane (12,16)
+  int64_t* ex_dc;          // (nplanes,4,3)
+  int32_t skip_inc, gt_inc, sd_inc, k1_inc, pm_inc, dc_inc;
+  // frame structure
+  int8_t* grid;            // luma 4x4 cells (h4, w4)
+  int32_t h4, w4;
+  int32_t nplanes;
+  int32_t nhsb, row0, row1;
+  int32_t xdec[4];
+  int32_t q0;              // frame quantizer, already max(1,.)
+  int32_t use_masking;
+  double lambda;
+  int32_t* pvq_qm[4];      // per plane (20,)
+  const int32_t* qm[4];     // magnitude QM per block size (ncoded,)
+  const int32_t* qm_inv[4];
+  const int32_t* predt[4][4];  // [pli][bs] -> (bh, bw, ncoded)
+  int32_t predt_w[4][4];
+  // encoder inputs (indexed by leaf slot)
+  const int32_t* leaf_slot[4];  // per plane (plane cells), -1 = none
+  const int32_t* e_band_start;
+  const int32_t* e_dc0;
+  const int32_t* b_qg;          // per band, TRUE domain
+  const int32_t* b_itheta;
+  const int32_t* b_max_theta;
+  const int32_t* b_k;
+  const int32_t* b_noref;
+  const double* b_skip_diff;
+  const int32_t* b_y;           // flattened, band offsets
+  const int32_t* b_yoff;        // per band start into b_y
+  // encoder outputs (per leaf slot)
+  int32_t* o_dc;
+  uint8_t* o_acskip;
+  uint8_t* o_bskip;
+  // decoder outputs (append order)
+  int32_t* d_leaf_pli;
+  int32_t* d_leaf_bs;
+  int32_t* d_leaf_cy;  // plane 4x4-cell coords
+  int32_t* d_leaf_cx;
+  int32_t* d_leaf_dc;
+  uint8_t* d_leaf_acskip;
+  uint8_t* d_leaf_bskip;
+  int32_t* d_b_qg;     // TRUE domain
+  int32_t* d_b_itheta;
+  int32_t* d_b_noref;
+  int32_t* d_b_k;
+  int32_t* d_b_q;      // band quantizer (for synthesis)
+  int32_t* d_y;        // flattened (band offsets implied by leaf bs)
+  int64_t n_leaves, n_bands, y_len;
+};
+
+namespace {
+
+// Adaptation snapshot for the whole-block skip rollback
+// (_snapshot_block_state: PvqAdapt + skip_cdf).
+struct AdaptSnap {
+  int32_t skip_cdf[8 * 5];
+  int32_t gaintheta_cdf[72 * 16];
+  int32_t skip_dir_cdf[6 * 7];
+  int32_t k1_cdf[4 * 16];
+  int64_t pvq_adapt[8 * 4];
+  int64_t exg[4 * 4 * 9];
+  int64_t ext[36];
+  int32_t pm_cdf[3][12 * 16];
+};
+
+inline void snap_save(const DtpuWalkCtx* c, AdaptSnap* s) {
+  memcpy(s->skip_cdf, c->skip_cdf, sizeof(s->skip_cdf));
+  memcpy(s->gaintheta_cdf, c->gaintheta_cdf, sizeof(s->gaintheta_cdf));
+  memcpy(s->skip_dir_cdf, c->skip_dir_cdf, sizeof(s->skip_dir_cdf));
+  memcpy(s->k1_cdf, c->k1_cdf, sizeof(s->k1_cdf));
+  memcpy(s->pvq_adapt, c->pvq_adapt, sizeof(s->pvq_adapt));
+  memcpy(s->exg, c->exg, sizeof(s->exg));
+  memcpy(s->ext, c->ext, sizeof(s->ext));
+  memcpy(s->pm_cdf[0], c->pm_cdf0, sizeof(s->pm_cdf[0]));
+  memcpy(s->pm_cdf[1], c->pm_cdf1, sizeof(s->pm_cdf[1]));
+  memcpy(s->pm_cdf[2], c->pm_cdf2, sizeof(s->pm_cdf[2]));
+}
+
+inline void snap_restore(DtpuWalkCtx* c, const AdaptSnap* s) {
+  memcpy(c->skip_cdf, s->skip_cdf, sizeof(s->skip_cdf));
+  memcpy(c->gaintheta_cdf, s->gaintheta_cdf, sizeof(s->gaintheta_cdf));
+  memcpy(c->skip_dir_cdf, s->skip_dir_cdf, sizeof(s->skip_dir_cdf));
+  memcpy(c->k1_cdf, s->k1_cdf, sizeof(s->k1_cdf));
+  memcpy(c->pvq_adapt, s->pvq_adapt, sizeof(s->pvq_adapt));
+  memcpy(c->exg, s->exg, sizeof(s->exg));
+  memcpy(c->ext, s->ext, sizeof(s->ext));
+  memcpy(c->pm_cdf0, s->pm_cdf[0], sizeof(s->pm_cdf[0]));
+  memcpy(c->pm_cdf1, s->pm_cdf[1], sizeof(s->pm_cdf[1]));
+  memcpy(c->pm_cdf2, s->pm_cdf[2], sizeof(s->pm_cdf[2]));
+}
+
+int32_t* pm_of(DtpuWalkCtx* c, int i) {
+  return i == 0 ? c->pm_cdf0 : (i == 1 ? c->pm_cdf1 : c->pm_cdf2);
+}
+
+// Encoder leaf (pvq_encode_block + the DC tail of _code_inter_block).
+void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
+                    int bx, int by) {
+  int xdec = c->xdec[pli];
+  int cy = (by << bsi) >> xdec;
+  int cx = (bx << bsi) >> xdec;
+  int w4p = c->w4 >> xdec;
+  int slot = c->leaf_slot[pli][(int64_t)cy * w4p + cx];
+  int nb = BNB[bs];
+  int ncoded = NCODED[bs];
+  int bw = c->predt_w[pli][bs];
+  const int32_t* predt = c->predt[pli][bs]
+      + ((int64_t)(cy >> bs) * bw + (cx >> bs)) * ncoded;
+  const int32_t* pvq_qm = c->pvq_qm[pli];
+  int32_t* skip_row = c->skip_cdf + 5 * (2 * bs + (pli ? 1 : 0));
+  int nsym = 4 + ((pli == 0 && bs > 0) ? 1 : 0);
+  int s0 = c->e_band_start[slot];
+  int q0 = c->q0;
+  int dc_quant = q0 * pvq_qm[qm_idx(bs, 0)] >> 4;
+  if (dc_quant < 1) dc_quant = 1;
+  // checkpoint (EC + adaptation)
+  int64_t chk[7];
+  dtpu_enc_checkpoint(e, chk);
+  static thread_local AdaptSnap snap;
+  snap_save(c, &snap);
+  double dc_rate = -std::log2((double)(skip_row[1] - skip_row[0])
+                              / skip_row[0]);
+  int dc0 = c->e_dc0[slot] - predt[0];
+  int out0 = rdo_quant_c(dc0, dc_quant, dc_rate, c->lambda);
+  int tell0 = dtpu_enc_tell_frac(e);
+  enc_cdf_adapt32(e, out0 != 0 ? 1 : 0, skip_row, nsym, c->skip_inc);
+  // per-band coded-domain gains (need icgr per band)
+  int qgc[9];
+  double beta = band_beta(c->use_masking, pli);
+  for (int i = 0; i < nb; i++) {
+    int lo = BOFFS[bs][i];
+    int bn = BOFFS[bs][i + 1] - lo;
+    int q = q0 * pvq_qm[qm_idx(bs, i + 1)] >> 4;
+    if (q < 1) q = 1;
+    int bqg = c->b_qg[s0 + i];
+    if (c->b_noref[s0 + i]) {
+      qgc[i] = bqg - 1;
+    } else {
+      double gr;
+      double cgr = band_cgr(predt + lo, c->qm[bs] + lo, bn, q, beta, &gr);
+      int icgr = (int)std::floor(.5 + cgr);
+      qgc[i] = neg_interleave_c(bqg + 1, icgr + 1);
+    }
+  }
+  // skip_rest / skip_dir (skip_theta_value = 0 for inter)
+  int skip_rest = 1;
+  for (int i = 1; i < nb; i++) {
+    if (c->b_itheta[s0 + i] != 0 || qgc[i]) skip_rest = 0;
+  }
+  int skip_dir = 0;
+  if (nb > 1) {
+    for (int i = 0; i < 3; i++) {
+      int tmp = 1;
+      for (int j = i + 1; j < nb; j += 3) {
+        if (c->b_itheta[s0 + j] != 0 || qgc[j]) tmp = 0;
+      }
+      skip_dir |= tmp << i;
+    }
+  }
+  int nbeff = nb;
+  if (c->b_itheta[s0] == 0 && qgc[0] == 0 && skip_rest) nbeff = 0;
+  double skip_diff = 0;
+  for (int i = 0; i < nb; i++) skip_diff += c->b_skip_diff[s0 + i];
+  for (int i = 0; i < nbeff; i++) {
+    if (i == 0 || (!skip_rest && !(skip_dir & (1 << ((i - 1) % 3))))) {
+      int lo = BOFFS[bs][i];
+      int bn = BOFFS[bs][i + 1] - lo;
+      int noref = c->b_noref[s0 + i];
+      int k = c->b_k[s0 + i];
+      int cdf_ctx = (pli ? 1 : 0) * 4 * 9 + bs * 9 + i;
+      int code_skip = (i == 0 && i < nbeff - 1) ? 1 : 0;
+      int64_t y64[128];
+      const int32_t* yb = c->b_y + c->b_yoff[s0 + i];
+      for (int t = 0; t < bn; t++) y64[t] = yb[t];
+      dtpu_encode_partition(
+          e, c->gaintheta_cdf + 16 * cdf_ctx, 8 + 7 * code_skip,
+          c->gt_inc, pm_of(c, noref ? 0 : 1), c->pm_inc,
+          c->exg + ((int64_t)pli * 4 + bs) * 9 + i,
+          c->ext + bs * 9 + i, c->pm_cdf2,
+          c->k1_cdf + 16 * (2 * (bn == 15) + (noref ? 0 : 1)), c->k1_inc,
+          c->pvq_adapt + 4 * (2 * bs + (noref ? 1 : 0)), y64, bn, k,
+          qgc[i], c->b_itheta[s0 + i], c->b_max_theta[s0 + i],
+          /*nodesync=*/1, /*is_keyframe=*/0, code_skip, skip_rest, bs);
+    }
+    if (i == 0 && !skip_rest && bs > 0) {
+      enc_cdf_adapt32(e, skip_dir,
+                      c->skip_dir_cdf + 7 * ((pli ? 1 : 0) + 2 * (bs - 1)),
+                      7, c->sd_inc);
+    }
+  }
+  int tell = dtpu_enc_tell_frac(e) - tell0;
+  int sf = 2 + (out0 != 0 ? 1 : 0);
+  double skip_rate = -std::log2((double)(skip_row[sf] - skip_row[sf - 1])
+                                / skip_row[nsym - 1]);
+  tell -= (int)std::floor(.5 + 8 * skip_rate);
+  int acskip = 0;
+  if (nbeff == 0 || skip_diff <= c->lambda / 8 * tell) {
+    double dcr2 = -std::log2((double)(skip_row[3] - skip_row[2])
+                             / (skip_row[2] - skip_row[1]));
+    out0 = rdo_quant_c(dc0, dc_quant, dcr2, c->lambda);
+    dtpu_enc_rollback(e, chk);
+    snap_restore(c, &snap);
+    enc_cdf_adapt32(e, 2 + (out0 != 0 ? 1 : 0), skip_row, nsym,
+                    c->skip_inc);
+    acskip = 1;
+  }
+  if (out0) {
+    int64_t* exdc = c->ex_dc + ((int64_t)pli * 4 + bs) * 3;
+    int v = out0 < 0 ? -out0 : out0;
+    *exdc = generic_encode_c(e, c->dc_cdf[pli], c->dc_inc, v - 1, -1,
+                             *exdc, 2);
+    enc_bits(e, out0 < 0 ? 1u : 0u, 1);
+  }
+  c->o_dc[slot] = out0 * dc_quant + predt[0];
+  c->o_acskip[slot] = (uint8_t)acskip;
+  c->o_bskip[slot] = (uint8_t)(acskip && out0 == 0);
+}
+
+// Decoder leaf (pvq_decode_block + the DC tail), appending results.
+void dec_leaf_inter(Decoder* d, DtpuWalkCtx* c, int pli, int bs, int bsi,
+                    int bx, int by, int sk) {
+  int xdec = c->xdec[pli];
+  int cy = (by << bsi) >> xdec;
+  int cx = (bx << bsi) >> xdec;
+  int nb = BNB[bs];
+  int ncoded = NCODED[bs];
+  int bw = c->predt_w[pli][bs];
+  const int32_t* predt = c->predt[pli][bs]
+      + ((int64_t)(cy >> bs) * bw + (cx >> bs)) * ncoded;
+  const int32_t* pvq_qm = c->pvq_qm[pli];
+  int q0 = c->q0;
+  int dc_quant = q0 * pvq_qm[qm_idx(bs, 0)] >> 4;
+  if (dc_quant < 1) dc_quant = 1;
+  int out0flag = sk & 1;
+  int acskip = sk >> 1;
+  double beta = band_beta(c->use_masking, pli);
+  if (!acskip) {
+    int skip_rest[3] = {0, 0, 0};
+    for (int i = 0; i < nb; i++) {
+      int lo = BOFFS[bs][i];
+      int bn = BOFFS[bs][i + 1] - lo;
+      int q = q0 * pvq_qm[qm_idx(bs, i + 1)] >> 4;
+      if (q < 1) q = 1;
+      int qg = 0, itheta = 0, noref = 0;
+      if (!skip_rest[(i + 2) % 3]) {
+        int has_skip = (i == 0 && i < nb - 1) ? 1 : 0;
+        int cdf_ctx = (pli ? 1 : 0) * 4 * 9 + bs * 9 + i;
+        int pid = dec_cdf_adapt32(d, c->gaintheta_cdf + 16 * cdf_ctx,
+                                  8 + 7 * has_skip, c->gt_inc);
+        if (pid >= 10) pid += 1;  // inter: pid 10 impossible
+        if (pid >= 8) {
+          pid -= 8;
+          skip_rest[0] = skip_rest[1] = skip_rest[2] = 1;
+        }
+        qg = pid & 1;
+        itheta = (pid >> 1) - 1;
+        noref = itheta == -1 ? 1 : 0;
+      }
+      if (qg > 0) {
+        int64_t* exg = c->exg + ((int64_t)pli * 4 + bs) * 9 + i;
+        int v;
+        generic_decode_c(d, pm_of(c, noref ? 0 : 1), c->pm_inc, -1, *exg,
+                         2, &v);
+        qg = 1 + v;
+        *exg += (((int64_t)qg << 16) - *exg) >> 2;
+      }
+      double qcg;
+      if (!noref) {
+        double gr;
+        double cgr = band_cgr(predt + lo, c->qm[bs] + lo, bn, q, beta,
+                              &gr);
+        int icgr = (int)std::floor(.5 + cgr);
+        qg = neg_deinterleave_c(qg, icgr + 1) - 1;
+        double gain_offset = cgr - icgr;
+        qcg = qg + gain_offset;
+        if (itheta > 1) {  // nodesync: max_theta unconstrained
+          int64_t* ext = c->ext + bs * 9 + i;
+          int v;
+          generic_decode_c(d, c->pm_cdf2, c->pm_inc, -1, *ext, 2, &v);
+          itheta = 2 + v;
+          *ext += (((int64_t)itheta << 16) - *ext) >> 2;
+        }
+      } else {
+        itheta = 0;
+        qg += 1;  // inter
+        qcg = (double)qg;
+      }
+      int k = compute_k_v(qcg, noref ? -1 : itheta, 0.0, noref, bn, beta,
+                          /*nodesync=*/1);
+      int64_t yi = c->y_len;
+      int64_t y64[128];
+      for (int t = 0; t < bn; t++) y64[t] = 0;
+      if (k != 0) {
+        dtpu_decode_codeword(
+            d, c->k1_cdf + 16 * (2 * (bn == 15) + (noref ? 0 : 1)),
+            c->k1_inc, c->pvq_adapt + 4 * (2 * bs + (noref ? 1 : 0)),
+            y64, bn, k, noref, bs);
+      }
+      for (int t = 0; t < bn; t++) c->d_y[yi + t] = (int32_t)y64[t];
+      c->y_len += bn;
+      int64_t B = c->n_bands++;
+      c->d_b_qg[B] = qg;
+      c->d_b_itheta[B] = noref ? -1 : itheta;
+      c->d_b_noref[B] = noref;
+      c->d_b_k[B] = k;
+      c->d_b_q[B] = q;
+      if (i == 0 && !skip_rest[0] && bs > 0) {
+        int sd = dec_cdf_adapt32(
+            d, c->skip_dir_cdf + 7 * ((pli ? 1 : 0) + 2 * (bs - 1)), 7,
+            c->sd_inc);
+        for (int j = 0; j < 3; j++) skip_rest[j] = (sd >> j) & 1;
+      }
+    }
+  }
+  int dc = 0;
+  if (out0flag) {
+    int64_t* exdc = c->ex_dc + ((int64_t)pli * 4 + bs) * 3;
+    int v;
+    *exdc = generic_decode_c(d, c->dc_cdf[pli], c->dc_inc, -1, *exdc, 2,
+                             &v);
+    dc = 1 + v;
+    if (dtpu_dec_bits((void*)d, 1)) dc = -dc;
+  }
+  int64_t L = c->n_leaves++;
+  c->d_leaf_pli[L] = pli;
+  c->d_leaf_bs[L] = bs;
+  c->d_leaf_cy[L] = cy;
+  c->d_leaf_cx[L] = cx;
+  c->d_leaf_dc[L] = dc * dc_quant + predt[0];
+  c->d_leaf_acskip[L] = (uint8_t)(acskip != 0);
+  c->d_leaf_bskip[L] = (uint8_t)(acskip != 0 && out0flag == 0);
+}
+
+// Z-order recursion with split/skip signaling (_inter_recursive).
+void walk_rec_inter(void* ec, DtpuWalkCtx* c, int pli, int bx, int by,
+                    int bsi, int encoder) {
+  int xdec = c->xdec[pli];
+  int cy = by << bsi;
+  int cx = bx << bsi;
+  if (pli == 0) {
+    if (encoder) {
+      int obs = c->grid[(int64_t)cy * c->w4 + cx];
+      if (obs == bsi) {
+        enc_leaf_inter((Encoder*)ec, c, 0, bsi, bsi, bx, by);
+        return;
+      }
+      enc_cdf_adapt32((Encoder*)ec, 4, c->skip_cdf + 5 * (2 * bsi), 5,
+                      c->skip_inc);
+    } else {
+      int nsym = 4 + (bsi > 0 ? 1 : 0);
+      int sk = dec_cdf_adapt32((Decoder*)ec, c->skip_cdf + 5 * (2 * bsi),
+                               nsym, c->skip_inc);
+      if (sk < 4) {
+        int span = 1 << bsi;
+        for (int yy = 0; yy < span; yy++) {
+          memset(c->grid + (int64_t)(cy + yy) * c->w4 + cx, bsi, span);
+        }
+        dec_leaf_inter((Decoder*)ec, c, 0, bsi, bsi, bx, by, sk);
+        return;
+      }
+    }
+  } else {
+    int obs = c->grid[(int64_t)cy * c->w4 + cx];
+    int eff = obs > xdec ? obs : xdec;
+    if (eff == bsi) {
+      int bs = bsi - xdec;
+      if (encoder) {
+        enc_leaf_inter((Encoder*)ec, c, pli, bs, bsi, bx, by);
+      } else {
+        int sk = dec_cdf_adapt32((Decoder*)ec,
+                                 c->skip_cdf + 5 * (2 * bs + 1), 4,
+                                 c->skip_inc);
+        dec_leaf_inter((Decoder*)ec, c, pli, bs, bsi, bx, by, sk);
+      }
+      return;
+    }
+  }
+  for (int dy = 0; dy < 2; dy++) {
+    for (int dx = 0; dx < 2; dx++) {
+      walk_rec_inter(ec, c, pli, 2 * bx + dx, 2 * by + dy, bsi - 1,
+                     encoder);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" int dtpu_inter_walk(void* ec, DtpuWalkCtx* c, int encoder) {
+  c->n_leaves = 0;
+  c->n_bands = 0;
+  c->y_len = 0;
+  for (int sby = c->row0; sby < c->row1; sby++) {
+    for (int sbx = 0; sbx < c->nhsb; sbx++) {
+      for (int pli = 0; pli < c->nplanes; pli++) {
+        walk_rec_inter(ec, c, pli, sbx, sby, 3, encoder);
+      }
+    }
+  }
+  if (!encoder) return ((Decoder*)ec)->error;
+  return 0;
+}
