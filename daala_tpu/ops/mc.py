@@ -21,8 +21,79 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["SUBPEL_FILTERS", "subpel_predict_blocks", "obmc_predict",
-           "pad_ref"]
+__all__ = ["SUBPEL_FILTERS", "subpel_predict_blocks", "subpel_sads",
+           "obmc_predict", "pad_ref"]
+
+_MCLIB = None
+
+
+def _mc_lib():
+    """Native batched subpel/SAD kernels (native/ec.cpp); bit-exact
+    twins of the numpy path below, threaded over blocks."""
+    global _MCLIB
+    if _MCLIB is not None:
+        return _MCLIB
+    import ctypes
+    import os
+
+    if os.environ.get("DTPU_PY_MC"):
+        _MCLIB = False
+        return False
+    try:
+        from ..entropy.native import _load
+
+        lib = _load()
+        if not lib or not hasattr(lib, "dtpu_subpel_blocks"):
+            _MCLIB = False
+            return False
+        p = ctypes.c_void_p
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int
+        lib.dtpu_subpel_blocks.argtypes = [
+            p, i32, i64, i32, p, p, p, i64, i32, i32, p]
+        lib.dtpu_subpel_sad.argtypes = [
+            p, i32, i64, i32, p, p, p, p, p, i64, i64, i32, i32, p]
+        _MCLIB = lib
+    except Exception:
+        _MCLIB = False
+    return _MCLIB
+
+
+def _c64(a):
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def subpel_sads(ref_padded, pad, cur_blocks, ys, xs, mvs, cands,
+                bitdepth: int = 8):
+    """SAD of every (block, candidate) pair at 1/8-pel: the fused
+    search primitive (prediction is never materialized).
+
+    ref_padded: (H+2p, W+2p) uint8/uint16; cur_blocks (N, n, n) same
+    dtype; mvs (N, 2) and cands (C, 2) eighth-pel.  Returns (N, C)
+    int64."""
+    import ctypes
+
+    n = cur_blocks.shape[-1]
+    lib = _mc_lib()
+    if lib and n <= 64 and ref_padded.dtype in (np.uint8, np.uint16):
+        cur = np.ascontiguousarray(cur_blocks)
+        assert cur.dtype == ref_padded.dtype
+        rp = np.ascontiguousarray(ref_padded)
+        ysv, xsv, mvv, cdv = _c64(ys), _c64(xs), _c64(mvs), _c64(cands)
+        out = np.empty((len(ysv), len(cdv)), dtype=np.int64)
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        lib.dtpu_subpel_sad(
+            vp(rp), rp.dtype.itemsize, rp.shape[1], int(pad), vp(cur),
+            vp(ysv), vp(xsv), vp(mvv), vp(cdv), len(cdv), len(ysv), n,
+            int(bitdepth), vp(out))
+        return out
+    cb = cur_blocks.astype(np.int32)
+    out = np.empty((len(ys), len(cands)), dtype=np.int64)
+    for ci, d in enumerate(np.asarray(cands)):
+        p = subpel_predict_blocks(ref_padded, pad, ys, xs,
+                                  np.asarray(mvs) + d, n, bitdepth)
+        out[:, ci] = np.abs(cb - p.astype(np.int32)).sum(axis=(1, 2))
+    return out
 
 # Q7 6-tap filters per 1/8-pel phase (set #2: sinc(x)*sinc(x/3)).
 SUBPEL_FILTERS = np.array([
@@ -56,6 +127,19 @@ def subpel_predict_blocks(ref_padded: np.ndarray, pad: int,
     ys, xs: (N,) top-left block positions in the unpadded frame.
     mvs: (N, 2) 1/8-pel (mvy, mvx).
     Returns (N, n, n) uint8 predictions."""
+    import ctypes
+
+    lib = _mc_lib()
+    if lib and n <= 64 and getattr(ref_padded, "dtype", None) in (
+            np.uint8, np.uint16):
+        rp = np.ascontiguousarray(ref_padded)
+        ysv, xsv, mvv = _c64(ys), _c64(xs), _c64(mvs)
+        out = np.empty((len(mvv), n, n), dtype=rp.dtype)
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        lib.dtpu_subpel_blocks(
+            vp(rp), rp.dtype.itemsize, rp.shape[1], int(pad), vp(ysv),
+            vp(xsv), vp(mvv), len(mvv), n, int(bitdepth), vp(out))
+        return out
     mvy = mvs[:, 0]
     mvx = mvs[:, 1]
     iy = ys + (mvy >> 3) + pad

@@ -25,9 +25,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.mc import pad_ref, subpel_predict_blocks
+from ..ops.mc import pad_ref, subpel_predict_blocks, subpel_sads
 
 __all__ = ["motion_search", "motion_search_multi", "motion_search_dense"]
+
+_ZERO2 = np.zeros((1, 2), dtype=np.int64)
 
 
 def _refine_midpoints(cur, refp8, g, vspacing_log):
@@ -50,12 +52,13 @@ def _refine_midpoints(cur, refp8, g, vspacing_log):
     vy = vy.ravel()[idx]
     vx = vx.ravel()[idx]
     blocks, ys, xs = _vertex_blocks(cur, vy, vx, n)
-    # Fused jax path when the platform is up (same arithmetic — the
-    # searched MVs are identical; ~16 interpolation passes become one
-    # jit).
+    from ..ops.mc import _mc_lib
+
+    # Fused jax path when the platform is up and no native lib (same
+    # arithmetic — the searched MVs are identical).
     import os
     import sys
-    if (len(idx) * n * n >= 1 << 18
+    if (not _mc_lib() and len(idx) * n * n >= 1 << 18
             and ("jax" in sys.modules
                  or os.environ.get("JAX_PLATFORMS"))):
         try:
@@ -71,29 +74,16 @@ def _refine_midpoints(cur, refp8, g, vspacing_log):
             return g
         except Exception:
             pass
-    b32 = blocks.astype(np.int32)
     mv = np.clip(g.reshape(-1, 2)[idx], -58 * 8, 58 * 8)
-    ext = subpel_predict_blocks(refp8, 64, ys - 2, xs - 2, mv,
-                                n + 4).astype(np.int32)
     cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
                       for dx in (-16, -8, 0, 8, 16)], dtype=np.int64)
     dev_bias = (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8)
-    sads = np.empty((len(mv), len(cands)), dtype=np.int64)
-    for ci, (dy, dx) in enumerate(cands):
-        py = 2 + (int(dy) >> 3)
-        px = 2 + (int(dx) >> 3)
-        sads[:, ci] = np.abs(
-            b32 - ext[:, py:py + n, px:px + n]).sum(axis=(1, 2)) \
-            + dev_bias[ci]
+    sads = subpel_sads(refp8, 64, blocks, ys, xs, mv, cands) + dev_bias
     mv = np.clip(mv + cands[np.argmin(sads, axis=1)], -60 * 8, 60 * 8)
     for step in (4, 2, 1):
         c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
                        (0, step)], dtype=np.int64)
-        sads = np.empty((len(mv), len(c8)), dtype=np.int64)
-        for ci, d in enumerate(c8):
-            p = subpel_predict_blocks(refp8, 64, ys, xs, mv + d, n)
-            sads[:, ci] = np.abs(b32 - p.astype(np.int32)
-                                 ).sum(axis=(1, 2))
+        sads = subpel_sads(refp8, 64, blocks, ys, xs, mv, c8)
         mv = np.clip(mv + c8[np.argmin(sads, axis=1)], -60 * 8, 60 * 8)
     g.reshape(-1, 2)[idx] = mv
     return g
@@ -158,10 +148,8 @@ def motion_search_multi(cur: np.ndarray, refs, blk_log: int,
         ref_bias = n * n // 16  # slight preference for reference 0
     sads = []
     for ri, (r, g) in enumerate(zip(refs, grids)):
-        p = subpel_predict_blocks(pad_ref(r, 64), 64, ys, xs,
-                                  g.reshape(-1, 2), n)
-        s = np.abs(blocks.astype(np.int32)
-                   - p.astype(np.int32)).sum(axis=(1, 2))
+        s = subpel_sads(pad_ref(r, 64), 64, blocks, ys, xs,
+                        g.reshape(-1, 2), _ZERO2)[:, 0]
         sads.append(s + (ref_bias if ri > 0 else 0))
     ref_ids = np.argmin(np.stack(sads), axis=0).astype(np.int32)
     flat = np.stack([g.reshape(-1, 2) for g in grids])
@@ -180,16 +168,10 @@ def _block_sads(cur_blocks, ref_padded, pad, ys, xs, cands):
 
     cur_blocks: (N, n, n); cands: (C, 2) integer-pel offsets.
     Returns (N, C) int64."""
-    n = cur_blocks.shape[-1]
-    sads = np.empty((len(cur_blocks), len(cands)), dtype=np.int64)
-    for ci, (dy, dx) in enumerate(cands):
-        wy = ys + dy + pad
-        wx = xs + dx + pad
-        win = ref_padded[wy[:, None, None] + np.arange(n)[None, :, None],
-                         wx[:, None, None] + np.arange(n)[None, None, :]]
-        sads[:, ci] = np.abs(
-            cur_blocks.astype(np.int32) - win).sum(axis=(1, 2))
-    return sads
+    N = len(cur_blocks)
+    mv0 = np.zeros((N, 2), dtype=np.int64)
+    return subpel_sads(ref_padded, pad, cur_blocks, ys, xs, mv0,
+                       np.asarray(cands, dtype=np.int64) * 8)
 
 
 def _vertex_blocks(plane, vy, vx, n):
@@ -221,7 +203,7 @@ def motion_search(cur: np.ndarray, ref: np.ndarray, blk_log: int,
     cur4 = _downsample2(_downsample2(cur))
     ref4 = _downsample2(_downsample2(ref))
     pad4 = coarse_range + 4
-    ref4p = pad_ref(ref4, pad4).astype(np.int32)
+    ref4p = pad_ref(ref4, pad4)
     n4 = max(4, n >> 2)
     blocks4, ys4, xs4 = _vertex_blocks(cur4, vy >> 2, vx >> 2, n4)
     cands = np.array([(dy, dx)
@@ -234,33 +216,23 @@ def motion_search(cur: np.ndarray, ref: np.ndarray, blk_log: int,
     best = cands[np.argmin(sads, axis=1)] * 4            # full-res px
 
     # -- stage 2: +-2 full-pel refine at full resolution -----------------
-    refp = pad_ref(ref, 64).astype(np.int32)
+    # (|best| <= 4*coarse_range and |step| <= 2 stay well inside the
+    # 60 px clamp, so the fused per-block-mv + shared-step form is
+    # identical to the old per-candidate clip.)
+    refp8 = pad_ref(ref, 64)
     blocks, ys, xs = _vertex_blocks(cur, vy, vx, n)
     steps = np.array([(dy, dx) for dy in range(-2, 3)
-                      for dx in range(-2, 3)], dtype=np.int32)
-    sads = np.empty((len(blocks), len(steps)), dtype=np.int64)
-    for si, (dy, dx) in enumerate(steps):
-        cy = np.clip(best[:, 0] + dy, -60, 60)
-        cx = np.clip(best[:, 1] + dx, -60, 60)
-        wy = ys + cy + 64
-        wx = xs + cx + 64
-        win = refp[wy[:, None, None] + np.arange(n)[None, :, None],
-                   wx[:, None, None] + np.arange(n)[None, None, :]]
-        sads[:, si] = np.abs(blocks.astype(np.int32) - win).sum(axis=(1, 2))
+                      for dx in range(-2, 3)], dtype=np.int64)
+    sads = subpel_sads(refp8, 64, blocks, ys, xs,
+                       best.astype(np.int64) * 8, steps * 8)
     pick = steps[np.argmin(sads, axis=1)]
     mv = np.clip(best + pick, -60, 60).astype(np.int64) * 8  # eighth-pel
 
     # -- stage 3: subpel refinement (+-4, +-2, +-1 eighth-pel) -----------
-    refp8 = pad_ref(ref, 64)
     for step in (4, 2, 1):
         cands8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
                            (0, step)], dtype=np.int64)
-        sads = np.empty((len(blocks), len(cands8)), dtype=np.int64)
-        for ci, d in enumerate(cands8):
-            p = subpel_predict_blocks(refp8, 64, ys, xs, mv + d, n)
-            sads[:, ci] = np.abs(
-                blocks.astype(np.int32) - p.astype(np.int32)
-            ).sum(axis=(1, 2))
+        sads = subpel_sads(refp8, 64, blocks, ys, xs, mv, cands8)
         mv = mv + cands8[np.argmin(sads, axis=1)]
         mv = np.clip(mv, -60 * 8, 60 * 8)
 
@@ -273,14 +245,10 @@ def motion_search(cur: np.ndarray, ref: np.ndarray, blk_log: int,
                       for dy in range(3) for dx in range(3)])
     med = np.median(stack, axis=0).astype(np.int64)
     # Accept the median where it does not hurt SAD by more than 1/16.
-    p_cur = subpel_predict_blocks(refp8, 64, ys, xs,
-                                  grid.reshape(-1, 2), n)
-    p_med = subpel_predict_blocks(refp8, 64, ys, xs,
-                                  med.reshape(-1, 2), n)
-    s_cur = np.abs(blocks.astype(np.int32)
-                   - p_cur.astype(np.int32)).sum(axis=(1, 2))
-    s_med = np.abs(blocks.astype(np.int32)
-                   - p_med.astype(np.int32)).sum(axis=(1, 2))
+    s_cur = subpel_sads(refp8, 64, blocks, ys, xs, grid.reshape(-1, 2),
+                        _ZERO2)[:, 0]
+    s_med = subpel_sads(refp8, 64, blocks, ys, xs, med.reshape(-1, 2),
+                        _ZERO2)[:, 0]
     keep_med = (s_med <= s_cur + (s_cur >> 4)).reshape(nvy, nvx)
     grid = np.where(keep_med[..., None], med, grid)
     # -- stage 5: global-motion candidate --------------------------------
@@ -290,14 +258,11 @@ def motion_search(cur: np.ndarray, ref: np.ndarray, blk_log: int,
     # neighbors.  Accept the field-wide median wherever it is nearly as
     # good as the local choice.
     gmv = np.median(grid.reshape(-1, 2), axis=0).astype(np.int64)
-    p_glob = subpel_predict_blocks(
-        refp8, 64, ys, xs, np.broadcast_to(gmv, (len(ys), 2)), n)
-    s_cur2 = np.abs(blocks.astype(np.int32)
-                    - subpel_predict_blocks(refp8, 64, ys, xs,
-                                            grid.reshape(-1, 2), n)
-                    .astype(np.int32)).sum(axis=(1, 2))
-    s_glob = np.abs(blocks.astype(np.int32)
-                    - p_glob.astype(np.int32)).sum(axis=(1, 2))
+    s_cur2 = subpel_sads(refp8, 64, blocks, ys, xs,
+                         grid.reshape(-1, 2), _ZERO2)[:, 0]
+    s_glob = subpel_sads(refp8, 64, blocks, ys, xs,
+                         np.broadcast_to(gmv, (len(ys), 2)),
+                         _ZERO2)[:, 0]
     keep_glob = (s_glob <= s_cur2 + (s_cur2 >> 3) + n).reshape(nvy, nvx)
     grid = np.where(keep_glob[..., None], gmv, grid)
     return grid

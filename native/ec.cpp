@@ -2005,3 +2005,176 @@ extern "C" int dtpu_inter_walk(void* ec, DtpuWalkCtx* c, int encoder) {
   if (!encoder) return ((Decoder*)ec)->error;
   return 0;
 }
+
+// ====================================================================
+// Motion-compensation host kernels: batched 6-tap subpel prediction
+// and fused subpel-SAD (ops/mc.py subpel_predict_blocks + the SAD
+// loops of search/me.py).  Behavioral spec: od_mc_predict1fmv8_c
+// (mc.c:94-203) with the set-2 windowed-sinc filters (mc.c:66-78).
+// Bit-exact twins of the numpy path (integer ops only).
+// ====================================================================
+
+namespace {
+
+const int32_t SUBPEL_F[8][6] = {
+    {0, 0, 128, 0, 0, 0},
+    {1, -9, 122, 18, -5, 1},
+    {3, -15, 112, 37, -11, 2},
+    {3, -18, 97, 58, -15, 3},
+    {4, -20, 80, 80, -20, 4},
+    {3, -15, 58, 97, -18, 3},
+    {2, -11, 37, 112, -15, 3},
+    {1, -5, 18, 122, -9, 1},
+};
+
+template <typename T>
+inline void subpel_one(const T* ref, int64_t stride, int64_t iy,
+                       int64_t ix, int fy, int fx, int n, int center,
+                       int maxv, int32_t* out /* n*n */) {
+  if (fy == 0 && fx == 0) {
+    for (int r = 0; r < n; r++) {
+      const T* src = ref + (iy + r) * stride + ix;
+      for (int c = 0; c < n; c++) out[r * n + c] = src[c];
+    }
+    return;
+  }
+  // Horizontal pass into (n+5, n) int32, rows from iy-2.
+  int32_t h[(64 + 5) * 64];
+  const int32_t* fh = SUBPEL_F[fx];
+  const int32_t* fv = SUBPEL_F[fy];
+  int32_t coff = center << 7;
+  for (int r = 0; r < n + 5; r++) {
+    const T* src = ref + (iy - 2 + r) * stride + (ix - 2);
+    for (int c = 0; c < n; c++) {
+      int32_t v = src[c] * fh[0] + src[c + 1] * fh[1] + src[c + 2] * fh[2]
+          + src[c + 3] * fh[3] + src[c + 4] * fh[4] + src[c + 5] * fh[5];
+      h[r * n + c] = v - coff;
+    }
+  }
+  int32_t add = (1 << 13) + (center << 14);
+  for (int r = 0; r < n; r++) {
+    for (int c = 0; c < n; c++) {
+      int32_t v = h[r * n + c] * fv[0] + h[(r + 1) * n + c] * fv[1]
+          + h[(r + 2) * n + c] * fv[2] + h[(r + 3) * n + c] * fv[3]
+          + h[(r + 4) * n + c] * fv[4] + h[(r + 5) * n + c] * fv[5];
+      v = (v + add) >> 14;
+      out[r * n + c] = v < 0 ? 0 : (v > maxv ? maxv : v);
+    }
+  }
+}
+
+template <typename T>
+void subpel_blocks_t(const T* ref, int64_t stride, int pad,
+                     const int64_t* ys, const int64_t* xs,
+                     const int64_t* mvs, int64_t N, int n, int bitdepth,
+                     T* out) {
+  int center = 128 << (bitdepth - 8);
+  int maxv = (1 << bitdepth) - 1;
+  auto work = [&](int64_t b0, int64_t b1) {
+    int32_t tmp[64 * 64];
+    for (int64_t b = b0; b < b1; b++) {
+      int64_t mvy = mvs[2 * b], mvx = mvs[2 * b + 1];
+      int64_t iy = ys[b] + (mvy >> 3) + pad;
+      int64_t ix = xs[b] + (mvx >> 3) + pad;
+      subpel_one(ref, stride, iy, ix, (int)(mvy & 7), (int)(mvx & 7), n,
+                 center, maxv, tmp);
+      T* o = out + b * n * n;
+      for (int i = 0; i < n * n; i++) o[i] = (T)tmp[i];
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (N * n * n >= 1 << 16 && hw > 1) ? (hw < 8 ? (int)hw : 8) : 1;
+  if (nt <= 1) { work(0, N); return; }
+  std::vector<std::thread> ts;
+  int64_t per = (N + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t b0 = t * per, b1 = b0 + per < N ? b0 + per : N;
+    if (b0 >= b1) break;
+    ts.emplace_back(work, b0, b1);
+  }
+  for (auto& t : ts) t.join();
+}
+
+template <typename T>
+void subpel_sad_t(const T* ref, int64_t stride, int pad, const T* cur,
+                  const int64_t* ys, const int64_t* xs,
+                  const int64_t* mvs, const int64_t* cands, int64_t C,
+                  int64_t N, int n, int bitdepth, int64_t* out) {
+  int center = 128 << (bitdepth - 8);
+  int maxv = (1 << bitdepth) - 1;
+  auto work = [&](int64_t b0, int64_t b1) {
+    int32_t tmp[64 * 64];
+    for (int64_t b = b0; b < b1; b++) {
+      const T* cb = cur + b * n * n;
+      for (int64_t ci = 0; ci < C; ci++) {
+        int64_t mvy = mvs[2 * b] + cands[2 * ci];
+        int64_t mvx = mvs[2 * b + 1] + cands[2 * ci + 1];
+        int64_t iy = ys[b] + (mvy >> 3) + pad;
+        int64_t ix = xs[b] + (mvx >> 3) + pad;
+        int fy = (int)(mvy & 7), fx = (int)(mvx & 7);
+        int64_t sad = 0;
+        if (fy == 0 && fx == 0) {
+          for (int r = 0; r < n; r++) {
+            const T* src = ref + (iy + r) * stride + ix;
+            const T* cr = cb + r * n;
+            for (int c = 0; c < n; c++) {
+              int32_t d = (int32_t)cr[c] - (int32_t)src[c];
+              sad += d < 0 ? -d : d;
+            }
+          }
+        } else {
+          subpel_one(ref, stride, iy, ix, fy, fx, n, center, maxv, tmp);
+          for (int i = 0; i < n * n; i++) {
+            int32_t d = (int32_t)cb[i] - tmp[i];
+            sad += d < 0 ? -d : d;
+          }
+        }
+        out[b * C + ci] = sad;
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (N * C * n * n >= 1 << 16 && hw > 1)
+      ? (hw < 8 ? (int)hw : 8) : 1;
+  if (nt <= 1) { work(0, N); return; }
+  std::vector<std::thread> ts;
+  int64_t per = (N + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t b0 = t * per, b1 = b0 + per < N ? b0 + per : N;
+    if (b0 >= b1) break;
+    ts.emplace_back(work, b0, b1);
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" void dtpu_subpel_blocks(const void* ref, int elem,
+                                   int64_t stride, int pad,
+                                   const int64_t* ys, const int64_t* xs,
+                                   const int64_t* mvs, int64_t N, int n,
+                                   int bitdepth, void* out) {
+  if (elem == 1) {
+    subpel_blocks_t((const uint8_t*)ref, stride, pad, ys, xs, mvs, N, n,
+                    bitdepth, (uint8_t*)out);
+  } else {
+    subpel_blocks_t((const uint16_t*)ref, stride, pad, ys, xs, mvs, N,
+                    n, bitdepth, (uint16_t*)out);
+  }
+}
+
+extern "C" void dtpu_subpel_sad(const void* ref, int elem,
+                                int64_t stride, int pad, const void* cur,
+                                const int64_t* ys, const int64_t* xs,
+                                const int64_t* mvs, const int64_t* cands,
+                                int64_t C, int64_t N, int n,
+                                int bitdepth, int64_t* out) {
+  if (elem == 1) {
+    subpel_sad_t((const uint8_t*)ref, stride, pad, (const uint8_t*)cur,
+                 ys, xs, mvs, cands, C, N, n, bitdepth, out);
+  } else {
+    subpel_sad_t((const uint16_t*)ref, stride, pad,
+                 (const uint16_t*)cur, ys, xs, mvs, cands, C, N, n,
+                 bitdepth, out);
+  }
+}
