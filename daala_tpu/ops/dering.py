@@ -22,6 +22,37 @@ __all__ = ["dir_find8", "dering_sb", "dering_frame",
 DERING_VERY_LARGE = 30000
 FILT_BORDER = 3
 
+_DLIB = None
+
+
+def _dering_lib():
+    """Native dering (native/ec.cpp dtpu_dering_frame), a bit-exact
+    twin of the batched numpy path; DTPU_PY_DERING=1 forces numpy."""
+    global _DLIB
+    if _DLIB is not None:
+        return _DLIB
+    import ctypes
+    import os
+
+    if os.environ.get("DTPU_PY_DERING"):
+        _DLIB = False
+        return False
+    try:
+        from ..entropy.native import _load
+
+        lib = _load()
+        if not lib or not hasattr(lib, "dtpu_dering_frame"):
+            _DLIB = False
+            return False
+        p = ctypes.c_void_p
+        i = ctypes.c_int
+        lib.dtpu_dering_frame.argtypes = [p, i, i, i, i, i, i, i, p, p,
+                                          p]
+        _DLIB = lib
+    except Exception:
+        _DLIB = False
+    return _DLIB
+
 # Direction offset tables: for dir d, taps at +-(dy, dx) * k distance
 # (direction_offsets_table, filter.c:146-155 with OD_FILT_BSTRIDE
 # converted to (dy, dx) pairs).
@@ -212,6 +243,27 @@ def dering_frame(frame, nhsb, nvsb, q, xdec, pli, dirs=None,
     Returns (filtered (nvsb, nhsb, n, n) int32,
              dirs (nvsb, nhsb, nb_luma, nb_luma) when pli == 0 else the
              dirs that were passed in)."""
+    lib = _dering_lib()
+    if lib:
+        ln = 5 - xdec
+        n = 1 << ln
+        nb = n >> (3 - xdec)
+        h, w = frame.shape
+        import ctypes
+
+        fr = np.ascontiguousarray(frame, dtype=np.int32)
+        out = np.empty((nvsb, nhsb, n, n), dtype=np.int32)
+        threshold = int(np.power(q, 0.84182) * threshold_scale)
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        if pli == 0:
+            dout = np.empty((nvsb, nhsb, nb, nb), dtype=np.int32)
+            lib.dtpu_dering_frame(vp(fr), h, w, nhsb, nvsb, threshold,
+                                  xdec, 0, None, vp(out), vp(dout))
+            return out, dout
+        din = np.ascontiguousarray(dirs, dtype=np.int32)
+        lib.dtpu_dering_frame(vp(fr), h, w, nhsb, nvsb, threshold,
+                              xdec, pli, vp(din), vp(out), None)
+        return out, None
     ln = 5 - xdec
     n = 1 << ln
     bsize = 3 - xdec

@@ -674,17 +674,20 @@ def _dering_buffers(pcs, etmp, q):
     import sys
 
     nhsb, nvsb = pcs[0].nhsb, pcs[0].nvsb
-    # Only reach for jax when it is already (or safely) initializable:
-    # the axon TPU plugin hangs on lazy in-process platform selection,
-    # so plain host runs opt in via DTPU_JAX_DERING=1 (the CLIs re-exec
-    # themselves with the right env).
+    from ..ops.dering import _dering_lib, dering_frame
+
+    # Preference order: native C++ (fastest, no platform concerns) via
+    # dering_frame's internal dispatch; else the fused jax twin — only
+    # when jax is already (or safely) initializable: the axon TPU
+    # plugin hangs on lazy in-process platform selection, so plain host
+    # runs opt in via DTPU_JAX_DERING=1 (the CLIs re-exec themselves
+    # with the right env); else batched numpy.
     jax_ok = "jax" in sys.modules or os.environ.get("JAX_PLATFORMS")
-    if jax_ok and pcs[0].w * pcs[0].h >= 512 * 288:
+    if not _dering_lib() and jax_ok and pcs[0].w * pcs[0].h >= 512 * 288:
         try:
             return _dering_buffers_jax(pcs, etmp, q)
         except Exception:
             pass
-    from ..ops.dering import dering_frame
 
     bufs = []
     dirs = None

@@ -2178,3 +2178,221 @@ extern "C" void dtpu_subpel_sad(const void* ref, int elem,
                  bitdepth, out);
   }
 }
+
+// ====================================================================
+// Directional dering filter (CDEF ancestor) — C++ twin of
+// ops/dering.py dering_frame (od_dering, filter.c:1655-1950): per-8x8
+// direction estimate, variance-modulated threshold, 7-tap directional
+// + 4-tap orthogonal conditional passes.  Bit-exact integer ops,
+// threaded over superblocks.
+// ====================================================================
+
+namespace {
+
+const int DERING_VERY_LARGE = 30000;
+const int DIR_OFF[8][3][2] = {
+    {{-1, 1}, {-2, 2}, {-3, 3}}, {{0, 1}, {-1, 2}, {-1, 3}},
+    {{0, 1}, {0, 2}, {0, 3}},    {{0, 1}, {1, 2}, {1, 3}},
+    {{1, 1}, {2, 2}, {3, 3}},    {{1, 0}, {2, 1}, {3, 1}},
+    {{1, 0}, {2, 0}, {3, 0}},    {{1, 0}, {2, -1}, {3, -1}},
+};
+const int32_t THRESH_Q8[18] = {128, 134, 150, 168, 188, 210, 234, 262,
+                               292, 327, 365, 408, 455, 509, 569, 635,
+                               710, 768};
+
+inline int ilog64(int64_t x) {
+  int r = 0;
+  while (x > 0) { r++; x >>= 1; }
+  return r;
+}
+
+// Direction + variance of one 8x8 block (od_dir_find8).
+inline void dir_find8_one(const int32_t* blk, int stride, int* dir_out,
+                          int64_t* var_out) {
+  int64_t p[8][15];
+  memset(p, 0, sizeof(p));
+  int64_t x[8][8];
+  for (int i = 0; i < 8; i++) {
+    for (int j = 0; j < 8; j++) x[i][j] = blk[i * stride + j] >> 4;
+  }
+  for (int i = 0; i < 8; i++) {
+    for (int j = 0; j < 8; j++) {
+      int64_t v = x[i][j];
+      p[0][i + j] += v;
+      p[1][i + (j >> 1)] += v;
+      p[2][i] += v;
+      p[3][3 + i - (j >> 1)] += v;
+      p[4][7 + i - j] += v;
+      p[5][3 - (i >> 1) + j] += v;
+      p[6][j] += v;
+      p[7][(i >> 1) + j] += v;
+    }
+  }
+  int64_t cost[8] = {0};
+  for (int i = 0; i < 8; i++) {
+    cost[2] += (p[2][i] * p[2][i]) >> 3;
+    cost[6] += (p[6][i] * p[6][i]) >> 3;
+  }
+  for (int dd = 0; dd < 2; dd++) {
+    int d = dd * 4;
+    int64_t c = 0;
+    for (int i = 0; i < 7; i++) {
+      c += (p[d][i] * p[d][i]) / (i + 1)
+          + (p[d][14 - i] * p[d][14 - i]) / (i + 1);
+    }
+    c += (p[d][7] * p[d][7]) >> 3;
+    cost[d] = c;
+  }
+  for (int dd = 0; dd < 4; dd++) {
+    int d = 2 * dd + 1;
+    int64_t c = 0;
+    for (int j = 0; j < 5; j++) c += (p[d][3 + j] * p[d][3 + j]) >> 3;
+    for (int j = 0; j < 3; j++) {
+      c += (p[d][j] * p[d][j]) / (2 * j + 2)
+          + (p[d][10 - j] * p[d][10 - j]) / (2 * j + 2);
+    }
+    cost[d] = c;
+  }
+  int best = 0;
+  for (int d = 1; d < 8; d++) {
+    if (cost[d] > cost[best]) best = d;
+  }
+  *dir_out = best;
+  *var_out = cost[best] - cost[(best + 4) & 7];
+}
+
+void dering_sb_one(const int32_t* frame, int h, int w, int sby, int sbx,
+                   int threshold, int xdec, int pli,
+                   const int32_t* ldirs /* (4,4) luma dirs or null */,
+                   int32_t* out /* (n,n) */, int32_t* dirs_out) {
+  int ln = 5 - xdec;
+  int n = 1 << ln;
+  int bsize = 3 - xdec;
+  int nb = n >> bsize;
+  const int b = 3;
+  int y0 = sby << ln;
+  int x0 = sbx << ln;
+  int32_t padded[(32 + 6) * (32 + 6)];
+  int ps = n + 2 * b;
+  for (int r = 0; r < ps; r++) {
+    int fy = y0 - b + r;
+    for (int c = 0; c < ps; c++) {
+      int fx = x0 - b + c;
+      padded[r * ps + c] =
+          (fy >= 0 && fy < h && fx >= 0 && fx < w)
+              ? frame[(int64_t)fy * w + fx] : DERING_VERY_LARGE;
+    }
+  }
+  int dirs[4][4];
+  int64_t thresh[4][4];
+  if (pli == 0) {
+    int64_t var[4][4];
+    int64_t varsum = 0;
+    for (int by = 0; by < nb; by++) {
+      for (int bx = 0; bx < nb; bx++) {
+        dir_find8_one(padded + (b + by * 8) * ps + (b + bx * 8), ps,
+                      &dirs[by][bx], &var[by][bx]);
+        varsum += var[by][bx];
+      }
+    }
+    int64_t v2 = varsum / (32 * 32);
+    if (v2 > 32767) v2 = 32767;
+    for (int by = 0; by < nb; by++) {
+      for (int bx = 0; bx < nb; bx++) {
+        int64_t v1 = var[by][bx] >> 6;
+        if (v1 > 32767) v1 = 32767;
+        int idx = ilog64(v1 * v2) - 9;
+        if (idx < 0) idx = 0;
+        if (idx > 17) idx = 17;
+        thresh[by][bx] = ((int64_t)threshold * THRESH_Q8[idx]) >> 8;
+        if (dirs_out) dirs_out[by * nb + bx] = dirs[by][bx];
+      }
+    }
+  } else {
+    for (int by = 0; by < nb; by++) {
+      for (int bx = 0; bx < nb; bx++) {
+        dirs[by][bx] = ldirs[by * 4 + bx];
+        thresh[by][bx] = threshold;
+      }
+    }
+  }
+  // 7-tap directional pass.
+  int32_t y1[(32 + 6) * (32 + 6)];
+  for (int i = 0; i < ps * ps; i++) y1[i] = DERING_VERY_LARGE;
+  const int taps[3] = {3, 2, 2};
+  for (int r = 0; r < n; r++) {
+    for (int c = 0; c < n; c++) {
+      int d = dirs[r >> bsize][c >> bsize];
+      int64_t th = thresh[r >> bsize][c >> bsize];
+      int64_t xv = padded[(b + r) * ps + (b + c)];
+      int64_t tot = 0;
+      for (int k = 0; k < 3; k++) {
+        int dy = DIR_OFF[d][k][0], dx = DIR_OFF[d][k][1];
+        for (int s = 0; s < 2; s++) {
+          int sy = s ? -dy : dy, sx = s ? -dx : dx;
+          int64_t pd = padded[(b + r + sy) * ps + (b + c + sx)] - xv;
+          int64_t ad = pd < 0 ? -pd : pd;
+          if (ad < th) tot += taps[k] * pd;
+        }
+      }
+      y1[(b + r) * ps + (b + c)] = (int32_t)(xv + ((tot + 8) >> 4));
+    }
+  }
+  // 4-tap orthogonal pass.
+  for (int r = 0; r < n; r++) {
+    for (int c = 0; c < n; c++) {
+      int d = dirs[r >> bsize][c >> bsize];
+      int64_t th = thresh[r >> bsize][c >> bsize];
+      int64_t xv = y1[(b + r) * ps + (b + c)];
+      int64_t orig = padded[(b + r) * ps + (b + c)];
+      int64_t dv = xv - orig;
+      if (dv < 0) dv = -dv;
+      int64_t ath = th / 3 + dv;
+      if (ath > th) ath = th;
+      int vert = d <= 4 ? 1 : 0;
+      int64_t tot = 0;
+      const int offs[4] = {1, 2, -1, -2};
+      for (int oi = 0; oi < 4; oi++) {
+        int dy = vert ? offs[oi] : 0;
+        int dx = vert ? 0 : offs[oi];
+        int64_t pd = y1[(b + r + dy) * ps + (b + c + dx)] - xv;
+        int64_t ad = pd < 0 ? -pd : pd;
+        if (ad < ath) tot += pd;
+      }
+      out[r * n + c] = (int32_t)(xv + ((3 * tot + 8) >> 4));
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" void dtpu_dering_frame(
+    const int32_t* frame, int h, int w, int nhsb, int nvsb,
+    int threshold, int xdec, int pli,
+    const int32_t* dirs_in /* (nvsb,nhsb,4,4) when pli>0 */,
+    int32_t* out /* (nvsb,nhsb,n,n) */,
+    int32_t* dirs_out /* (nvsb,nhsb,4,4) when pli==0 */) {
+  int n = 1 << (5 - xdec);
+  int nb = n >> (3 - xdec);
+  int64_t total = (int64_t)nvsb * nhsb;
+  auto work = [&](int64_t s0, int64_t s1) {
+    for (int64_t s = s0; s < s1; s++) {
+      int sby = (int)(s / nhsb), sbx = (int)(s % nhsb);
+      dering_sb_one(frame, h, w, sby, sbx, threshold, xdec, pli,
+                    dirs_in ? dirs_in + s * 16 : nullptr,
+                    out + s * n * n,
+                    dirs_out ? dirs_out + s * nb * nb : nullptr);
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (total >= 16 && hw > 1) ? (hw < 8 ? (int)hw : 8) : 1;
+  if (nt <= 1) { work(0, total); return; }
+  std::vector<std::thread> ts;
+  int64_t per = (total + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t a = t * per, e = a + per < total ? a + per : total;
+    if (a >= e) break;
+    ts.emplace_back(work, a, e);
+  }
+  for (auto& t : ts) t.join();
+}
