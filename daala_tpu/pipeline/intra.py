@@ -72,6 +72,18 @@ def _loc(ec, label, pli=0, level=0, x=0, y=0):
         a.set_location(label, pli, level, x, y)
 
 
+def _use_native_walk(ecs) -> bool:
+    """Native keyframe walk gate: C++ lib built, native coders, not
+    forced off (DTPU_PY_WALK=1 keeps the Python pass as oracle)."""
+    import os
+
+    from ..pvq import native_walk
+
+    return (native_walk.available()
+            and not os.environ.get("DTPU_PY_WALK")
+            and all(getattr(e, "_h", None) is not None for e in ecs))
+
+
 def _tdiv(a: int, b: int) -> int:
     """C-style truncating integer division."""
     q = abs(a) // b
@@ -571,18 +583,28 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
         pc.d = haar_dc_tree_grid(d, pg, 3 - pc.xdec)
         pc.c = c
         pcs.append(pc)
-    # Per-tile symbol pass — independent streams, forked when
-    # tile_workers > 1.
-    def _sb_job(ti):
-        rows = bounds[ti]
-        _code_frame(ecs[ti], states[ti], pcs, info, bs_luma, use_masking,
-                    True, rows)
-        return ecs[ti], states[ti], _tile_d_rows(pcs, rows)
+    # Per-tile symbol pass: native C++ walk when available (serial over
+    # tiles — each tile keeps its own stream/adaptation), else the
+    # Python pass, forked when tile_workers > 1.
+    if _use_native_walk(ecs):
+        from ..pvq import native_walk as _nw
 
-    for ti, (ec_t, st_t, dr) in enumerate(
-            run_tiles(_sb_job, len(bounds), tile_workers)):
-        ecs[ti], states[ti] = ec_t, st_t
-        _merge_d_rows(pcs, bounds[ti], dr)
+        kp = _nw.KeyPlanes(pcs)
+        for ti, rows in enumerate(bounds):
+            _nw.walk_key(ecs[ti], states[ti], pcs, kp, rows,
+                         pcs[0].nhsb, use_masking)
+        kp.writeback(pcs)
+    else:
+        def _sb_job(ti):
+            rows = bounds[ti]
+            _code_frame(ecs[ti], states[ti], pcs, info, bs_luma,
+                        use_masking, True, rows)
+            return ecs[ti], states[ti], _tile_d_rows(pcs, rows)
+
+        for ti, (ec_t, st_t, dr) in enumerate(
+                run_tiles(_sb_job, len(bounds), tile_workers)):
+            ecs[ti], states[ti] = ec_t, st_t
+            _merge_d_rows(pcs, bounds[ti], dr)
     _to_spatial(pcs)
     if use_dering:
         orig = [to_coeff(pad_plane(planes[pli], pcs[pli].w, pcs[pli].h),
@@ -825,18 +847,27 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
         pc.grid = grid
         pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
         pcs.append(pc)
-    def _sb_job(ti):
-        rows = bounds[ti]
-        _code_frame(ecs[ti], states[ti], pcs, info, bs_luma, use_masking,
-                    False, rows)
-        return (ecs[ti], states[ti], _tile_d_rows(pcs, rows),
-                _tile_grid_rows(grid, rows))
+    if acct is None and _use_native_walk(ecs):
+        from ..pvq import native_walk as _nw
 
-    for ti, (ec_t, st_t, dr, gr) in enumerate(
-            run_tiles(_sb_job, len(bounds), tile_workers)):
-        ecs[ti], states[ti] = ec_t, st_t
-        _merge_d_rows(pcs, bounds[ti], dr)
-        _merge_grid_rows(grid, bounds[ti], gr)
+        kp = _nw.KeyPlanes(pcs)
+        for ti, rows in enumerate(bounds):
+            _nw.walk_key(ecs[ti], states[ti], pcs, kp, rows,
+                         pcs[0].nhsb, use_masking)
+        kp.writeback(pcs)
+    else:
+        def _sb_job(ti):
+            rows = bounds[ti]
+            _code_frame(ecs[ti], states[ti], pcs, info, bs_luma,
+                        use_masking, False, rows)
+            return (ecs[ti], states[ti], _tile_d_rows(pcs, rows),
+                    _tile_grid_rows(grid, rows))
+
+        for ti, (ec_t, st_t, dr, gr) in enumerate(
+                run_tiles(_sb_job, len(bounds), tile_workers)):
+            ecs[ti], states[ti] = ec_t, st_t
+            _merge_d_rows(pcs, bounds[ti], dr)
+            _merge_grid_rows(grid, bounds[ti], gr)
     _to_spatial(pcs)
     dflags = np.zeros((pcs[0].nvsb, pcs[0].nhsb), dtype=np.int32)
     if use_dering:

@@ -73,6 +73,29 @@ class _WalkCtx(ctypes.Structure):
     ]
 
 
+class _KeyCtx(ctypes.Structure):
+    _fields_ = [
+        ("skip_cdf", c_void_p), ("gaintheta_cdf", c_void_p),
+        ("skip_dir_cdf", c_void_p), ("k1_cdf", c_void_p),
+        ("pvq_adapt", c_void_p), ("exg", c_void_p), ("ext", c_void_p),
+        ("pm_cdf0", c_void_p), ("pm_cdf1", c_void_p), ("pm_cdf2", c_void_p),
+        ("dc_cdf", c_void_p * 4), ("ex_dc", c_void_p),
+        ("ex_sb_dc", c_void_p),
+        ("skip_inc", c_int32), ("gt_inc", c_int32), ("sd_inc", c_int32),
+        ("k1_inc", c_int32), ("pm_inc", c_int32), ("dc_inc", c_int32),
+        ("grid", c_void_p), ("h4", c_int32), ("w4", c_int32),
+        ("nplanes", c_int32), ("nhsb", c_int32),
+        ("row0", c_int32), ("row1", c_int32),
+        ("xdec", c_int32 * 4), ("q0", c_int32), ("use_masking", c_int32),
+        ("lam", c_double),
+        ("pvq_qm", c_void_p * 4), ("qm", c_void_p * 4),
+        ("qm_inv", c_void_p * 4), ("scan", c_void_p * 4),
+        ("d", c_void_p * 4), ("pw", c_int32 * 4), ("ph", c_int32 * 4),
+        ("sb_dc_mem", c_void_p * 4),
+        ("dc_qm", c_void_p), ("cfl4", c_void_p),
+    ]
+
+
 _LIB = None
 
 
@@ -92,6 +115,8 @@ def _load():
         return False
     lib.dtpu_inter_walk.argtypes = [c_void_p, POINTER(_WalkCtx), c_int32]
     lib.dtpu_inter_walk.restype = c_int32
+    lib.dtpu_key_walk.argtypes = [c_void_p, POINTER(_KeyCtx), c_int32]
+    lib.dtpu_key_walk.restype = c_int32
     lib.dtpu_pvq_synth_batch.argtypes = [c_int32] + [c_void_p] * 9 + [
         c_void_p, c_int32, c_void_p, c_void_p]
     _LIB = lib
@@ -499,3 +524,82 @@ def assemble_dec(pcs, state, results, use_masking):
             pc.d[ys[:, None, None] + np.arange(n)[None, :, None],
                  xs[:, None, None] + np.arange(n)[None, None, :]] = blocks
             _mark_bskip_batch(pc, ys, xs, n, bsk_a[sel])
+
+
+class KeyPlanes:
+    """Shared int32 plane buffers for the keyframe walk — one set per
+    frame, reused across (serial) tile calls, merged back after."""
+
+    def __init__(self, pcs):
+        self.d32 = [np.ascontiguousarray(pc.d, dtype=np.int32)
+                    for pc in pcs]
+
+    def writeback(self, pcs):
+        for pc, d in zip(pcs, self.d32):
+            pc.d[...] = d
+
+
+def walk_key(ec, state, pcs, kp: KeyPlanes, rows, nhsb, use_masking):
+    """One tile's keyframe symbol pass (native).  Mutates kp.d32 (the
+    reconstruction), pc.sb_dc_mem, pc.grid and the adaptation state in
+    place; encoder/decoder selected by the coder type."""
+    from ..core.quant import DC_QM
+    from ..pipeline.intra import _CFL_SCALING4
+    from .scan import _FLAT
+
+    lib = _load()
+    ctx = _KeyCtx()
+    a = state.pvq
+    ctx.skip_cdf = _vp(state.skip_cdf)
+    ctx.gaintheta_cdf = _vp(a.gaintheta_cdf)
+    ctx.skip_dir_cdf = _vp(a.skip_dir_cdf)
+    ctx.k1_cdf = _vp(a.k1_cdf)
+    ctx.pvq_adapt = _vp(a.pvq_adapt)
+    ctx.exg = _vp(a.exg)
+    ctx.ext = _vp(a.ext)
+    ctx.pm_cdf0 = _vp(a.param_model[0].cdf)
+    ctx.pm_cdf1 = _vp(a.param_model[1].cdf)
+    ctx.pm_cdf2 = _vp(a.param_model[2].cdf)
+    for pli in range(len(pcs)):
+        ctx.dc_cdf[pli] = _vp(state.model_dc[pli].cdf)
+    ctx.ex_dc = _vp(state.ex_dc)
+    ctx.ex_sb_dc = _vp(state.ex_sb_dc)
+    ctx.skip_inc = int(state.skip_increment)
+    ctx.gt_inc = int(a.gaintheta_increment)
+    ctx.sd_inc = int(a.skip_dir_increment)
+    ctx.k1_inc = int(a.k1_increment)
+    ctx.pm_inc = int(a.param_model[0].increment)
+    ctx.dc_inc = int(state.model_dc[0].increment)
+    grid = pcs[0].grid
+    ctx.grid = _vp(grid)
+    ctx.h4, ctx.w4 = grid.shape
+    ctx.nplanes = len(pcs)
+    ctx.nhsb = nhsb
+    ctx.row0, ctx.row1 = rows
+    keep = []
+    for pli, pc in enumerate(pcs):
+        ctx.xdec[pli] = pc.xdec
+        ctx.pvq_qm[pli] = _vp(state.pvq_qm_q4[pli])
+        ctx.d[pli] = _vp(kp.d32[pli])
+        ctx.pw[pli] = pc.w
+        ctx.ph[pli] = pc.h
+        ctx.sb_dc_mem[pli] = _vp(pc.sb_dc_mem)
+    scans = []
+    for bs in range(4):
+        ctx.qm[bs] = _vp(state.qm[bs])
+        ctx.qm_inv[bs] = _vp(state.qm_inv[bs])
+        sc = np.ascontiguousarray(_FLAT[4 << bs], dtype=np.int32)
+        scans.append(sc)
+        ctx.scan[bs] = _vp(sc)
+    dcqm = np.ascontiguousarray(DC_QM, dtype=np.int32)
+    cfl = np.ascontiguousarray(_CFL_SCALING4, dtype=np.int32)
+    ctx.dc_qm = _vp(dcqm)
+    ctx.cfl4 = _vp(cfl)
+    ctx.q0 = max(1, pcs[0].quantizer)
+    ctx.use_masking = int(bool(use_masking))
+    ctx.lam = PVQ_LAMBDA
+    keep.extend([scans, dcqm, cfl, grid, state, kp])
+    encoder = not hasattr(ec, "decode_bits")
+    err = lib.dtpu_key_walk(ec._h, ctypes.byref(ctx), 1 if encoder else 0)
+    if not encoder and hasattr(ec, "error"):
+        ec.error = ec.error or int(err)

@@ -1669,7 +1669,8 @@ struct AdaptSnap {
   int32_t pm_cdf[3][12 * 16];
 };
 
-inline void snap_save(const DtpuWalkCtx* c, AdaptSnap* s) {
+template <typename CTX>
+inline void snap_save(const CTX* c, AdaptSnap* s) {
   memcpy(s->skip_cdf, c->skip_cdf, sizeof(s->skip_cdf));
   memcpy(s->gaintheta_cdf, c->gaintheta_cdf, sizeof(s->gaintheta_cdf));
   memcpy(s->skip_dir_cdf, c->skip_dir_cdf, sizeof(s->skip_dir_cdf));
@@ -1682,7 +1683,8 @@ inline void snap_save(const DtpuWalkCtx* c, AdaptSnap* s) {
   memcpy(s->pm_cdf[2], c->pm_cdf2, sizeof(s->pm_cdf[2]));
 }
 
-inline void snap_restore(DtpuWalkCtx* c, const AdaptSnap* s) {
+template <typename CTX>
+inline void snap_restore(CTX* c, const AdaptSnap* s) {
   memcpy(c->skip_cdf, s->skip_cdf, sizeof(s->skip_cdf));
   memcpy(c->gaintheta_cdf, s->gaintheta_cdf, sizeof(s->gaintheta_cdf));
   memcpy(c->skip_dir_cdf, s->skip_dir_cdf, sizeof(s->skip_dir_cdf));
@@ -2395,4 +2397,692 @@ extern "C" void dtpu_dering_frame(
     ts.emplace_back(work, a, e);
   }
   for (auto& t : ts) t.join();
+}
+
+// ====================================================================
+// Keyframe (intra) tile symbol walk — the C++ twin of
+// pipeline/intra.py's sequential pass: SB-DC prediction, Haar-DC
+// levels with gradient feed-forward, H/V intra and CfL prediction,
+// in-loop PVQ band search (dtpu_pvq_theta), band symbol coding,
+// whole-block skip RDO with rollback, and in-place reconstruction.
+// Behavioral spec: encode.c:1066-1489 + decode.c:528-757 +
+// intra.c:37-109; structured exactly like pipeline/intra.py so the
+// Python path remains the oracle (DTPU_PY_WALK=1).
+// ====================================================================
+
+namespace {
+
+// One band's synthesis incl. the skip rules (shared with
+// dtpu_pvq_synth_batch's semantics; qg in TRUE domain).
+void synth_band_one(const int32_t* r0, const int32_t* qm,
+                    const int32_t* qmi, const int32_t* y32, int n,
+                    int qg, int itheta, int noref, int q0, double beta,
+                    int is_keyframe, int pli, int32_t* out) {
+  int cfl = is_keyframe && pli != 0;
+  double gr = 0, cgr = 0, gain_offset = 0;
+  int icgr = 0;
+  if (!noref) {
+    cgr = band_cgr(r0, qm, n, q0, beta, &gr);
+    if (cfl) cgr = 1.0;
+    icgr = (int)std::floor(.5 + cgr);
+    gain_offset = cgr - icgr;
+  }
+  int skip = 0;
+  if (noref) {
+    if (qg == 0) skip = 1;
+  } else {
+    if (!is_keyframe && qg == 0) skip = icgr ? 1 : 2;
+    if (qg == icgr && itheta == 0 && !cfl) skip = 2;
+  }
+  if (skip == 2) {
+    for (int i = 0; i < n; i++) out[i] = r0[i];
+    return;
+  }
+  if (skip == 1) {
+    for (int i = 0; i < n; i++) out[i] = 0;
+    return;
+  }
+  double go = noref ? 0.0 : gain_offset;
+  double g = gain_expand_c(qg + go, q0, beta);
+  double theta = 0;
+  double rr[128];
+  int m = 0, s = 1;
+  if (!noref) {
+    int ts = compute_max_theta(qg + gain_offset, beta);
+    theta = compute_theta_v(itheta, ts);
+    double maxr = 0;
+    for (int i = 0; i < n; i++) {
+      rr[i] = (double)r0[i] * qm[i] * QM1;
+      double a = std::fabs(rr[i]);
+      if (a > maxr) { maxr = a; m = i; }
+    }
+    s = rr[m] > 0 ? 1 : -1;
+    rr[m] += gr * s;
+  }
+  int yn = noref ? n : n - 1;
+  int64_t yy = 0;
+  for (int i = 0; i < yn; i++) yy += (int64_t)y32[i] * y32[i];
+  double scale = yy == 0 ? 0.0 : g / std::sqrt((double)yy);
+  double x[128];
+  if (noref) {
+    for (int i = 0; i < n; i++) x[i] = y32[i] * scale;
+  } else {
+    scale *= std::sin(theta);
+    for (int i = 0; i < m; i++) x[i] = y32[i] * scale;
+    x[m] = -s * g * std::cos(theta);
+    for (int i = m + 1; i < n; i++) x[i] = y32[i - 1] * scale;
+    double l2r = 0, proj = 0;
+    for (int i = 0; i < n; i++) l2r += rr[i] * rr[i];
+    for (int i = 0; i < n; i++) proj += rr[i] * x[i];
+    double p2 = 2.0 * proj / (1e-100 + l2r);
+    for (int i = 0; i < n; i++) x[i] -= rr[i] * p2;
+  }
+  for (int i = 0; i < n; i++) {
+    out[i] = (int32_t)std::floor(.5 + x[i] * (qmi[i] * QMI1));
+  }
+}
+
+struct DtpuKeyCtx;
+inline int32_t* pm_of_key(struct DtpuKeyCtx* c, int i);
+
+struct DtpuKeyCtx {
+  // adaptation (same pointer set as DtpuWalkCtx)
+  int32_t* skip_cdf;
+  int32_t* gaintheta_cdf;
+  int32_t* skip_dir_cdf;
+  int32_t* k1_cdf;
+  int64_t* pvq_adapt;
+  int64_t* exg;
+  int64_t* ext;
+  int32_t* pm_cdf0;
+  int32_t* pm_cdf1;
+  int32_t* pm_cdf2;
+  int32_t* dc_cdf[4];
+  int64_t* ex_dc;      // (nplanes,4,3)
+  int64_t* ex_sb_dc;   // (nplanes,)
+  int32_t skip_inc, gt_inc, sd_inc, k1_inc, pm_inc, dc_inc;
+  // frame structure
+  int8_t* grid;
+  int32_t h4, w4;
+  int32_t nplanes, nhsb, row0, row1;
+  int32_t xdec[4];
+  int32_t q0;
+  int32_t use_masking;
+  double lambda;
+  int32_t* pvq_qm[4];
+  const int32_t* qm[4];
+  const int32_t* qm_inv[4];
+  const int32_t* scan[4];   // coding order -> raster flat index, per bs
+  int32_t* d[4];            // transform-domain planes (int32)
+  int32_t pw[4], ph[4];
+  int64_t* sb_dc_mem[4];
+  const int32_t* dc_qm;     // (3,2) Q4 haar AC weights
+  const int32_t* cfl4;      // (4,4) CfL 4x4 scaling
+};
+
+inline int32_t* pm_of_key(DtpuKeyCtx* c, int i) {
+  return i == 0 ? c->pm_cdf0 : (i == 1 ? c->pm_cdf1 : c->pm_cdf2);
+}
+
+inline int64_t tdiv_c(int64_t a, int64_t b) {
+  return a / b;  // C division truncates toward zero = Python _tdiv
+}
+
+inline int64_t div_r0_c(int64_t x, int64_t q) {
+  if (x < 0) return -((-x + (q >> 1)) / q);
+  return (x + (q >> 1)) / q;
+}
+
+// Approximate generic-coder bit cost (generic_encode_cost,
+// entropy/adapt.py:208; encoder-only RDO).
+double gcost(const int32_t* model_cdf, int x, int64_t ex_q16) {
+  int lg = log_ex_c(ex_q16);
+  int shift = (lg - 5) >> 1;
+  if (shift < 0) shift = 0;
+  int mid = lg < 11 ? lg : 11;
+  const int32_t* cdf = model_cdf + 16 * mid;
+  int xs = (x + ((1 << shift) >> 1)) >> shift;
+  double extra = 0;
+  if (shift) extra = shift - (xs == 0 ? 1 : 0);
+  xs = xs < 15 ? xs : 15;
+  if (xs == 15) extra += 2;
+  double p = (double)(cdf[xs] - (xs == 0 ? 0 : cdf[xs - 1])) / cdf[15];
+  return extra - std::log2(p);
+}
+
+// SB-DC with LS neighbor prediction (encode.c:1368-1421 /
+// decode.c:642-695).  Returns hgrad/vgrad via pointers.
+void key_sb_dc(void* ec, DtpuKeyCtx* c, int pli, int sbx, int sby,
+               int has_ur, int encoder, int64_t* hgrad, int64_t* vgrad) {
+  int xdec = c->xdec[pli];
+  int ln = 5 - xdec;
+  int w = c->pw[pli];
+  int nhsb = w >> ln;
+  int64_t* mem = c->sb_dc_mem[pli];
+  int dc_quant = c->q0 * c->pvq_qm[pli][qm_idx(3, 0)] >> 4;
+  if (dc_quant < 1) dc_quant = 1;
+  int64_t pred;
+  int row0 = c->row0;
+  if (sby > row0 && sbx > 0) {
+    if (has_ur) {
+      pred = (22 * mem[sby * nhsb + sbx - 1]
+              - 9 * mem[(sby - 1) * nhsb + sbx - 1]
+              + 15 * mem[(sby - 1) * nhsb + sbx]
+              + 4 * mem[(sby - 1) * nhsb + sbx + 1] + 16) >> 5;
+    } else {
+      pred = (23 * mem[sby * nhsb + sbx - 1]
+              - 10 * mem[(sby - 1) * nhsb + sbx - 1]
+              + 19 * mem[(sby - 1) * nhsb + sbx] + 16) >> 5;
+    }
+  } else if (sby > row0) {
+    pred = mem[(sby - 1) * nhsb + sbx];
+  } else if (sbx > 0) {
+    pred = mem[sby * nhsb + sbx - 1];
+  } else {
+    pred = 0;
+  }
+  int y0 = sby << ln, x0 = sbx << ln;
+  int32_t* d = c->d[pli];
+  int64_t quant;
+  int64_t* ex = c->ex_sb_dc + pli;
+  if (encoder) {
+    int64_t dc0 = (int64_t)d[(int64_t)y0 * w + x0] - pred;
+    quant = div_r0_c(dc0, dc_quant);
+    int64_t q_ = quant < 0 ? -quant : quant;
+    *ex = generic_encode_c((Encoder*)ec, c->dc_cdf[pli], c->dc_inc,
+                           (int)q_, -1, *ex, 2);
+    if (quant) enc_bits((Encoder*)ec, quant < 0 ? 1u : 0u, 1);
+  } else {
+    int v;
+    *ex = generic_decode_c((Decoder*)ec, c->dc_cdf[pli], c->dc_inc, -1,
+                           *ex, 2, &v);
+    quant = v;
+    if (quant && dtpu_dec_bits(ec, 1)) quant = -quant;
+  }
+  int64_t cur = quant * dc_quant + pred;
+  d[(int64_t)y0 * w + x0] = (int32_t)cur;
+  mem[sby * nhsb + sbx] = cur;
+  *vgrad = sby > row0 ? mem[(sby - 1) * nhsb + sbx] - cur : 0;
+  *hgrad = sbx > 0 ? mem[sby * nhsb + sbx - 1] - cur : 0;
+}
+
+// One Haar-DC split level (encode.c:1424-1489 / decode.c:697-757).
+void key_haar_level(void* ec, DtpuKeyCtx* c, int pli, int bx, int by,
+                    int bsi, int64_t* hgrad, int64_t* vgrad,
+                    int encoder) {
+  int xdec = c->xdec[pli];
+  int w = c->pw[pli];
+  int32_t* d = c->d[pli];
+  int dc_quant = c->q0 * c->pvq_qm[pli][qm_idx(3, 0)] >> 4;
+  if (dc_quant < 1) dc_quant = 1;
+  int64_t ac_quant[2];
+  ac_quant[0] = ((int64_t)dc_quant * c->dc_qm[2 * (bsi - xdec)] + 8) >> 4;
+  ac_quant[1] = ((int64_t)dc_quant * c->dc_qm[2 * (bsi - xdec) + 1] + 8)
+      >> 4;
+  int ln = bsi - xdec + 2;
+  int64_t pos[4];
+  pos[0] = (int64_t)(by << ln) * w + (bx << ln);
+  pos[1] = (int64_t)(by << ln) * w + ((bx + 1) << ln);
+  pos[2] = (int64_t)((by + 1) << ln) * w + (bx << ln);
+  pos[3] = (int64_t)((by + 1) << ln) * w + ((bx + 1) << ln);
+  int64_t x[4];
+  for (int i = 0; i < 4; i++) x[i] = d[pos[i]];
+  if (encoder) {
+    x[1] -= tdiv_c(*hgrad, 5);
+    x[2] -= tdiv_c(*vgrad, 5);
+    for (int i = 1; i < 4; i++) {
+      int64_t q = ac_quant[i == 3 ? 1 : 0];
+      int sign = x[i] < 0;
+      int64_t mag = sign ? -x[i] : x[i];
+      int64_t quant = mag / q;
+      int64_t* ex = c->ex_dc + ((int64_t)pli * 4 + bsi) * 3 + (i - 1);
+      double cost = gcost(c->dc_cdf[pli], (int)quant + 1, *ex)
+          - gcost(c->dc_cdf[pli], (int)quant, *ex);
+      if (quant == 0) cost += 1;
+      double qq = (double)q;
+      if (qq * qq - 2.0 * qq * (double)(mag - quant * q)
+              + qq * qq * c->lambda * cost < 0) {
+        quant += 1;
+      }
+      *ex = generic_encode_c((Encoder*)ec, c->dc_cdf[pli], c->dc_inc,
+                             (int)quant, -1, *ex, 2);
+      if (quant) enc_bits((Encoder*)ec, sign ? 1u : 0u, 1);
+      x[i] = quant * q;
+      if (sign) x[i] = -x[i];
+    }
+  } else {
+    for (int i = 1; i < 4; i++) {
+      int64_t* ex = c->ex_dc + ((int64_t)pli * 4 + bsi) * 3 + (i - 1);
+      int v;
+      *ex = generic_decode_c((Decoder*)ec, c->dc_cdf[pli], c->dc_inc,
+                             -1, *ex, 2, &v);
+      int64_t quant = v;
+      if (quant && dtpu_dec_bits(ec, 1)) quant = -quant;
+      x[i] = quant * ac_quant[i == 3 ? 1 : 0];
+    }
+  }
+  x[1] += tdiv_c(*hgrad, 5);
+  x[2] += tdiv_c(*vgrad, 5);
+  *hgrad = x[1];
+  *vgrad = x[2];
+  // haar kernel (ll, lh, hl, hh) = (x0, x1, x2, x3)
+  int64_t ll = x[0], lh = x[1], hl = x[2], hh = x[3];
+  ll = ll + hl;
+  hh = hh - lh;
+  int64_t e = (ll - hh) >> 1;
+  lh = e - lh;
+  hl = e - hl;
+  ll = ll - lh;
+  hh = hh + hl;
+  d[pos[0]] = (int32_t)ll;
+  d[pos[1]] = (int32_t)lh;
+  d[pos[2]] = (int32_t)hl;
+  d[pos[3]] = (int32_t)hh;
+}
+
+// H/V intra prediction from coded neighbors (intra.c:37-61), raster.
+void key_hv_pred(DtpuKeyCtx* c, int bx, int by, int bs, int tile_y0,
+                 int32_t* pred /* n*n */) {
+  int n = 4 << bs;
+  int w = c->pw[0];
+  const int32_t* d = c->d[0];
+  int64_t y0 = (int64_t)by * n, x0 = (int64_t)bx * n;
+  for (int i = 0; i < n * n; i++) pred[i] = 0;
+  int c4 = n / 4;
+  const int8_t* g = c->grid;
+  int top = y0 > tile_y0 && g[(by * c4 - 1) * (int64_t)c->w4 + bx * c4]
+      == bs;
+  int left = bx > 0 && g[(int64_t)(by * c4) * c->w4 + bx * c4 - 1] == bs;
+  int64_t g1 = 0, g2 = 0;
+  if (top) {
+    for (int j = 1; j < 4; j++) {
+      int64_t v = d[(y0 - n) * w + x0 + j];
+      g1 += v * v;
+    }
+    for (int j = 4; j < n; j++) pred[j] = d[(y0 - n) * w + x0 + j];
+  }
+  if (left) {
+    for (int j = 1; j < 4; j++) {
+      int64_t v = d[(y0 + j) * w + x0 - n];
+      g2 += v * v;
+    }
+    for (int j = 4; j < n; j++) pred[j * n] = d[(y0 + j) * w + x0 - n];
+  }
+  if (g1 > g2) {
+    if (top) {
+      for (int j = 1; j < 4; j++) pred[j] = d[(y0 - n) * w + x0 + j];
+    }
+  } else if (left) {
+    for (int j = 1; j < 4; j++) pred[j * n] = d[(y0 + j) * w + x0 - n];
+  }
+}
+
+// CfL luma resample (intra.c:72-109), raster n x n.
+void key_cfl_pred(DtpuKeyCtx* c, int pli, int bx, int by, int bsi,
+                  int bs_c, int obs, int32_t* pred) {
+  int n = 4 << bs_c;
+  int lw = c->pw[0];
+  const int32_t* luma = c->d[0];
+  int64_t ly = (int64_t)by << (2 + bsi);
+  int64_t lx = (int64_t)bx << (2 + bsi);
+  if (obs == 0 && c->xdec[pli]) {
+    // Merge four 4x4 luma blocks -> 4x4 chroma ref via tf_up_hv_lp
+    // (dx = dy = 4, n = 4) then the trained scaling.
+    int32_t up[4][4];
+    for (int y = 0; y < 2; y++) {
+      for (int x = 0; x < 2; x++) {
+        int64_t ll = luma[(ly + y) * lw + lx + x];
+        int64_t lh = luma[(ly + y) * lw + lx + x + 4];
+        int64_t hl = luma[(ly + y + 4) * lw + lx + x];
+        int64_t hh = luma[(ly + y + 4) * lw + lx + x + 4];
+        // kernel call order (ll, hl, lh, hh) per tf.c:99 swap
+        int64_t a = ll, b = hl, cc = lh, dd = hh;
+        a = a + cc;
+        dd = dd - b;
+        int64_t e = (a - dd) >> 1;
+        b = e - b;
+        cc = e - cc;
+        a = a - b;
+        dd = dd + cc;
+        // outputs (ll, hl, lh, hh) = (a, b, cc, dd)
+        int hs = x & 1, vs = y & 1;
+        up[2 * y + vs][2 * x + hs] = (int32_t)a;
+        up[2 * y + vs][2 * x + 1 - hs] = (int32_t)cc;   // lh
+        up[2 * y + 1 - vs][2 * x + hs] = (int32_t)b;    // hl
+        up[2 * y + 1 - vs][2 * x + 1 - hs] = (int32_t)dd;
+      }
+    }
+    for (int r = 0; r < 4; r++) {
+      for (int cc2 = 0; cc2 < 4; cc2++) {
+        pred[r * 4 + cc2] = (int32_t)(((int64_t)c->cfl4[cc2 * 4 + r]
+                                       * up[r][cc2] + 64) >> 7);
+      }
+    }
+    return;
+  }
+  for (int r = 0; r < n; r++) {
+    for (int cc2 = 0; cc2 < n; cc2++) {
+      pred[r * n + cc2] = luma[(ly + r) * lw + lx + cc2];
+    }
+  }
+}
+
+
+// Leaf: prediction + in-loop PVQ search + symbols + reconstruction
+// (od_block_encode encode.c:1066-1285 / od_block_decode
+// decode.c:528-636, keyframe paths).
+void key_leaf(void* ec, DtpuKeyCtx* c, int pli, int bs, int bsi, int bx,
+              int by, int encoder, int sk, int obs) {
+  int xdec = c->xdec[pli];
+  int n = 4 << bs;
+  int ncoded = NCODED[bs];
+  int w = c->pw[pli];
+  int64_t y0 = (int64_t)by << (2 + bsi - xdec);
+  int64_t x0 = (int64_t)bx << (2 + bsi - xdec);
+  int32_t* d = c->d[pli];
+  const int32_t* scan = c->scan[bs];
+  int32_t predr[64 * 64];
+  if (pli == 0) {
+    key_hv_pred(c, bx, by, bs, c->row0 << 5, predr);
+  } else {
+    key_cfl_pred(c, pli, bx, by, bsi, bs, obs, predr);
+  }
+  int32_t ref[512], dblock[512], out[512];
+  for (int i = 0; i < ncoded; i++) {
+    ref[i] = predr[scan[i]];
+    dblock[i] = d[(y0 + scan[i] / n) * w + x0 + scan[i] % n];
+  }
+  int q0 = c->q0;
+  const int32_t* qmb = c->qm[bs];
+  const int32_t* qmib = c->qm_inv[bs];
+  const int32_t* pvq_qm = c->pvq_qm[pli];
+  int nb = BNB[bs];
+  double beta = band_beta(c->use_masking, pli);
+  int nb_end = BOFFS[bs][nb];
+  int32_t* skip_row = c->skip_cdf + 5 * (2 * bs + (pli ? 1 : 0));
+  int nsym = 4 + ((pli == 0 && bs > 0) ? 1 : 0);
+  for (int i = 0; i < ncoded; i++) out[i] = 0;
+  int acskip = 0;
+  if (encoder) {
+    // CfL flip detection (pvq_encoder.c:697-709).
+    int flip = 0;
+    if (pli != 0) {
+      double xy = 0;
+      for (int i = BOFFS[bs][0]; i < BOFFS[bs][1]; i++) {
+        xy += ((double)ref[i] * qmb[i] * QM1)
+            * ((double)dblock[i] * qmb[i] * QM1);
+      }
+      if (xy < 0) {
+        flip = 1;
+        for (int i = BOFFS[bs][0]; i < nb_end; i++) ref[i] = -ref[i];
+      }
+    }
+    // In-loop band search (prediction depends on decoded neighbors).
+    int32_t yv[512];
+    int qgs[9], its[9], mts[9], ks[9], nrs[9], qgc[9];
+    double sds[9];
+    double extras[6];
+    double skip_diff = 0;
+    for (int i = 0; i < nb; i++) {
+      int lo = BOFFS[bs][i];
+      int bn = BOFFS[bs][i + 1] - lo;
+      int q = q0 * pvq_qm[qm_idx(bs, i + 1)] >> 4;
+      if (q < 1) q = 1;
+      dtpu_pvq_theta(dblock + lo, ref + lo, bn, q, beta, 1, 1, pli,
+                     qmb + lo, c->lambda, yv + lo, &qgs[i], &its[i],
+                     &mts[i], &ks[i], &nrs[i], &sds[i], extras);
+      skip_diff += sds[i];
+      if (nrs[i]) {
+        qgc[i] = qgs[i];
+        its[i] = -1;
+      } else {
+        double gr;
+        double cgr = band_cgr(ref + lo, qmb + lo, bn, q, beta, &gr);
+        if (pli != 0) cgr = 1.0;
+        int icgr = (int)std::floor(.5 + cgr);
+        qgc[i] = neg_interleave_c(qgs[i], icgr);
+      }
+      synth_band_one(ref + lo, qmb + lo, qmib + lo, yv + lo, bn,
+                     qgs[i], its[i], nrs[i], q, beta, 1, pli, out + lo);
+    }
+    int64_t chk[7];
+    dtpu_enc_checkpoint(ec, chk);
+    static thread_local AdaptSnap snap;
+    snap_save(c, &snap);
+    int tell0 = dtpu_enc_tell_frac(ec);
+    // keyframe: out[0] = 0 before the skip symbol.
+    enc_cdf_adapt32((Encoder*)ec, 0, skip_row, nsym, c->skip_inc);
+    // skip_rest / skip_dir (skip_theta_value = -1 for keyframes).
+    int skip_rest = 1;
+    for (int i = 1; i < nb; i++) {
+      if (its[i] != -1 || qgc[i]) skip_rest = 0;
+    }
+    int skip_dir = 0;
+    if (nb > 1) {
+      for (int i = 0; i < 3; i++) {
+        int tmp = 1;
+        for (int j = i + 1; j < nb; j += 3) {
+          if (its[j] != -1 || qgc[j]) tmp = 0;
+        }
+        skip_dir |= tmp << i;
+      }
+    }
+    int nbeff = nb;
+    if (its[0] == -1 && qgc[0] == 0 && skip_rest) nbeff = 0;
+    int cfl_encoded = 0;
+    for (int i = 0; i < nbeff; i++) {
+      if (i == 0
+          || (!skip_rest && !(skip_dir & (1 << ((i - 1) % 3))))) {
+        int lo = BOFFS[bs][i];
+        int bn = BOFFS[bs][i + 1] - lo;
+        int cdf_ctx = (pli ? 1 : 0) * 4 * 9 + bs * 9 + i;
+        int code_skip = (i == 0 && i < nbeff - 1) ? 1 : 0;
+        int64_t y64[128];
+        for (int t = 0; t < bn; t++) y64[t] = yv[lo + t];
+        dtpu_encode_partition(
+            ec, c->gaintheta_cdf + 16 * cdf_ctx, 8 + 7 * code_skip,
+            c->gt_inc, pm_of_key(c, nrs[i] ? 0 : 1), c->pm_inc,
+            c->exg + ((int64_t)pli * 4 + bs) * 9 + i,
+            c->ext + bs * 9 + i, c->pm_cdf2,
+            c->k1_cdf + 16 * (2 * (bn == 15) + (nrs[i] ? 0 : 1)),
+            c->k1_inc, c->pvq_adapt + 4 * (2 * bs + (nrs[i] ? 1 : 0)),
+            y64, bn, ks[i], qgc[i], its[i], mts[i],
+            /*nodesync=*/1, /*is_keyframe=*/1, code_skip, skip_rest,
+            bs);
+      }
+      if (i == 0 && !skip_rest && bs > 0) {
+        enc_cdf_adapt32(
+            (Encoder*)ec, skip_dir,
+            c->skip_dir_cdf + 7 * ((pli ? 1 : 0) + 2 * (bs - 1)), 7,
+            c->sd_inc);
+      }
+      if (pli != 0 && its[i] != -1 && !cfl_encoded) {
+        enc_bits((Encoder*)ec, (uint32_t)flip, 1);
+        cfl_encoded = 1;
+      }
+    }
+    int tell = dtpu_enc_tell_frac(ec) - tell0;
+    double skip_rate = -std::log2((double)(skip_row[2] - skip_row[1])
+                                  / skip_row[nsym - 1]);
+    tell -= (int)std::floor(.5 + 8 * skip_rate);
+    if (nbeff == 0 || skip_diff <= c->lambda / 8 * tell) {
+      dtpu_enc_rollback(ec, chk);
+      snap_restore(c, &snap);
+      enc_cdf_adapt32((Encoder*)ec, 2, skip_row, nsym, c->skip_inc);
+      acskip = 1;
+    }
+  } else {
+    int out0flag = sk & 1;
+    (void)out0flag;  // keyframe DC comes from the Haar tree
+    acskip = sk >> 1;
+    if (!acskip) {
+      int skip_rest[3] = {0, 0, 0};
+      int allow_flip = pli != 0 ? 1 : 0;
+      for (int i = 0; i < nb; i++) {
+        int lo = BOFFS[bs][i];
+        int bn = BOFFS[bs][i + 1] - lo;
+        int q = q0 * pvq_qm[qm_idx(bs, i + 1)] >> 4;
+        if (q < 1) q = 1;
+        int qg = 0, itheta = -1, noref = 1;
+        if (!skip_rest[(i + 2) % 3]) {
+          int has_skip = (i == 0 && i < nb - 1) ? 1 : 0;
+          int cdf_ctx = (pli ? 1 : 0) * 4 * 9 + bs * 9 + i;
+          int pid = dec_cdf_adapt32((Decoder*)ec,
+                                    c->gaintheta_cdf + 16 * cdf_ctx,
+                                    8 + 7 * has_skip, c->gt_inc);
+          if (pid >= 8) pid += 1;  // keyframe: pid 8 impossible
+          if (pid >= 8) {
+            pid -= 8;
+            skip_rest[0] = skip_rest[1] = skip_rest[2] = 1;
+          }
+          qg = pid & 1;
+          itheta = (pid >> 1) - 1;
+          noref = itheta == -1 ? 1 : 0;
+        }
+        if (qg > 0) {
+          int64_t* exg = c->exg + ((int64_t)pli * 4 + bs) * 9 + i;
+          int v;
+          generic_decode_c((Decoder*)ec, pm_of_key(c, noref ? 0 : 1),
+                           c->pm_inc, -1, *exg, 2, &v);
+          qg = 1 + v;
+          *exg += (((int64_t)qg << 16) - *exg) >> 2;
+        }
+        double qcg;
+        if (!noref) {
+          double gr;
+          double cgr = band_cgr(ref + lo, qmb + lo, bn, q, beta, &gr);
+          if (pli != 0) cgr = 1.0;
+          int icgr = (int)std::floor(.5 + cgr);
+          qg = neg_deinterleave_c(qg, icgr);
+          double gain_offset = cgr - icgr;
+          qcg = qg + gain_offset;
+          if (itheta > 1) {
+            int64_t* ext = c->ext + bs * 9 + i;
+            int v;
+            generic_decode_c((Decoder*)ec, c->pm_cdf2, c->pm_inc, -1,
+                             *ext, 2, &v);
+            itheta = 2 + v;
+            *ext += (((int64_t)itheta << 16) - *ext) >> 2;
+          }
+        } else {
+          itheta = 0;
+          qcg = (double)qg;
+        }
+        int k = compute_k_v(qcg, noref ? -1 : itheta, 0.0, noref, bn,
+                            beta, 1);
+        int64_t y64[128];
+        for (int t = 0; t < bn; t++) y64[t] = 0;
+        if (k != 0) {
+          dtpu_decode_codeword(
+              ec, c->k1_cdf + 16 * (2 * (bn == 15) + (noref ? 0 : 1)),
+              c->k1_inc, c->pvq_adapt + 4 * (2 * bs + (noref ? 1 : 0)),
+              y64, bn, k, noref, bs);
+        }
+        if (allow_flip && !noref) {
+          int flip = (int)dtpu_dec_bits(ec, 1);
+          if (flip) {
+            for (int t = BOFFS[bs][0]; t < nb_end; t++) ref[t] = -ref[t];
+          }
+          allow_flip = 0;
+        }
+        int32_t y32[128];
+        for (int t = 0; t < bn; t++) y32[t] = (int32_t)y64[t];
+        synth_band_one(ref + lo, qmb + lo, qmib + lo, y32, bn, qg,
+                       noref ? -1 : itheta, noref, q, beta, 1, pli,
+                       out + lo);
+        if (i == 0 && !skip_rest[0] && bs > 0) {
+          int sd = dec_cdf_adapt32(
+              (Decoder*)ec,
+              c->skip_dir_cdf + 7 * ((pli ? 1 : 0) + 2 * (bs - 1)), 7,
+              c->sd_inc);
+          for (int j = 0; j < 3; j++) skip_rest[j] = (sd >> j) & 1;
+        }
+      }
+    }
+  }
+  // Reconstruction writeback (zeros base for keyframes; DC from the
+  // Haar tree already in d[y0][x0]).
+  int32_t dc = d[y0 * w + x0];
+  if (acskip) {
+    for (int i = 0; i < ncoded; i++) out[i] = 0;
+  }
+  for (int r = 0; r < n; r++) {
+    for (int cc = 0; cc < n; cc++) d[(y0 + r) * w + x0 + cc] = 0;
+  }
+  for (int i = 1; i < ncoded; i++) {
+    d[(y0 + scan[i] / n) * w + x0 + scan[i] % n] = out[i];
+  }
+  d[y0 * w + x0] = dc;
+}
+
+// Z-order keyframe recursion (_code_recursive, intra.py).
+void key_rec(void* ec, DtpuKeyCtx* c, int pli, int bx, int by, int bsi,
+             int64_t hgrad, int64_t vgrad, int encoder) {
+  int xdec = c->xdec[pli];
+  int64_t cell = (int64_t)(by << bsi) * c->w4 + (bx << bsi);
+  if (pli == 0) {
+    if (encoder) {
+      int obs = c->grid[cell];
+      if (obs == bsi) {
+        key_leaf(ec, c, 0, bsi, bsi, bx, by, 1, 0, obs);
+        return;
+      }
+      enc_cdf_adapt32((Encoder*)ec, 4, c->skip_cdf + 5 * (2 * bsi), 5,
+                      c->skip_inc);
+    } else {
+      int nsym = 4 + (bsi > 0 ? 1 : 0);
+      int sk = dec_cdf_adapt32((Decoder*)ec, c->skip_cdf + 5 * (2 * bsi),
+                               nsym, c->skip_inc);
+      if (sk < 4) {
+        int span = 1 << bsi;
+        int cy = by << bsi, cx = bx << bsi;
+        for (int yy = 0; yy < span; yy++) {
+          memset(c->grid + (int64_t)(cy + yy) * c->w4 + cx, bsi, span);
+        }
+        key_leaf(ec, c, 0, bsi, bsi, bx, by, 0, sk, bsi);
+        return;
+      }
+    }
+  } else {
+    int obs = c->grid[cell];
+    int eff = obs > xdec ? obs : xdec;
+    if (eff == bsi) {
+      int bs = bsi - xdec;
+      if (encoder) {
+        key_leaf(ec, c, pli, bs, bsi, bx, by, 1, 0, obs);
+      } else {
+        int sk = dec_cdf_adapt32((Decoder*)ec,
+                                 c->skip_cdf + 5 * (2 * bs + 1), 4,
+                                 c->skip_inc);
+        key_leaf(ec, c, pli, bs, bsi, bx, by, 0, sk, obs);
+      }
+      return;
+    }
+  }
+  key_haar_level(ec, c, pli, 2 * bx, 2 * by, bsi - 1, &hgrad, &vgrad,
+                 encoder);
+  for (int dy = 0; dy < 2; dy++) {
+    for (int dx = 0; dx < 2; dx++) {
+      key_rec(ec, c, pli, 2 * bx + dx, 2 * by + dy, bsi - 1, hgrad,
+              vgrad, encoder);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" int dtpu_key_walk(void* ec, DtpuKeyCtx* c, int encoder) {
+  for (int sby = c->row0; sby < c->row1; sby++) {
+    for (int sbx = 0; sbx < c->nhsb; sbx++) {
+      for (int pli = 0; pli < c->nplanes; pli++) {
+        int has_ur = (sby > c->row0 && sbx < c->nhsb - 1) ? 1 : 0;
+        int64_t hgrad = 0, vgrad = 0;
+        key_sb_dc(ec, c, pli, sbx, sby, has_ur, encoder, &hgrad,
+                  &vgrad);
+        key_rec(ec, c, pli, sbx, sby, 3, hgrad, vgrad, encoder);
+      }
+    }
+  }
+  if (!encoder) return ((Decoder*)ec)->error;
+  return 0;
 }
