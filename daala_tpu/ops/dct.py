@@ -525,6 +525,9 @@ def fdct2d(x, n: int):
     """2D DCT on (..., n, n): rows first, then columns (cols = transform
     along axis -2), matching the reference's column-then-row composition
     (dct.c:137-142)."""
+    out = _TX[n].apply_2d_native(x, False, False, col_first=False)
+    if out is not None:
+        return out
     t = fdct(x, n)  # along last axis (rows' entries)
     t = _swap(t)
     t = fdct(t, n)
@@ -532,6 +535,9 @@ def fdct2d(x, n: int):
 
 
 def idct2d(y, n: int):
+    out = _TX[n].apply_2d_native(y, True, True, col_first=True)
+    if out is not None:
+        return out
     t = _swap(y)
     t = idct(t, n)
     t = _swap(t)

@@ -218,15 +218,159 @@ class LanedTransform:
         self.prog = prog
         self.iprog = invert(prog)
         self.stores = list(stores)
+        self._nat = None    # lazily compiled native forms
+
+    def _native(self):
+        """Compile both directions for the C++ lifting VM
+        (dtpu_lift_apply) — a bit-exact int32 twin of `run`."""
+        if self._nat is not None:
+            return self._nat
+        import os
+
+        if os.environ.get("DTPU_PY_LIFT"):
+            self._nat = False
+            return False
+        try:
+            import ctypes
+
+            import numpy as np
+
+            from ..entropy.native import _load
+
+            lib = _load()
+            if not lib or not hasattr(lib, "dtpu_lift_apply"):
+                self._nat = False
+                return False
+            if not getattr(lib, "_lift_ready", False):
+                p = ctypes.c_void_p
+                i32 = ctypes.c_int
+                i64 = ctypes.c_int64
+                lib.dtpu_lift_apply.argtypes = [
+                    p, i32, i32, p, p, i32, p, i64, p]
+                lib.dtpu_lift_apply_s.argtypes = [
+                    p, i32, i32, p, p, i32, p, p, i64, i64, i64, i64,
+                    i32]
+                lib._lift_ready = True
+            lanes = {}
+
+            def lane_id(name):
+                if name not in lanes:
+                    lanes[name] = len(lanes)
+                return lanes[name]
+
+            _KIND = {"add": 2, "sub": 3, "rsub": 4, "addh": 5,
+                     "subh": 6, "rsubh": 7, "neg": 8, "addf": 9,
+                     "subf": 10, "scale6": 11, "unscale6": 12}
+
+            def compile_prog(prog):
+                rows = []
+                for op in prog:
+                    kind = op[0]
+                    if kind == "lift":
+                        _, i, j, c, r, s, sgn = op
+                        rows.append([0 if sgn > 0 else 1, lane_id(i),
+                                     lane_id(j), c, r, s])
+                    elif kind == "neg":
+                        rows.append([8, lane_id(op[1]), 0, 0, 0, 0])
+                    elif kind in ("scale6", "unscale6"):
+                        rows.append([_KIND[kind], lane_id(op[1]),
+                                     int(op[2]), 0, 0, 0])
+                    else:
+                        rows.append([_KIND[kind], lane_id(op[1]),
+                                     lane_id(op[2]), 0, 0, 0])
+                return np.ascontiguousarray(rows, dtype=np.int32)
+
+            fops = compile_prog(self.prog)
+            iops = compile_prog(self.iprog)
+            load_arr = np.empty(self.n, dtype=np.int32)
+            for lane, idx in self.loads.items():
+                load_arr[idx] = lane_id(lane)
+            store_arr = np.asarray([lane_id(s) for s in self.stores],
+                                   dtype=np.int32)
+            self._nat = (lib, fops, iops, load_arr, store_arr,
+                         len(lanes))
+        except Exception:
+            self._nat = False
+        return self._nat
+
+    def _apply_native(self, x, inverse: bool):
+        import ctypes
+
+        import numpy as np
+
+        lib, fops, iops, load_arr, store_arr, nlanes = self._nat
+        ops = iops if inverse else fops
+        shape = x.shape
+        xv = np.ascontiguousarray(x, dtype=np.int32).reshape(-1, self.n)
+        out = np.empty_like(xv)
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        # Inverse: loads/stores swap roles (inverse() reads stores and
+        # writes loads).
+        if inverse:
+            lib.dtpu_lift_apply(vp(ops), len(ops), nlanes,
+                                vp(store_arr), vp(load_arr), self.n,
+                                vp(xv), len(xv), vp(out))
+        else:
+            lib.dtpu_lift_apply(vp(ops), len(ops), nlanes,
+                                vp(load_arr), vp(store_arr), self.n,
+                                vp(xv), len(xv), vp(out))
+        return out.reshape(shape)
+
+    def apply_2d_native(self, x, inverse_rows: bool,
+                        inverse_cols: bool, col_first: bool):
+        """Both passes of a 2D separable transform in the VM, the
+        column pass strided (no transposes).  x: (..., n, n) ndarray;
+        returns int32 or None when the native VM is unavailable."""
+        import ctypes
+
+        import numpy as np
+
+        if not (isinstance(x, np.ndarray) and x.size >= 2048
+                and self._native()):
+            return None
+        lib, fops, iops, load_arr, store_arr, nlanes = self._nat
+        n = self.n
+        xv = np.ascontiguousarray(x, dtype=np.int32).reshape(-1, n, n)
+        out = np.empty_like(xv)
+        vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+
+        def one(src, dst, inverse, cols):
+            ops = iops if inverse else fops
+            ld, st = (store_arr, load_arr) if inverse \
+                else (load_arr, store_arr)
+            if cols:
+                lib.dtpu_lift_apply_s(
+                    vp(ops), len(ops), nlanes, vp(ld), vp(st), n,
+                    vp(src), vp(dst), len(xv), n * n, 1, n, n)
+            else:
+                lib.dtpu_lift_apply(
+                    vp(ops), len(ops), nlanes, vp(ld), vp(st), n,
+                    vp(src), len(xv) * n, vp(dst))
+
+        if col_first:
+            one(xv, out, inverse_cols, True)
+            one(out, out, inverse_rows, False)
+        else:
+            one(xv, out, inverse_rows, False)
+            one(out, out, inverse_cols, True)
+        return out.reshape(x.shape)
 
     def forward(self, x):
         """x: array (..., n) -> (..., n).  Stacks on the caller's backend."""
+        import numpy as np
+
+        if isinstance(x, np.ndarray) and x.size >= 1024 and self._native():
+            return self._apply_native(x, False)
         t = {lane: x[..., idx] for lane, idx in self.loads.items()}
         run(self.prog, t)
         cols = [t[lane] for lane in self.stores]
         return _stack(cols)
 
     def inverse(self, y):
+        import numpy as np
+
+        if isinstance(y, np.ndarray) and y.size >= 1024 and self._native():
+            return self._apply_native(y, True)
         t = {lane: y[..., k] for k, lane in enumerate(self.stores)}
         run(self.iprog, t)
         inv = sorted(self.loads.items(), key=lambda kv: kv[1])

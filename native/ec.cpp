@@ -3086,3 +3086,145 @@ extern "C" int dtpu_key_walk(void* ec, DtpuKeyCtx* c, int encoder) {
   if (!encoder) return ((Decoder*)ec)->error;
   return 0;
 }
+
+// ====================================================================
+// Lifting VM — executes the declarative integer-lifting programs of
+// ops/lifting.py (reversible DCT/lapping networks) over a batch of
+// rows.  Bit-exact int32 twin of lifting.run; threaded over the batch.
+// Op encoding (int32 x 6): kind, a, b, c, r, s  with kind:
+//   0 lift(+)  1 lift(-)  2 add  3 sub  4 rsub  5 addh  6 subh
+//   7 rsubh    8 neg      9 addf 10 subf 11 scale6 12 unscale6
+// (for scale6/unscale6, b is the scale constant).
+// ====================================================================
+
+namespace {
+
+inline int32_t hrnd32(int32_t x) {
+  return (x + ((x >> 31) & 1)) >> 1;
+}
+
+}  // namespace
+
+extern "C" void dtpu_lift_apply(
+    const int32_t* ops, int nops, int nlanes,
+    const int32_t* load_lane /* n: lane index of input k */,
+    const int32_t* store_lane /* n: lane index of output k */,
+    int n, const int32_t* x, int64_t N, int32_t* out) {
+  auto work = [&](int64_t b0, int64_t b1) {
+    std::vector<int32_t> t(nlanes);
+    for (int64_t b = b0; b < b1; b++) {
+      const int32_t* xr = x + b * n;
+      int32_t* orow = out + b * n;
+      for (int k = 0; k < n; k++) t[load_lane[k]] = xr[k];
+      const int32_t* op = ops;
+      for (int o = 0; o < nops; o++, op += 6) {
+        int32_t a = op[1], bb = op[2];
+        switch (op[0]) {
+          case 0: t[a] += (t[bb] * op[3] + op[4]) >> op[5]; break;
+          case 1: t[a] -= (t[bb] * op[3] + op[4]) >> op[5]; break;
+          case 2: t[a] += t[bb]; break;
+          case 3: t[a] -= t[bb]; break;
+          case 4: t[a] = t[bb] - t[a]; break;
+          case 5: t[a] += hrnd32(t[bb]); break;
+          case 6: t[a] -= hrnd32(t[bb]); break;
+          case 7: t[a] = hrnd32(t[bb]) - t[a]; break;
+          case 8: t[a] = -t[a]; break;
+          case 9: t[a] += t[bb] >> 1; break;
+          case 10: t[a] -= t[bb] >> 1; break;
+          case 11: {
+            int32_t v = (t[a] * bb) >> 6;
+            t[a] = v + (v > 0 ? 1 : 0);
+            break;
+          }
+          case 12: {
+            int32_t v = t[a];
+            int32_t av = v < 0 ? -v : v;
+            int32_t q = (av << 6) / bb;
+            t[a] = v < 0 ? -q : q;
+            break;
+          }
+        }
+      }
+      for (int k = 0; k < n; k++) orow[k] = t[store_lane[k]];
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (N * nops >= 1 << 15 && hw > 1) ? (hw < 8 ? (int)hw : 8) : 1;
+  if (nt <= 1) { work(0, N); return; }
+  std::vector<std::thread> ts;
+  int64_t per = (N + nt - 1) / nt;
+  for (int t2 = 0; t2 < nt; t2++) {
+    int64_t a = t2 * per, e = a + per < N ? a + per : N;
+    if (a >= e) break;
+    ts.emplace_back(work, a, e);
+  }
+  for (auto& t2 : ts) t2.join();
+}
+
+// Strided variant: apply the program along an arbitrary axis of a
+// contiguous buffer (e.g. the column pass of a 2D transform without
+// materializing a transpose).  For block b and vector v, element k
+// lives at x[b*block_stride + v*vec_stride + k*lane_stride].
+extern "C" void dtpu_lift_apply_s(
+    const int32_t* ops, int nops, int nlanes,
+    const int32_t* load_lane, const int32_t* store_lane, int n,
+    const int32_t* x, int32_t* out, int64_t nblocks,
+    int64_t block_stride, int64_t vec_stride, int64_t lane_stride,
+    int nvec) {
+  auto work = [&](int64_t b0, int64_t b1) {
+    std::vector<int32_t> t(nlanes);
+    for (int64_t b = b0; b < b1; b++) {
+      for (int v = 0; v < nvec; v++) {
+        const int32_t* xr = x + b * block_stride + v * vec_stride;
+        int32_t* orow = out + b * block_stride + v * vec_stride;
+        for (int k = 0; k < n; k++) {
+          t[load_lane[k]] = xr[k * lane_stride];
+        }
+        const int32_t* op = ops;
+        for (int o = 0; o < nops; o++, op += 6) {
+          int32_t a = op[1], bb = op[2];
+          switch (op[0]) {
+            case 0: t[a] += (t[bb] * op[3] + op[4]) >> op[5]; break;
+            case 1: t[a] -= (t[bb] * op[3] + op[4]) >> op[5]; break;
+            case 2: t[a] += t[bb]; break;
+            case 3: t[a] -= t[bb]; break;
+            case 4: t[a] = t[bb] - t[a]; break;
+            case 5: t[a] += hrnd32(t[bb]); break;
+            case 6: t[a] -= hrnd32(t[bb]); break;
+            case 7: t[a] = hrnd32(t[bb]) - t[a]; break;
+            case 8: t[a] = -t[a]; break;
+            case 9: t[a] += t[bb] >> 1; break;
+            case 10: t[a] -= t[bb] >> 1; break;
+            case 11: {
+              int32_t vv = (t[a] * bb) >> 6;
+              t[a] = vv + (vv > 0 ? 1 : 0);
+              break;
+            }
+            case 12: {
+              int32_t vv = t[a];
+              int32_t av = vv < 0 ? -vv : vv;
+              int32_t q = (av << 6) / bb;
+              t[a] = vv < 0 ? -q : q;
+              break;
+            }
+          }
+        }
+        for (int k = 0; k < n; k++) {
+          orow[k * lane_stride] = t[store_lane[k]];
+        }
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (nblocks * nvec * nops >= 1 << 15 && hw > 1)
+      ? (hw < 8 ? (int)hw : 8) : 1;
+  if (nt <= 1) { work(0, nblocks); return; }
+  std::vector<std::thread> ts;
+  int64_t per = (nblocks + nt - 1) / nt;
+  for (int t2 = 0; t2 < nt; t2++) {
+    int64_t a = t2 * per, e = a + per < nblocks ? a + per : nblocks;
+    if (a >= e) break;
+    ts.emplace_back(work, a, e);
+  }
+  for (auto& t2 : ts) t2.join();
+}
