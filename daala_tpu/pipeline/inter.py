@@ -73,9 +73,10 @@ class _MvCtx:
         self.ey = 24 << 16
         self.ref_cdf = cdf_init(2, 2, 128, 128)
         self.ref_increment = 128
-        # Per-SB mesh subdivision level (search/mesh.py); context is
-        # the left (or, first in row, the up) neighbor's level.
-        self.level_cdf = cdf_init(3, 3, 128, 128)
+        # Per-SB mesh subdivision level (search/mesh.py; 0..2 = 32/16/8
+        # px blocks, 3 = coarse64 lattice); context is the left (or,
+        # first in row, the up) neighbor's level.
+        self.level_cdf = cdf_init(4, 4, 128, 128)
         self.level_increment = 128
 
 
@@ -138,8 +139,9 @@ def _code_mesh_pass(ec, mvctx, wrk, wrids, truth, truth_rids, req, s,
     S = 2 * s
     for vy in range(v0, v1, s):
         for vx in range(0, nvx, s):
-            if s != 4:
-                if vy % S == 0 and vx % S == 0:
+            if s != 8:
+                # Row lattice is span-relative (mesh.py fill_stride).
+                if (vy - v0) % S == 0 and vx % S == 0:
                     continue           # coded in a coarser pass
                 if req[vy, vx] > s:
                     continue           # stays interpolated
@@ -195,8 +197,10 @@ def _code_mesh_pass(ec, mvctx, wrk, wrids, truth, truth_rids, req, s,
 def _choose_mv_res(quantizer):
     """Per-frame MV resolution by rate point (the cheap analogue of the
     reference's RD search over mv_res, mcenc.c:6354): eighth-pel at
-    high rates, quarter/half-pel as the quantizer coarsens and subpel
-    precision stops paying for its bits."""
+    high rates, quarter/half/full-pel as the quantizer coarsens and
+    subpel precision stops paying for its bits."""
+    if quantizer >= 900:          # ~cq 52+
+        return 3
     if quantizer >= 380:          # ~cq 44+
         return 2
     if quantizer >= 160:          # ~cq 31+
@@ -235,8 +239,8 @@ def _code_mesh(ecs, mvctxs, bounds, info, nrefs, encoder,
     wrk = np.zeros((nvy, nvx, 2), dtype=np.int64)
     wrids = np.zeros((nvy, nvx), dtype=np.int32)
     limit = MV_LIMIT >> res
-    for s in (4, 2, 1):
-        if s != 4:
+    for s in (8, 4, 2, 1):
+        if s != 8:
             fill_stride(wrk, wrids, s, spans)
         for ti in range(len(bounds)):
             _code_mesh_pass(ecs[ti], mvctxs[ti], wrk, wrids, truth,
@@ -551,8 +555,13 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                  for r in refs]
         sgrid, srids = motion_search_multi(
             cur_y8, refs8, MV_FINE_LOG, dense=True)
-        levels = choose_levels(cur_y8, [pad_ref(r) for r in refs8], 80,
-                               sgrid, srids, quantizer, bounds)
+        from ..search.me import refine_mesh_lattice
+
+        refs8p = [pad_ref(r) for r in refs8]
+        sgrid = refine_mesh_lattice(cur_y8, refs8p, 80, sgrid, srids,
+                                    quantizer)
+        levels = choose_levels(cur_y8, refs8p, 80, sgrid, srids,
+                               quantizer, bounds)
         grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,
                                         True, truth=sgrid,
                                         truth_rids=srids, levels=levels,
@@ -586,6 +595,9 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
     from ..search.bsize import rdo_split_superblocks, uniform_grid
     from .grid import fdct_plane_grid, prefilter_plane_grid
 
+    from ..search.mesh import blend_levels
+
+    blend_lv = blend_levels(levels)
     mcs = []
     for pli in range(nplanes):
         xd = info.xdec[pli]
@@ -593,7 +605,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         ww = info.frame_width >> xd
         refps = [pad_ref(r[pli]) for r in refs]
         g = grid if xd == 0 else (grid >> 1)
-        mcs.append(obmc_predict_mixed(refps, 80, hh, ww, g, levels,
+        mcs.append(obmc_predict_mixed(refps, 80, hh, ww, g, blend_lv,
                                       MV_FINE_LOG - xd, ref_ids=rids,
                                       bitdepth=info.bitdepth))
     if encoder:

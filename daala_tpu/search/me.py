@@ -157,6 +157,46 @@ def motion_search_multi(cur: np.ndarray, refs, blk_log: int,
     return grid, ref_ids.reshape(nvy, nvx)
 
 
+def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
+                        iters=1):
+    """Blend-aware refinement of the 32 px OBMC vertex lattice
+    (encoder-only; native C++).  Perturbs each stride-4 vertex of the
+    dense grid to minimize the EXACT 4-block blend SAD plus a small
+    rate anchor toward the neighbor median — the role of the
+    reference's rate-aware DP refinement (mcenc.c:5216-6388) recast
+    against the blend objective.  Mutates `grid` in place."""
+    import ctypes
+
+    from ..ops.mc import _mc_lib
+
+    lib = _mc_lib()
+    if not lib or cur.dtype != np.uint8:
+        return grid
+    if not getattr(lib, "_refine_ready", False):
+        p = ctypes.c_void_p
+        lib.dtpu_obmc_refine.argtypes = [
+            p, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            p, ctypes.c_int, ctypes.c_int, p, p, p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double]
+        lib._refine_ready = True
+    h, w = cur.shape
+    g4 = np.ascontiguousarray(grid[::4, ::4], dtype=np.int64)
+    r4 = np.ascontiguousarray(rids[::4, ::4], dtype=np.int32)
+    refs = [np.ascontiguousarray(r, dtype=np.uint8) for r in refs_padded]
+    arr = (ctypes.c_void_p * len(refs))(
+        *[r.ctypes.data_as(ctypes.c_void_p).value for r in refs])
+    steps = np.asarray([8, 4, 2], dtype=np.int64)
+    lam = 4.0 * max(1, quantizer) / 16.0
+    cur_c = np.ascontiguousarray(cur)
+    vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.dtpu_obmc_refine(
+        arr, len(refs), 1, refs[0].shape[1], int(pad), vp(cur_c), h, w,
+        vp(g4), vp(r4), vp(steps), len(steps), int(iters), 8,
+        float(lam))
+    grid[::4, ::4] = g4
+    return grid
+
+
 def _downsample2(p):
     p = p.astype(np.int32)
     return ((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]

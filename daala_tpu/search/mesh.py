@@ -36,8 +36,28 @@ __all__ = ["MV_FINE_LOG", "MV_LEVELS", "vertex_spans", "required_stride",
            "pass_mask", "fill_stride", "choose_levels", "level_counts"]
 
 MV_FINE_LOG = 3     # finest vertex spacing: 8 px
-MV_LEVELS = 3       # subdivision levels 0..2 (32 / 16 / 8 px)
+MV_LEVELS = 3       # blend levels 0..2 (32 / 16 / 8 px blocks)
 _SB_V = 4           # fine vertices per 32px superblock side
+
+# Level symbol 3 = "coarse64": the SB still blends with 32 px blocks
+# (level 0 geometry) but only the 64 px vertex lattice is entropy-coded
+# — the rest interpolates.  Matches the reference's level-0 mesh, whose
+# vertices sit every 64 px (internal.h:63-98); halves MV rate again at
+# low rates.
+LEVEL_COARSE64 = 3
+
+
+def level_to_stride(levels):
+    """Coded vertex stride (8/4/2/1 fine units) per SB level symbol."""
+    lv = np.asarray(levels, dtype=np.int32)
+    return np.where(lv == LEVEL_COARSE64, 8,
+                    _SB_V >> np.minimum(lv, 2)).astype(np.int32)
+
+
+def blend_levels(levels):
+    """Blend geometry per level symbol (coarse64 blends like level 0)."""
+    lv = np.asarray(levels)
+    return np.where(lv == LEVEL_COARSE64, 0, lv).astype(lv.dtype)
 
 
 def vertex_spans(bounds, nsby):
@@ -51,10 +71,10 @@ def vertex_spans(bounds, nsby):
 
 
 def required_stride(levels, nvy, nvx, bounds):
-    """Per-vertex required stride (4/2/1 fine units) from per-SB
+    """Per-vertex required stride (8/4/2/1 fine units) from per-SB
     levels (nsby, nsbx).  At tile-boundary vertex rows only the owning
     tile's SB rows are consulted."""
-    s = (_SB_V >> np.asarray(levels, dtype=np.int32)).astype(np.int32)
+    s = level_to_stride(levels)
     nsby, nsbx = s.shape
     u = np.arange(nvx)
     cr = np.minimum(u // _SB_V, nsbx - 1)
@@ -63,7 +83,7 @@ def required_stride(levels, nvy, nvx, bounds):
     cl = np.maximum(u // _SB_V - 1, 0)
     colmin = np.where(has_left[None, :],
                       np.minimum(colmin, s[:, cl]), colmin)
-    out = np.full((nvy, nvx), _SB_V, dtype=np.int32)
+    out = np.full((nvy, nvx), 2 * _SB_V, dtype=np.int32)
     for (r0, r1), (v0, v1) in zip(bounds, vertex_spans(bounds, nsby)):
         for v in range(v0, v1):
             rr = min(v // _SB_V, r1 - 1)
@@ -75,13 +95,13 @@ def required_stride(levels, nvy, nvx, bounds):
 
 
 def pass_mask(req, stride, nvy, nvx):
-    """Vertices coded in the given stride pass.  Stride 4 codes the
-    whole coarse lattice; finer passes code the new lattice positions
-    whose requirement reaches them."""
+    """Vertices coded in the given stride pass (single-tile geometry).
+    Stride 8 codes the whole 64 px lattice; finer passes code the new
+    lattice positions whose requirement reaches them."""
     vy = np.arange(nvy)[:, None]
     vx = np.arange(nvx)[None, :]
     on = (vy % stride == 0) & (vx % stride == 0)
-    if stride == _SB_V:
+    if stride == 2 * _SB_V:
         return on
     coarser = (vy % (2 * stride) == 0) & (vx % (2 * stride) == 0)
     return on & ~coarser & (req <= stride)
@@ -92,20 +112,24 @@ def fill_stride(wrk, wrids, stride, spans):
     from the 2*stride lattice, in place, clamping at tile-span edges.
     Must run after the 2*stride pass and before the `stride` pass.
     wrk: (nvy, nvx, 2) int64 working mesh; wrids: (nvy, nvx) ref ids
-    (midpoints inherit from their first parent)."""
+    (midpoints inherit from their first parent).
+
+    Row-lattice alignment is SPAN-RELATIVE (the stride-8 lattice of a
+    tile starting at an odd SB row anchors at its own first vertex
+    row); for strides <= 2 this coincides with the global lattice since
+    spans start at multiples of 4."""
     s = stride
     S = 2 * s
     nvx = wrk.shape[1]
     cu = np.arange(0, nvx, S)      # on-lattice columns
     cc = np.arange(s, nvx, S)      # offset (midpoint) columns
     for (v0, v1) in spans:
-        # Spans start at 4*r0, so lattice alignment is global.
         for v in range(v0, v1):
-            if v % S == 0:
+            if (v - v0) % S == 0:
                 # a) horizontal midpoints on an S-lattice row.
                 wrk[v, cc] = (wrk[v, cc - s] + wrk[v, cc + s]) >> 1
                 wrids[v, cc] = wrids[v, cc - s]
-            elif v % S == s:
+            elif (v - v0) % S == s:
                 up = v - s          # >= v0 (first offset row is v0+s)
                 dn = v + s
                 if dn >= v1:
@@ -128,7 +152,7 @@ def fill_stride(wrk, wrids, stride, spans):
 def level_counts(levels):
     """Nominal coded-vertex share per SB for each level (used by the
     rate side of the level RDO)."""
-    return np.choose(np.asarray(levels), [1, 4, 16])
+    return np.choose(np.asarray(levels), [4, 16, 64, 1])
 
 
 def choose_levels(cur, refs_padded, pad, dense_grid, dense_rids,
@@ -156,8 +180,48 @@ def choose_levels(cur, refs_padded, pad, dense_grid, dense_rids,
                             ref_ids=dense_rids[::stride, ::stride])
         err = (cur.astype(np.int64) - pred) ** 2
         sses.append(err.reshape(nsby, 32, nsbx, 32).sum(axis=(1, 3)))
-    sse = np.stack(sses)                       # (3, nsby, nsbx)
+    # coarse64 candidate: the 32 px lattice dyadically interpolated
+    # from the 64 px lattice (encoder-side estimate of the fill the
+    # decoder runs), blended with 32 px blocks.
+    g4, r4 = _coarse64_lattice(dense_grid, dense_rids)
+    pred = obmc_predict(refs_padded, pad, h, w, g4, MV_FINE_LOG + 2,
+                        ref_ids=r4)
+    err = (cur.astype(np.int64) - pred) ** 2
+    sses.append(err.reshape(nsby, 32, nsbx, 32).sum(axis=(1, 3)))
+    sse = np.stack(sses)                       # (4, nsby, nsbx)
     lam = 5.0 * (max(1, quantizer) / 16.0) ** 2
-    bits = np.array([1, 4, 16])[:, None, None] * 7.0 + 1.6
+    bits = np.array([1, 4, 16, 0.3])[:, None, None] * 7.0 + 1.6
     cost = sse + lam * bits
     return np.argmin(cost, axis=0).astype(np.int32)
+
+
+def _coarse64_lattice(dense_grid, dense_rids):
+    """32 px-lattice mesh as interpolated from the 64 px lattice."""
+    g8 = dense_grid[::8, ::8]
+    r8 = dense_rids[::8, ::8]
+    ny, nx = g8.shape[:2]
+    uy, ux = 2 * ny - 1, 2 * nx - 1
+    u = np.zeros((uy, ux, 2), dtype=np.int64)
+    u[::2, ::2] = g8
+    u[::2, 1::2] = (g8[:, :-1] + g8[:, 1:]) >> 1
+    u[1::2, ::2] = (g8[:-1] + g8[1:]) >> 1
+    u[1::2, 1::2] = (g8[:-1, :-1] + g8[:-1, 1:]
+                     + g8[1:, :-1] + g8[1:, 1:]) >> 2
+    ur = np.zeros((uy, ux), dtype=r8.dtype)
+    ur[::2, ::2] = r8
+    ur[::2, 1::2] = r8[:, :-1]
+    ur[1::2, ::2] = r8[:-1]
+    ur[1::2, 1::2] = r8[:-1, :-1]
+    g4t = dense_grid[::4, ::4]
+    nvy4, nvx4 = g4t.shape[:2]
+    g4 = np.zeros((nvy4, nvx4, 2), dtype=np.int64)
+    g4[:min(uy, nvy4), :min(ux, nvx4)] = u[:nvy4, :nvx4]
+    r4 = np.zeros((nvy4, nvx4), dtype=r8.dtype)
+    r4[:min(uy, nvy4), :min(ux, nvx4)] = ur[:nvy4, :nvx4]
+    if uy < nvy4:
+        g4[uy:] = g4[uy - 1]
+        r4[uy:] = r4[uy - 1]
+    if ux < nvx4:
+        g4[:, ux:] = g4[:, ux - 1:ux]
+        r4[:, ux:] = r4[:, ux - 1:ux]
+    return g4, r4

@@ -19,6 +19,7 @@
 #include <thread>
 #include <vector>
 #include <cmath>
+#include <algorithm>
 
 namespace {
 
@@ -3227,4 +3228,172 @@ extern "C" void dtpu_lift_apply_s(
     ts.emplace_back(work, a, e);
   }
   for (auto& t2 : ts) t2.join();
+}
+
+// ====================================================================
+// Blend-aware MV lattice refinement (encoder-only).  Gauss-Seidel
+// sweeps over the 32 px OBMC vertex lattice: each vertex tries +-step
+// perturbations scored by the EXACT bilinear-blend SAD of its four
+// adjacent blocks (the role of the reference's rate-aware DP refine,
+// od_mv_est_refine_row/col mcenc.c:5216,5880, recast against the
+// blend objective).  Fixed-corner block predictions are cached.
+// ====================================================================
+
+namespace {
+
+const int RB = 32;  // refined block size (blk_log 5)
+
+template <typename T>
+void pred_block32(const T* ref, int64_t stride, int pad, int64_t y0,
+                  int64_t x0, int64_t mvy, int64_t mvx, int bitdepth,
+                  int32_t* out) {
+  int64_t iy = y0 + (mvy >> 3) + pad;
+  int64_t ix = x0 + (mvx >> 3) + pad;
+  subpel_one(ref, stride, iy, ix, (int)(mvy & 7), (int)(mvx & 7), RB,
+             128 << (bitdepth - 8), (1 << bitdepth) - 1, out);
+}
+
+inline int64_t blend_sad32(const int32_t* p0, const int32_t* p1,
+                           const int32_t* p2, const int32_t* p3,
+                           const uint8_t* cur, int64_t cstride,
+                           int maxv) {
+  int64_t sad = 0;
+  for (int j = 0; j < RB; j++) {
+    for (int i = 0; i < RB; i++) {
+      int32_t a = (p0[j * RB + i] << 5)
+          + (p1[j * RB + i] - p0[j * RB + i]) * i;
+      int32_t b = (p3[j * RB + i] << 5)
+          + (p2[j * RB + i] - p3[j * RB + i]) * i;
+      int32_t v = ((a << 5) + (b - a) * j + (1 << 9)) >> 10;
+      v = v < 0 ? 0 : (v > maxv ? maxv : v);
+      int32_t d = (int32_t)cur[j * cstride + i] - v;
+      sad += d < 0 ? -d : d;
+    }
+  }
+  return sad;
+}
+
+}  // namespace
+
+extern "C" void dtpu_obmc_refine(
+    const void* const* refs, int nrefs, int elem, int64_t stride,
+    int pad, const uint8_t* cur, int h, int w,
+    int64_t* g4 /* (nvy, nvx, 2) */, const int32_t* rids,
+    const int64_t* steps, int nsteps, int iters, int bitdepth,
+    double lam) {
+  if (elem != 1) return;  // 8-bit path (high depth falls back)
+  int nvy = (h >> 5) + 1, nvx = (w >> 5) + 1;
+  int nby = h >> 5, nbx = w >> 5;
+  int maxv = (1 << bitdepth) - 1;
+  // corner cache: block (by,bx), corner c in TL,TR,BR,BL order.
+  std::vector<int32_t> cache((size_t)nby * nbx * 4 * RB * RB);
+  auto corner_v = [&](int by, int bx, int c, int* vy, int* vx) {
+    // TL, TR, BR, BL vertex of block (by, bx).
+    static const int dy[4] = {0, 0, 1, 1}, dx[4] = {0, 1, 1, 0};
+    *vy = by + dy[c];
+    *vx = bx + dx[c];
+  };
+  auto fill_cache = [&](int by, int bx, int c) {
+    int vy, vx;
+    corner_v(by, bx, c, &vy, &vx);
+    const int64_t* mv = g4 + ((int64_t)vy * nvx + vx) * 2;
+    int rid = rids[(int64_t)vy * nvx + vx];
+    if (rid >= nrefs) rid = 0;
+    pred_block32((const uint8_t*)refs[rid], stride, pad,
+                 (int64_t)by * RB, (int64_t)bx * RB, mv[0], mv[1],
+                 bitdepth,
+                 &cache[(((size_t)by * nbx + bx) * 4 + c) * RB * RB]);
+  };
+  for (int by = 0; by < nby; by++) {
+    for (int bx = 0; bx < nbx; bx++) {
+      for (int c = 0; c < 4; c++) fill_cache(by, bx, c);
+    }
+  }
+  // blocks adjacent to vertex (vy,vx) and which corner the vertex is.
+  static const int bdy[4] = {-1, -1, 0, 0}, bdx[4] = {-1, 0, 0, -1};
+  static const int bc[4] = {2, 3, 0, 1};  // vertex's corner role: BR,BL,TL,TR
+  int32_t mov[RB * RB];
+  for (int it = 0; it < iters; it++) {
+    for (int si = 0; si < nsteps; si++) {
+      int64_t st = steps[si];
+      const int64_t cand[4][2] = {
+          {st, 0}, {-st, 0}, {0, st}, {0, -st}};
+      for (int vy = 0; vy < nvy; vy++) {
+        for (int vx = 0; vx < nvx; vx++) {
+          int64_t* mv = g4 + ((int64_t)vy * nvx + vx) * 2;
+          int rid = rids[(int64_t)vy * nvx + vx];
+          if (rid >= nrefs) rid = 0;
+          // neighbor median (rate anchor)
+          int64_t medy = 0, medx = 0;
+          {
+            int64_t ny[4], nx4[4];
+            int nn = 0;
+            if (vx > 0) { ny[nn] = mv[-2]; nx4[nn] = mv[-1]; nn++; }
+            if (vx + 1 < nvx) { ny[nn] = mv[2]; nx4[nn] = mv[3]; nn++; }
+            if (vy > 0) {
+              ny[nn] = g4[(((int64_t)vy - 1) * nvx + vx) * 2];
+              nx4[nn] = g4[(((int64_t)vy - 1) * nvx + vx) * 2 + 1];
+              nn++;
+            }
+            if (vy + 1 < nvy) {
+              ny[nn] = g4[(((int64_t)vy + 1) * nvx + vx) * 2];
+              nx4[nn] = g4[(((int64_t)vy + 1) * nvx + vx) * 2 + 1];
+              nn++;
+            }
+            if (nn) {
+              std::sort(ny, ny + nn);
+              std::sort(nx4, nx4 + nn);
+              medy = ny[nn / 2];
+              medx = nx4[nn / 2];
+            }
+          }
+          // base cost from cached corner preds
+          auto eval = [&](int64_t my, int64_t mx, int use_mov) -> int64_t {
+            int64_t total = 0;
+            for (int a = 0; a < 4; a++) {
+              int by = vy + bdy[a], bx = vx + bdx[a];
+              if (by < 0 || by >= nby || bx < 0 || bx >= nbx) continue;
+              const int32_t* p[4];
+              for (int c = 0; c < 4; c++) {
+                p[c] = &cache[(((size_t)by * nbx + bx) * 4 + c)
+                              * RB * RB];
+              }
+              if (use_mov) {
+                pred_block32((const uint8_t*)refs[rid], stride, pad,
+                             (int64_t)by * RB, (int64_t)bx * RB, my, mx,
+                             bitdepth, mov);
+                p[bc[a]] = mov;
+              }
+              total += blend_sad32(
+                  p[0], p[1], p[2], p[3],
+                  cur + (int64_t)by * RB * w + (int64_t)bx * RB, w,
+                  maxv);
+            }
+            double dy = (double)(my - medy), dx2 = (double)(mx - medx);
+            double rate = std::log2(1 + std::fabs(dy) / 8)
+                + std::log2(1 + std::fabs(dx2) / 8);
+            return total + (int64_t)(lam * rate);
+          };
+          int64_t best = eval(mv[0], mv[1], 0);
+          int bi = -1;
+          for (int ci = 0; ci < 4; ci++) {
+            int64_t my = mv[0] + cand[ci][0];
+            int64_t mx = mv[1] + cand[ci][1];
+            if (my < -480 || my > 480 || mx < -480 || mx > 480) continue;
+            int64_t cost = eval(my, mx, 1);
+            if (cost < best) { best = cost; bi = ci; }
+          }
+          if (bi >= 0) {
+            mv[0] += cand[bi][0];
+            mv[1] += cand[bi][1];
+            for (int a = 0; a < 4; a++) {
+              int by = vy + bdy[a], bx = vx + bdx[a];
+              if (by < 0 || by >= nby || bx < 0 || bx >= nbx) continue;
+              fill_cache(by, bx, bc[a]);
+            }
+          }
+        }
+      }
+    }
+  }
 }

@@ -34,17 +34,37 @@ def test_pass_masks_partition():
     levels = rng.integers(0, 3, (4, 5)).astype(np.int32)
     nvy, nvx = 17, 21
     req = required_stride(levels, nvy, nvx, [(0, 4)])
+    m8 = pass_mask(req, 8, nvy, nvx)
     m4 = pass_mask(req, 4, nvy, nvx)
     m2 = pass_mask(req, 2, nvy, nvx)
     m1 = pass_mask(req, 1, nvy, nvx)
     # Disjoint.
-    assert not (m4 & m2).any() and not (m4 & m1).any() \
-        and not (m2 & m1).any()
-    # The coarse lattice is always coded.
-    assert m4.sum() == 5 * 6
+    masks = [m8, m4, m2, m1]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert not (masks[i] & masks[j]).any()
+    # The 64 px lattice is always coded; with no coarse64 SBs the two
+    # coarse passes together cover the whole 32 px lattice.
+    assert m8.sum() == 3 * 3
+    assert (m8 | m4).sum() == 5 * 6
     # Everything req==1 is coded by one of the passes.
-    coded = m4 | m2 | m1
+    coded = m8 | m4 | m2 | m1
     assert coded[req == 1].all()
+
+
+def test_pass_masks_coarse64():
+    from daala_tpu.search.mesh import LEVEL_COARSE64, level_to_stride
+
+    levels = np.full((4, 5), LEVEL_COARSE64, dtype=np.int32)
+    assert (level_to_stride(levels) == 8).all()
+    nvy, nvx = 17, 21
+    req = required_stride(levels, nvy, nvx, [(0, 4)])
+    assert (req == 8).all()
+    m8 = pass_mask(req, 8, nvy, nvx)
+    m4 = pass_mask(req, 4, nvy, nvx)
+    # Only the 64 px lattice is coded; stride-4 positions interpolate.
+    assert m8.sum() == 3 * 3
+    assert m4.sum() == 0
 
 
 def test_fill_stride_dyadic():
