@@ -74,6 +74,19 @@ def subpel_sads(ref_padded, pad, cur_blocks, ys, xs, mvs, cands,
     import ctypes
 
     n = cur_blocks.shape[-1]
+    # Accelerator route: one fused jitted sweep over all candidates
+    # (bit-exact with both host paths) when the batch is large enough
+    # to amortize dispatch.
+    if len(ys) * len(cands) * n * n >= (1 << 20):
+        from .backend import accel
+
+        if accel() is not None:
+            from .mc_jax import subpel_sads_accel
+
+            out = subpel_sads_accel(ref_padded, pad, cur_blocks, ys, xs,
+                                    mvs, cands, bitdepth)
+            if out is not None:
+                return out
     lib = _mc_lib()
     if lib and n <= 64 and ref_padded.dtype in (np.uint8, np.uint16):
         cur = np.ascontiguousarray(cur_blocks)
@@ -221,6 +234,18 @@ def obmc_predict_mixed(ref_padded, pad: int, h: int, w: int,
     nsby, nsbx = h // sb, w // sb
     levels = np.asarray(levels)
     assert levels.shape == (nsby, nsbx)
+    if h * w >= (1 << 16):
+        from .backend import accel
+
+        if accel() is not None:
+            from .mc_jax import obmc_mixed_accel
+
+            refs = ref_padded if isinstance(ref_padded, (list, tuple)) \
+                else [ref_padded]
+            out = obmc_mixed_accel(refs, pad, h, w, mv_grid, levels,
+                                   fine_log, ref_ids, bitdepth)
+            if out is not None:
+                return out
     out = np.zeros((h, w),
                    dtype=np.uint8 if bitdepth <= 8 else np.uint16)
     for lv in range(3):
@@ -260,6 +285,18 @@ def obmc_predict(ref_padded, pad: int, h: int, w: int,
     n = 1 << blk_log
     nby = h >> blk_log
     nbx = w >> blk_log
+    if block_mask is None and out is None and h * w >= (1 << 16):
+        from .backend import accel
+
+        if accel() is not None:
+            from .mc_jax import obmc_accel
+
+            refs = ref_padded if isinstance(ref_padded, (list, tuple)) \
+                else [ref_padded]
+            r = obmc_accel(refs, pad, h, w, mv_grid, blk_log, ref_ids,
+                           bitdepth)
+            if r is not None:
+                return r
     by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
     by = by.ravel()
     bx = bx.ravel()

@@ -138,6 +138,110 @@ def obmc_predict_mixed_gated(ref_padded, pad, h, w, mv_grid, levels,
     return out
 
 
+# -- accelerator (TPU) routes ---------------------------------------------
+# Bit-exact device twins of the host primitives, dispatched from
+# ops/mc.py when ops.backend.accel() reports a real accelerator.
+
+_SADS_CACHE = {}
+
+
+def _sads_jit(ref_shape, ref_dtype, pad, n, bitdepth):
+    key = (ref_shape, str(ref_dtype), pad, n, bitdepth)
+    fn = _SADS_CACHE.get(key)
+    if fn is None:
+        def f(ref, blocks, ys, xs, mvs, cands):
+            b32 = blocks.astype(jnp.int32)
+
+            def body(c, cand):
+                p = subpel_predict_blocks_jax(
+                    ref, pad, ys, xs, mvs + cand[None, :], n, bitdepth)
+                return c, jnp.abs(b32 - p.astype(jnp.int32)).sum((1, 2))
+
+            _, sads = jax.lax.scan(body, 0, cands)
+            return sads.T                      # (N, C) int32
+        fn = jax.jit(f)
+        _SADS_CACHE[key] = fn
+    return fn
+
+
+def subpel_sads_accel(ref_padded, pad, cur_blocks, ys, xs, mvs, cands,
+                      bitdepth=8):
+    """Accelerator twin of mc.subpel_sads; None when unavailable."""
+    from .backend import accel, put
+
+    if accel() is None:
+        return None
+    n = cur_blocks.shape[-1]
+    fn = _sads_jit(ref_padded.shape, ref_padded.dtype, int(pad), n,
+                   bitdepth)
+    out = fn(put(ref_padded), jnp.asarray(np.ascontiguousarray(cur_blocks)),
+             jnp.asarray(ys, dtype=jnp.int32),
+             jnp.asarray(xs, dtype=jnp.int32),
+             jnp.asarray(mvs, dtype=jnp.int32),
+             jnp.asarray(cands, dtype=jnp.int32))
+    return np.asarray(out).astype(np.int64)
+
+
+def obmc_accel(refs_padded, pad, h, w, mv_grid, blk_log, ref_ids,
+               bitdepth=8):
+    """Accelerator twin of mc.obmc_predict (full frame, uniform grid);
+    None when unavailable."""
+    from .backend import accel, put
+
+    if accel() is None:
+        return None
+    key = (tuple(r.shape for r in refs_padded), int(pad), h, w, blk_log,
+           len(refs_padded), bitdepth)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        nrefs = len(refs_padded)
+
+        def f(refs, grid, rids):
+            return obmc_predict_jax(list(refs), int(pad), h, w, grid,
+                                    blk_log, ref_ids=rids,
+                                    bitdepth=bitdepth)
+        fn = jax.jit(f)
+        _JIT_CACHE[key] = fn
+        del nrefs
+    if ref_ids is None:
+        ref_ids = np.zeros(np.asarray(mv_grid).shape[:2], dtype=np.int32)
+    out = fn(tuple(put(r) for r in refs_padded),
+             jnp.asarray(mv_grid, dtype=jnp.int32),
+             jnp.asarray(ref_ids, dtype=jnp.int32))
+    return np.asarray(out)
+
+
+def obmc_mixed_accel(refs_padded, pad, h, w, mv_grid, levels, fine_log,
+                     ref_ids, bitdepth=8):
+    """Accelerator mixed-size OBMC: one fused full-frame pass per level
+    actually present + per-SB select (bit-exact with the host
+    obmc_predict_mixed); None when unavailable."""
+    from .backend import accel
+
+    if accel() is None:
+        return None
+    sb = 1 << (fine_log + 2)
+    levels = np.asarray(levels)
+    lv_present = sorted(set(levels.ravel().tolist()))
+    if ref_ids is None:
+        ref_ids = np.zeros(np.asarray(mv_grid).shape[:2], dtype=np.int32)
+    out = None
+    for lv in lv_present:
+        stride = 4 >> lv
+        p = obmc_accel(refs_padded, pad, h, w,
+                       np.ascontiguousarray(mv_grid[::stride, ::stride]),
+                       fine_log + 2 - lv,
+                       np.ascontiguousarray(ref_ids[::stride, ::stride]),
+                       bitdepth)
+        if p is None:
+            return None
+        if out is None and len(lv_present) == 1:
+            return p
+        mask = np.repeat(np.repeat(levels == lv, sb, 0), sb, 1)
+        out = p if out is None else np.where(mask, p, out)
+    return out
+
+
 _REFINE_CACHE = {}
 
 

@@ -52,23 +52,31 @@ def _refine_midpoints(cur, refp8, g, vspacing_log):
     vy = vy.ravel()[idx]
     vx = vx.ravel()[idx]
     blocks, ys, xs = _vertex_blocks(cur, vy, vx, n)
+    from ..ops.backend import accel, put
     from ..ops.mc import _mc_lib
 
-    # Fused jax path when the platform is up and no native lib (same
-    # arithmetic — the searched MVs are identical).
+    # Fused jax path (bit-exact — the searched MVs are identical):
+    # always on a real accelerator; on the host only when there is no
+    # native lib and the jax platform is already up.
     import os
     import sys
-    if (not _mc_lib() and len(idx) * n * n >= 1 << 18
+    use_jax = False
+    if accel() is not None and len(idx) * n * n >= 1 << 18:
+        use_jax = True
+    elif (not _mc_lib() and len(idx) * n * n >= 1 << 18
             and ("jax" in sys.modules
                  or os.environ.get("JAX_PLATFORMS"))):
+        use_jax = True
+    if use_jax:
         try:
             import jax
 
             from ..ops.mc_jax import refine_midpoints_jit
 
             fn = refine_midpoints_jit(refp8.shape, len(idx), n)
-            with jax.default_device(jax.devices("cpu")[0]):
-                mv = np.asarray(fn(refp8, blocks, ys, xs,
+            dev = accel() or jax.devices("cpu")[0]
+            with jax.default_device(dev):
+                mv = np.asarray(fn(put(refp8), blocks, ys, xs,
                                    g.reshape(-1, 2)[idx]))
             g.reshape(-1, 2)[idx] = mv
             return g
