@@ -1,0 +1,229 @@
+"""Device (jax) motion estimation — bit-exact twin of search/me.py.
+
+The full hierarchical dense-mesh search (coarse quarter-res full-pel
+sweep, full-res refine, subpel descent, coherence + global-motion
+passes, then per-level midpoint refinement) expressed as pure jax so a
+frame's — or a whole chunk's — motion field is computed in ONE fused
+XLA computation with no host round trips.  Every stage mirrors the
+numpy twin's integer arithmetic and candidate order, so the searched
+MVs are identical (tests/test_me_jax.py).
+
+The reference's serial EPZS^2 + Viterbi pipeline (od_mv_est,
+mcenc.c:6390-6548) maps here to batched whole-lattice sweeps; MVs are
+encoder-side choices, so the redesign is measured on RD, not bit
+parity (SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mc_jax import subpel_predict_blocks_jax
+
+__all__ = ["motion_search_dense_jax", "pad_edge"]
+
+
+def pad_edge(p, pad):
+    return jnp.pad(p, pad, mode="edge")
+
+
+def _down2(p):
+    p = p.astype(jnp.int32)
+    return ((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
+             + p[1::2, 1::2] + 2) >> 2).astype(jnp.uint8)
+
+
+def _gather_blocks(plane, ys, xs, n):
+    """(N, n, n) blocks at static top-left positions."""
+    return plane[ys[:, None, None] + np.arange(n)[None, :, None],
+                 xs[:, None, None] + np.arange(n)[None, None, :]]
+
+
+def _vertex_positions(h, w, blk_log):
+    n = 1 << blk_log
+    nvy = (h >> blk_log) + 1
+    nvx = (w >> blk_log) + 1
+    vy, vx = np.meshgrid(np.arange(nvy) << blk_log,
+                         np.arange(nvx) << blk_log, indexing="ij")
+    vy = vy.ravel()
+    vx = vx.ravel()
+    ys = np.clip(vy - n // 2, 0, h - n)
+    xs = np.clip(vx - n // 2, 0, w - n)
+    return nvy, nvx, ys, xs
+
+
+def _window_sads(win, b32, cands, n, rad):
+    """SADs of every static full-pel candidate from a pre-gathered
+    (N, n+2*rad, n+2*rad) window.  cands: host (C, 2) ints."""
+    sads = []
+    for dy, dx in cands:
+        sl = win[:, rad + dy:rad + dy + n, rad + dx:rad + dx + n]
+        sads.append(jnp.abs(b32 - sl).sum((1, 2)))
+    return jnp.stack(sads, axis=1)        # (N, C)
+
+
+def _subpel_step_sads(refp8, pad, ys, xs, b32, mv, cands, n, bitdepth):
+    """SADs of a few subpel candidate offsets (unrolled)."""
+    sads = []
+    for d in cands:
+        p = subpel_predict_blocks_jax(
+            refp8, pad, ys, xs, mv + jnp.asarray(d, jnp.int32)[None, :],
+            n, bitdepth)
+        sads.append(jnp.abs(b32 - p.astype(jnp.int32)).sum((1, 2)))
+    return jnp.stack(sads, axis=1)
+
+
+def _subpel_sad1(refp8, pad, ys, xs, b32, mv, n, bitdepth):
+    p = subpel_predict_blocks_jax(refp8, pad, ys, xs, mv, n, bitdepth)
+    return jnp.abs(b32 - p.astype(jnp.int32)).sum((1, 2))
+
+
+def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
+                      bitdepth=8):
+    """Twin of me.motion_search on device; h/w static ints."""
+    n = 1 << blk_log
+    nvy, nvx, ys, xs = _vertex_positions(h, w, blk_log)
+
+    # -- stage 1: coarse on 4x-down pyramid ------------------------------
+    cur4 = _down2(_down2(cur))
+    ref4 = _down2(_down2(ref))
+    pad4 = coarse_range + 4
+    ref4p = pad_edge(ref4, pad4)
+    n4 = max(4, n >> 2)
+    h4, w4 = h // 4, w // 4
+    vy4 = (np.repeat(np.arange(nvy) << blk_log, nvx) >> 2)
+    vx4 = (np.tile(np.arange(nvx) << blk_log, nvy) >> 2)
+    ys4 = np.clip(vy4 - n4 // 2, 0, h4 - n4)
+    xs4 = np.clip(vx4 - n4 // 2, 0, w4 - n4)
+    blocks4 = _gather_blocks(cur4, ys4, xs4, n4).astype(jnp.int32)
+    cands = np.array([(dy, dx)
+                      for dy in range(-coarse_range, coarse_range + 1)
+                      for dx in range(-coarse_range, coarse_range + 1)],
+                     dtype=np.int32)
+    bias = (np.abs(cands).sum(axis=1) * (n4 * n4 // 32)).astype(np.int32)
+    rad = coarse_range
+    win4 = ref4p[(ys4 + pad4 - rad)[:, None, None]
+                 + np.arange(n4 + 2 * rad)[None, :, None],
+                 (xs4 + pad4 - rad)[:, None, None]
+                 + np.arange(n4 + 2 * rad)[None, None, :]].astype(jnp.int32)
+    sads = _window_sads(win4, blocks4, cands, n4, rad) \
+        + jnp.asarray(bias)[None, :]
+    best = jnp.asarray(cands)[jnp.argmin(sads, axis=1)] * 4  # full-res px
+
+    # -- stage 2: +-2 full-pel refine at full resolution -----------------
+    b32 = _gather_blocks(cur, ys, xs, n).astype(jnp.int32)
+    steps = np.array([(dy, dx) for dy in range(-2, 3)
+                      for dx in range(-2, 3)], dtype=np.int32)
+    # Data-dependent window: one gather of (N, n+4, n+4) around each
+    # block's coarse MV, then 25 static slices.
+    wy = (ys + 64 - 2)[:, None] + best[:, 0][:, None] \
+        + np.arange(n + 4)[None, :]
+    wx = (xs + 64 - 2)[:, None] + best[:, 1][:, None] \
+        + np.arange(n + 4)[None, :]
+    win = refp8[wy[:, :, None], wx[:, None, :]].astype(jnp.int32)
+    sads = _window_sads(win, b32, steps, n, 2)
+    pick = jnp.asarray(steps)[jnp.argmin(sads, axis=1)]
+    mv = jnp.clip(best + pick, -60, 60).astype(jnp.int32) * 8
+
+    # -- stage 3: subpel refinement (+-4, +-2, +-1 eighth-pel) -----------
+    for step in (4, 2, 1):
+        c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
+                       (0, step)], dtype=np.int32)
+        sads = _subpel_step_sads(refp8, 64, ys, xs, b32, mv, c8, n,
+                                 bitdepth)
+        mv = mv + jnp.asarray(c8)[jnp.argmin(sads, axis=1)]
+        mv = jnp.clip(mv, -60 * 8, 60 * 8)
+
+    grid = mv.reshape(nvy, nvx, 2)
+
+    # -- stage 4: coherence pass (3x3 median on each component) ----------
+    gp = jnp.pad(grid, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    stack = jnp.stack([gp[dy:dy + nvy, dx:dx + nvx]
+                       for dy in range(3) for dx in range(3)])
+    med = jnp.median(stack, axis=0).astype(jnp.int32)
+    s_cur = _subpel_sad1(refp8, 64, ys, xs, b32, grid.reshape(-1, 2), n,
+                         bitdepth)
+    s_med = _subpel_sad1(refp8, 64, ys, xs, b32, med.reshape(-1, 2), n,
+                         bitdepth)
+    keep_med = (s_med <= s_cur + (s_cur >> 4)).reshape(nvy, nvx)
+    grid = jnp.where(keep_med[..., None], med, grid)
+
+    # -- stage 5: global-motion candidate --------------------------------
+    gmv = jnp.median(grid.reshape(-1, 2), axis=0).astype(jnp.int32)
+    s_cur2 = _subpel_sad1(refp8, 64, ys, xs, b32, grid.reshape(-1, 2),
+                          n, bitdepth)
+    s_glob = _subpel_sad1(refp8, 64, ys, xs, b32,
+                          jnp.broadcast_to(gmv, (len(ys), 2)), n,
+                          bitdepth)
+    keep_glob = (s_glob <= s_cur2 + (s_cur2 >> 3) + n).reshape(nvy, nvx)
+    return jnp.where(keep_glob[..., None], gmv[None, None, :], grid)
+
+
+def _upsample_grid(g):
+    """Dyadic 2x upsample (midpoints = floor avg), int32."""
+    nvy, nvx = g.shape[:2]
+    u = jnp.zeros((2 * nvy - 1, 2 * nvx - 1, 2), dtype=jnp.int32)
+    u = u.at[::2, ::2].set(g)
+    u = u.at[::2, 1::2].set((g[:, :-1] + g[:, 1:]) >> 1)
+    u = u.at[1::2, ::2].set((g[:-1] + g[1:]) >> 1)
+    u = u.at[1::2, 1::2].set((g[:-1, :-1] + g[:-1, 1:]
+                              + g[1:, :-1] + g[1:, 1:]) >> 2)
+    return u
+
+
+def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
+    """Twin of me._refine_midpoints: refine the odd-lattice vertices."""
+    nvy = (h >> vlog) + 1
+    nvx = (w >> vlog) + 1
+    n = 1 << vlog
+    mask = np.ones((nvy, nvx), dtype=bool)
+    mask[::2, ::2] = False
+    idx = np.where(mask.ravel())[0]
+    if len(idx) == 0:
+        return g
+    vy = (np.repeat(np.arange(nvy) << vlog, nvx))[idx]
+    vx = (np.tile(np.arange(nvx) << vlog, nvy))[idx]
+    ys = np.clip(vy - n // 2, 0, h - n)
+    xs = np.clip(vx - n // 2, 0, w - n)
+    b32 = _gather_blocks(cur, ys, xs, n).astype(jnp.int32)
+    flat = g.reshape(-1, 2)
+    mv = jnp.clip(flat[idx], -58 * 8, 58 * 8)
+    cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
+                      for dx in (-16, -8, 0, 8, 16)], dtype=np.int32)
+    dev_bias = jnp.asarray(
+        (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8), dtype=jnp.int32)
+    # Shared subpel phase: one (n+4)-window interpolation serves all 25
+    # integer offsets as static slices.
+    ext = subpel_predict_blocks_jax(refp8, 64, ys - 2, xs - 2, mv,
+                                    n + 4, bitdepth).astype(jnp.int32)
+    sads = []
+    for ci, (dy, dx) in enumerate(cands):
+        py = 2 + (int(dy) >> 3)
+        px = 2 + (int(dx) >> 3)
+        sads.append(jnp.abs(b32 - ext[:, py:py + n, px:px + n]
+                            ).sum((1, 2)) + dev_bias[ci])
+    pick = jnp.argmin(jnp.stack(sads, axis=1), axis=1)
+    mv = jnp.clip(mv + jnp.asarray(cands)[pick], -60 * 8, 60 * 8)
+    for step in (4, 2, 1):
+        c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
+                       (0, step)], dtype=np.int32)
+        sads = _subpel_step_sads(refp8, 64, ys, xs, b32, mv, c8, n,
+                                 bitdepth)
+        mv = mv + jnp.asarray(c8)[jnp.argmin(sads, axis=1)]
+        mv = jnp.clip(mv, -60 * 8, 60 * 8)
+    return flat.at[idx].set(mv).reshape(nvy, nvx, 2)
+
+
+def motion_search_dense_jax(cur, refp8, h, w, bitdepth=8):
+    """Twin of me.motion_search_dense: dense (h/8+1, w/8+1, 2) grid.
+
+    cur: (h, w) uint8 on device; refp8: the reference padded by 64
+    (pad_edge(ref, 64)).  The unpadded reference is refp8's center."""
+    ref = refp8[64:64 + h, 64:64 + w]
+    g = motion_search_jax(cur, ref, refp8, h, w, 5, bitdepth=bitdepth)
+    for lvl in (4, 3):
+        g = _upsample_grid(g)
+        g = _refine_midpoints_jax(cur, refp8, g, lvl, h, w, bitdepth)
+    return g
