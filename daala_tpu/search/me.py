@@ -109,6 +109,23 @@ def _upsample_grid(g):
     return u
 
 
+_DENSE_JIT = {}
+
+
+def _dense_jit(h, w):
+    """Cached jit of the whole dense hierarchical search
+    (search/me_jax.py) for one frame geometry."""
+    fn = _DENSE_JIT.get((h, w))
+    if fn is None:
+        import jax
+
+        from .me_jax import motion_search_dense_jax
+
+        fn = jax.jit(lambda c, r: motion_search_dense_jax(c, r, h, w))
+        _DENSE_JIT[(h, w)] = fn
+    return fn
+
+
 def motion_search_dense(cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
     """Fully hierarchical dense mesh search for the adaptive MV mesh
     (search/mesh.py): a 32 px vertex search anchors the field (so the
@@ -119,6 +136,24 @@ def motion_search_dense(cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
     per-level rate-aware passes.
 
     Returns the dense (h/8+1, w/8+1, 2) eighth-pel grid."""
+    from ..ops.backend import accel, put
+
+    dev = accel()
+    if dev is not None and cur.dtype == np.uint8:
+        # One fused device computation for the entire hierarchical
+        # search; the jax twin's MVs are bit-identical to the host path
+        # (tests/test_me_jax.py), so streams do not change.
+        try:
+            import jax
+
+            h, w = cur.shape
+            fn = _dense_jit(h, w)
+            with jax.default_device(dev):
+                g = np.asarray(fn(put(np.ascontiguousarray(cur)),
+                                  put(pad_ref(ref, 64))))
+            return g.astype(np.int64)
+        except Exception:
+            pass
     g = motion_search(cur, ref, 5)
     refp8 = pad_ref(ref, 64)
     for lvl in (4, 3):
