@@ -75,6 +75,67 @@ def _subpel_step_sads(refp8, pad, ys, xs, b32, mv, cands, n, bitdepth):
     return jnp.stack(sads, axis=1)
 
 
+def _interp_rel(win, rely, relx, n, bitdepth):
+    """Interpolate an (N, n, n) block at per-block eighth-pel offsets
+    (rely, relx) inside a prefetched window.
+
+    win: (N, K, K) int32 whose origin row/col corresponds to the
+    window's integer anchor minus TOP_APRON; rely/relx are eighth-pel
+    offsets from that anchor, with 0 <= rel >> 3 <= K - n - 5.  The
+    arithmetic is subpel_predict_blocks_jax's bit for bit — only the
+    window fetch is hoisted out (one slice-fetch serves every
+    candidate of a descent instead of one fetch per candidate)."""
+    from ..ops.mc import SUBPEL_FILTERS
+
+    K = win.shape[-1]
+    span = K - n - 5            # max integer offset inside the window
+    oy = (rely >> 3).astype(jnp.int32)
+    ox = (relx >> 3).astype(jnp.int32)
+    fy = (rely & 7).astype(jnp.int32)
+    fx = (relx & 7).astype(jnp.int32)
+    rows = win[:, 0:n + 5]
+    for k in range(1, span + 1):
+        rows = jnp.where((oy == k)[:, None, None], win[:, k:k + n + 5],
+                         rows)
+    sub = rows[:, :, 0:n + 5]
+    for k in range(1, span + 1):
+        sub = jnp.where((ox == k)[:, None, None],
+                        rows[:, :, k:k + n + 5], sub)
+    filters = jnp.asarray(SUBPEL_FILTERS, dtype=jnp.int32)
+    center = 128 << (bitdepth - 8)
+    fh = filters[fx]
+    hacc = jnp.zeros((win.shape[0], n + 5, n), dtype=jnp.int32)
+    for k in range(6):
+        hacc = hacc + sub[:, :, k:k + n] * fh[:, k][:, None, None]
+    hacc = hacc - (center << 7)
+    fv = filters[fy]
+    vacc = jnp.zeros((win.shape[0], n, n), dtype=jnp.int32)
+    for k in range(6):
+        vacc = vacc + hacc[:, k:k + n, :] * fv[:, k][:, None, None]
+    out = (vacc + (1 << 13) + (center << 14)) >> 14
+    return jnp.clip(out, 0, (1 << bitdepth) - 1)
+
+
+def _window_descent(win, b32, mv, anchor8, n, bitdepth,
+                    limit=60 * 8):
+    """Greedy (+-4, +-2, +-1 eighth-pel) descent evaluated inside a
+    prefetched window: bit-exact twin of three _subpel_step_sads
+    rounds with one fetch total.  anchor8: (N, 2) eighth-pel position
+    of the window anchor (win origin + TOP_APRON)."""
+    for step in (4, 2, 1):
+        c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
+                       (0, step)], dtype=np.int32)
+        sads = []
+        for d in c8:
+            mvc = mv + jnp.asarray(d, jnp.int32)[None, :]
+            rel = mvc - anchor8
+            p = _interp_rel(win, rel[:, 0], rel[:, 1], n, bitdepth)
+            sads.append(jnp.abs(b32 - p).sum((1, 2)))
+        pick = jnp.argmin(jnp.stack(sads, axis=1), axis=1)
+        mv = jnp.clip(mv + jnp.asarray(c8)[pick], -limit, limit)
+    return mv
+
+
 def _subpel_sad1(refp8, pad, ys, xs, b32, mv, n, bitdepth):
     p = subpel_predict_blocks_jax(refp8, pad, ys, xs, mv, n, bitdepth)
     return jnp.abs(b32 - p.astype(jnp.int32)).sum((1, 2))
@@ -116,25 +177,28 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     b32 = _gather_blocks(cur, ys, xs, n).astype(jnp.int32)
     steps = np.array([(dy, dx) for dy in range(-2, 3)
                       for dx in range(-2, 3)], dtype=np.int32)
-    # Data-dependent window: one gather of (N, n+4, n+4) around each
-    # block's coarse MV, then 25 static slices.
-    wy = (ys + 64 - 2)[:, None] + best[:, 0][:, None] \
-        + np.arange(n + 4)[None, :]
-    wx = (xs + 64 - 2)[:, None] + best[:, 1][:, None] \
-        + np.arange(n + 4)[None, :]
-    win = refp8[wy[:, :, None], wx[:, None, :]].astype(jnp.int32)
+    # Data-dependent window: one slice-fetch of (N, n+4, n+4) around
+    # each block's coarse MV, then 25 static slices.
+    from ..ops.mc_jax import _window_slices
+
+    win = _window_slices(refp8, jnp.asarray(ys + 62) + best[:, 0],
+                         jnp.asarray(xs + 62) + best[:, 1],
+                         n + 4, n + 4).astype(jnp.int32)
     sads = _window_sads(win, b32, steps, n, 2)
     pick = jnp.asarray(steps)[jnp.argmin(sads, axis=1)]
     mv = jnp.clip(best + pick, -60, 60).astype(jnp.int32) * 8
 
     # -- stage 3: subpel refinement (+-4, +-2, +-1 eighth-pel) -----------
-    for step in (4, 2, 1):
-        c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
-                       (0, step)], dtype=np.int32)
-        sads = _subpel_step_sads(refp8, 64, ys, xs, b32, mv, c8, n,
-                                 bitdepth)
-        mv = mv + jnp.asarray(c8)[jnp.argmin(sads, axis=1)]
-        mv = jnp.clip(mv, -60 * 8, 60 * 8)
+    # One window fetch (apron 2 int px) serves all 15 candidate
+    # evaluations of the descent.
+    from ..ops.mc_jax import _window_slices
+
+    base = mv >> 3
+    anchor = base - 2
+    dwin = _window_slices(refp8, jnp.asarray(ys + 62) + anchor[:, 0],
+                          jnp.asarray(xs + 62) + anchor[:, 1],
+                          n + 9, n + 9).astype(jnp.int32)
+    mv = _window_descent(dwin, b32, mv, anchor << 3, n, bitdepth)
 
     grid = mv.reshape(nvy, nvx, 2)
 
@@ -189,15 +253,26 @@ def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
     xs = np.clip(vx - n // 2, 0, w - n)
     b32 = _gather_blocks(cur, ys, xs, n).astype(jnp.int32)
     flat = g.reshape(-1, 2)
-    mv = jnp.clip(flat[idx], -58 * 8, 58 * 8)
+    mv = jnp.clip(flat[idx], -58 * 8, 58 * 8).astype(jnp.int32)
     cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
                       for dx in (-16, -8, 0, 8, 16)], dtype=np.int32)
     dev_bias = jnp.asarray(
         (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8), dtype=jnp.int32)
-    # Shared subpel phase: one (n+4)-window interpolation serves all 25
-    # integer offsets as static slices.
-    ext = subpel_predict_blocks_jax(refp8, 64, ys - 2, xs - 2, mv,
-                                    n + 4, bitdepth).astype(jnp.int32)
+    # One window fetch (apron 4 int px around the interpolated MV)
+    # serves the 25-candidate pick AND the 15 descent evaluations.
+    from ..ops.mc_jax import _window_slices
+
+    base = mv >> 3
+    anchor = base - 4
+    anchor8 = anchor << 3
+    K = n + 13
+    win = _window_slices(refp8, jnp.asarray(ys + 62) + anchor[:, 0],
+                         jnp.asarray(xs + 62) + anchor[:, 1],
+                         K, K).astype(jnp.int32)
+    # Shared subpel phase: one in-window interpolation of the (n+4)
+    # extended block serves all 25 integer offsets as static slices.
+    rel = mv - anchor8 - 16
+    ext = _interp_rel(win, rel[:, 0], rel[:, 1], n + 4, bitdepth)
     sads = []
     for ci, (dy, dx) in enumerate(cands):
         py = 2 + (int(dy) >> 3)
@@ -206,13 +281,7 @@ def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
                             ).sum((1, 2)) + dev_bias[ci])
     pick = jnp.argmin(jnp.stack(sads, axis=1), axis=1)
     mv = jnp.clip(mv + jnp.asarray(cands)[pick], -60 * 8, 60 * 8)
-    for step in (4, 2, 1):
-        c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
-                       (0, step)], dtype=np.int32)
-        sads = _subpel_step_sads(refp8, 64, ys, xs, b32, mv, c8, n,
-                                 bitdepth)
-        mv = mv + jnp.asarray(c8)[jnp.argmin(sads, axis=1)]
-        mv = jnp.clip(mv, -60 * 8, 60 * 8)
+    mv = _window_descent(win, b32, mv, anchor8, n, bitdepth)
     return flat.at[idx].set(mv).reshape(nvy, nvx, 2)
 
 
