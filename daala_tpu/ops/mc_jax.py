@@ -63,6 +63,56 @@ def subpel_predict_blocks_jax(ref_padded, pad, ys, xs, mvs, n,
     return jnp.clip(out, 0, maxv).astype(dtype)
 
 
+def _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth):
+    """Interpolated (2n, 2n) patch around every mesh vertex at the
+    vertex's MV — each patch serves the 4 adjacent blocks' corner
+    contributions as static quadrant slices, so the frame costs one
+    slice-fetch + one interpolation per VERTEX instead of four per
+    block (per-slice overhead dominates on real chips)."""
+    nvy, nvx = mv_grid.shape[:2]
+    vy = (jnp.arange(nvy, dtype=jnp.int32) << int(np.log2(n)))
+    vx = (jnp.arange(nvx, dtype=jnp.int32) << int(np.log2(n)))
+    ys = jnp.repeat(vy, nvx) - n
+    xs = jnp.tile(vx, nvy) - n
+    mvs = mv_grid.reshape(-1, 2).astype(jnp.int32)
+    rid = ref_ids.reshape(-1)
+    mvy = mvs[:, 0]
+    mvx = mvs[:, 1]
+    # Vertex windows can start up to n+2 px before the padded plane
+    # (edge vertices with max-negative MVs); extend the edge padding
+    # so the slice start never clamps.  The extra rows replicate the
+    # plane's own edge padding, so out-of-frame quadrants (never used
+    # by the blend) are the only pixels that see them.
+    E = n + 8
+    K = 2 * n + 5
+    filters = jnp.asarray(SUBPEL_FILTERS, dtype=jnp.int32)
+    center = 128 << (bitdepth - 8)
+    patches = None
+    for r in range(len(refs)):
+        p = jnp.pad(refs[r], ((E, E), (E, E)), mode="edge")
+        iy = ys + (mvy >> 3) + pad + E - TOP_APRON
+        ix = xs + (mvx >> 3) + pad + E - TOP_APRON
+        win = jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(p, (y, x), (K, K))
+        )(iy, ix).astype(jnp.int32)
+        fh = filters[(mvx & 7).astype(jnp.int32)]
+        hacc = jnp.zeros((win.shape[0], K, 2 * n), dtype=jnp.int32)
+        for k in range(6):
+            hacc = hacc + win[:, :, k:k + 2 * n] * fh[:, k][:, None, None]
+        hacc = hacc - (center << 7)
+        fv = filters[(mvy & 7).astype(jnp.int32)]
+        vacc = jnp.zeros((win.shape[0], 2 * n, 2 * n), dtype=jnp.int32)
+        for k in range(6):
+            vacc = vacc + hacc[:, k:k + 2 * n, :] * fv[:, k][:, None, None]
+        out = (vacc + (1 << 13) + (center << 14)) >> 14
+        out = jnp.clip(out, 0, (1 << bitdepth) - 1)
+        if patches is None:
+            patches = out
+        else:
+            patches = jnp.where((rid == r)[:, None, None], out, patches)
+    return patches.reshape(nvy, nvx, 2 * n, 2 * n)
+
+
 def obmc_predict_jax(refs, pad, h, w, mv_grid, blk_log, ref_ids=None,
                      bitdepth=8):
     """jax twin of mc.obmc_predict (uniform grid, whole frame).
@@ -71,25 +121,18 @@ def obmc_predict_jax(refs, pad, h, w, mv_grid, blk_log, ref_ids=None,
     n = 1 << blk_log
     nby = h >> blk_log
     nbx = w >> blk_log
-    by, bx = jnp.meshgrid(jnp.arange(nby), jnp.arange(nbx),
-                          indexing="ij")
-    by = by.ravel()
-    bx = bx.ravel()
-    ys = (by << blk_log).astype(jnp.int32)
-    xs = (bx << blk_log).astype(jnp.int32)
     if ref_ids is None:
         ref_ids = jnp.zeros(mv_grid.shape[:2], dtype=jnp.int32)
-    corners = [(by, bx), (by, bx + 1), (by + 1, bx + 1), (by + 1, bx)]
-    preds = []
-    for cy, cx in corners:
-        mvs = mv_grid[cy, cx].astype(jnp.int32)
-        rid = ref_ids[cy, cx]
-        p = jnp.zeros((len(ys), n, n), dtype=jnp.int32)
-        for r in range(len(refs)):
-            pr = subpel_predict_blocks_jax(refs[r], pad, ys, xs, mvs,
-                                           n, bitdepth).astype(jnp.int32)
-            p = jnp.where((rid == r)[:, None, None], pr, p)
-        preds.append(p)
+    P = _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth)
+    # Corner contributions as quadrants of the vertex patches: block
+    # (by, bx)'s NW corner is vertex (by, bx)'s SE quadrant, etc.
+    quads = {
+        0: P[0:nby, 0:nbx, n:, n:],        # NW corner
+        1: P[0:nby, 1:nbx + 1, n:, 0:n],   # NE
+        2: P[1:nby + 1, 1:nbx + 1, 0:n, 0:n],  # SE
+        3: P[1:nby + 1, 0:nbx, 0:n, n:],   # SW
+    }
+    preds = [quads[c].reshape(nby * nbx, n, n) for c in range(4)]
     i = jnp.arange(n)[None, None, :]
     j = jnp.arange(n)[None, :, None]
     a = (preds[0] << blk_log) + (preds[1] - preds[0]) * i
