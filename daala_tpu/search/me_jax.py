@@ -20,8 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.mc_jax import subpel_predict_blocks_jax
-
 __all__ = ["motion_search_dense_jax", "pad_edge"]
 
 
@@ -36,9 +34,11 @@ def _down2(p):
 
 
 def _gather_blocks(plane, ys, xs, n):
-    """(N, n, n) blocks at static top-left positions."""
-    return plane[ys[:, None, None] + np.arange(n)[None, :, None],
-                 xs[:, None, None] + np.arange(n)[None, None, :]]
+    """(N, n, n) blocks at static top-left positions (slice-fetched:
+    element gathers are ~10x slower on real chips)."""
+    return jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+        plane, (y, x), (n, n)))(jnp.asarray(ys, dtype=jnp.int32),
+                                jnp.asarray(xs, dtype=jnp.int32))
 
 
 def _vertex_positions(h, w, blk_log):
@@ -54,64 +54,92 @@ def _vertex_positions(h, w, blk_log):
     return nvy, nvx, ys, xs
 
 
-def _window_sads(win, b32, cands, n, rad):
-    """SADs of every static full-pel candidate from a pre-gathered
-    (N, n+2*rad, n+2*rad) window.  cands: host (C, 2) ints."""
+def _window_sads_cl(win, b32, cands, n, rad):
+    """Channels-last twin of _window_sads: win (n+2r, n+2r, N),
+    b32 (n, n, N); blocks ride the lane axis so the small spatial dims
+    do not pad out vector tiles.  Returns (N, C)."""
     sads = []
     for dy, dx in cands:
-        sl = win[:, rad + dy:rad + dy + n, rad + dx:rad + dx + n]
-        sads.append(jnp.abs(b32 - sl).sum((1, 2)))
+        sl = win[rad + dy:rad + dy + n, rad + dx:rad + dx + n]
+        sads.append(jnp.abs(b32 - sl).sum((0, 1)))
     return jnp.stack(sads, axis=1)        # (N, C)
 
 
-def _subpel_step_sads(refp8, pad, ys, xs, b32, mv, cands, n, bitdepth):
-    """SADs of a few subpel candidate offsets (unrolled)."""
-    sads = []
-    for d in cands:
-        p = subpel_predict_blocks_jax(
-            refp8, pad, ys, xs, mv + jnp.asarray(d, jnp.int32)[None, :],
-            n, bitdepth)
-        sads.append(jnp.abs(b32 - p.astype(jnp.int32)).sum((1, 2)))
-    return jnp.stack(sads, axis=1)
+def _dense_sads_cl(win, b32, n, rad):
+    """SADs of every full-pel offset in [-rad, rad]^2, accumulated by
+    BLOCK PIXEL instead of by candidate: n*n sliced adds instead of
+    (2r+1)^2 — the sum over pixels commutes exactly, so the result is
+    _window_sads_cl's on the dense row-major candidate grid bit for
+    bit.  win: (n+2r, n+2r, N); b32: (n, n, N).  Returns (N, C)."""
+    S = 2 * rad + 1
+    N = win.shape[-1]
+    # int16 accumulation (exact: n*n * 255 < 2^15) halves the
+    # accumulator traffic of the n*n sliced adds.
+    w16 = win.astype(jnp.int16)
+    b16 = b32.astype(jnp.int16)
+    acc = jnp.zeros((S, S, N), dtype=jnp.int16)
+    for i in range(n):
+        for j in range(n):
+            acc = acc + jnp.abs(w16[i:i + S, j:j + S]
+                                - b16[i, j][None, None, :])
+    return acc.reshape(S * S, N).T.astype(jnp.int32)
+
+
+def _subpel_sad1_cl(refp8, pad, ys, xs, b32c, mv, n, bitdepth):
+    """SAD of one subpel MV per block, channels-last: one slice-fetch
+    plus an in-window interpolation (b32c: (n, n, N))."""
+    from ..ops.mc_jax import _window_slices
+
+    base = mv >> 3
+    win = _window_slices(refp8,
+                         jnp.asarray(ys + pad - 2) + base[:, 0],
+                         jnp.asarray(xs + pad - 2) + base[:, 1],
+                         n + 5, n + 5).astype(jnp.int32)
+    p = _interp_rel(win.transpose(1, 2, 0), mv[:, 0] & 7, mv[:, 1] & 7,
+                    n, bitdepth)
+    return jnp.abs(b32c - p).sum((0, 1))
 
 
 def _interp_rel(win, rely, relx, n, bitdepth):
-    """Interpolate an (N, n, n) block at per-block eighth-pel offsets
+    """Interpolate an (n, n, N) block at per-block eighth-pel offsets
     (rely, relx) inside a prefetched window.
 
-    win: (N, K, K) int32 whose origin row/col corresponds to the
-    window's integer anchor minus TOP_APRON; rely/relx are eighth-pel
-    offsets from that anchor, with 0 <= rel >> 3 <= K - n - 5.  The
-    arithmetic is subpel_predict_blocks_jax's bit for bit — only the
-    window fetch is hoisted out (one slice-fetch serves every
-    candidate of a descent instead of one fetch per candidate)."""
+    win: (K, K, N) int32 channels-last — the block axis rides the
+    128-lane dimension so the small window rows/cols do not pad out
+    whole vector tiles.  The window origin corresponds to the integer
+    anchor minus TOP_APRON; rely/relx are eighth-pel offsets from the
+    anchor, with 0 <= rel >> 3 <= K - n - 5.  The arithmetic is
+    subpel_predict_blocks_jax's bit for bit — only the fetch is
+    hoisted out (one slice-fetch serves every candidate of a descent
+    instead of one fetch per candidate)."""
     from ..ops.mc import SUBPEL_FILTERS
 
-    K = win.shape[-1]
+    K = win.shape[0]
     span = K - n - 5            # max integer offset inside the window
     oy = (rely >> 3).astype(jnp.int32)
     ox = (relx >> 3).astype(jnp.int32)
     fy = (rely & 7).astype(jnp.int32)
     fx = (relx & 7).astype(jnp.int32)
-    rows = win[:, 0:n + 5]
+    rows = win[0:n + 5]
     for k in range(1, span + 1):
-        rows = jnp.where((oy == k)[:, None, None], win[:, k:k + n + 5],
+        rows = jnp.where((oy == k)[None, None, :], win[k:k + n + 5],
                          rows)
-    sub = rows[:, :, 0:n + 5]
+    sub = rows[:, 0:n + 5]
     for k in range(1, span + 1):
-        sub = jnp.where((ox == k)[:, None, None],
-                        rows[:, :, k:k + n + 5], sub)
+        sub = jnp.where((ox == k)[None, None, :],
+                        rows[:, k:k + n + 5], sub)
     filters = jnp.asarray(SUBPEL_FILTERS, dtype=jnp.int32)
     center = 128 << (bitdepth - 8)
-    fh = filters[fx]
-    hacc = jnp.zeros((win.shape[0], n + 5, n), dtype=jnp.int32)
+    fh = filters[fx]                     # (N, 6)
+    N = win.shape[-1]
+    hacc = jnp.zeros((n + 5, n, N), dtype=jnp.int32)
     for k in range(6):
-        hacc = hacc + sub[:, :, k:k + n] * fh[:, k][:, None, None]
+        hacc = hacc + sub[:, k:k + n] * fh[:, k][None, None, :]
     hacc = hacc - (center << 7)
     fv = filters[fy]
-    vacc = jnp.zeros((win.shape[0], n, n), dtype=jnp.int32)
+    vacc = jnp.zeros((n, n, N), dtype=jnp.int32)
     for k in range(6):
-        vacc = vacc + hacc[:, k:k + n, :] * fv[:, k][:, None, None]
+        vacc = vacc + hacc[k:k + n] * fv[:, k][None, None, :]
     out = (vacc + (1 << 13) + (center << 14)) >> 14
     return jnp.clip(out, 0, (1 << bitdepth) - 1)
 
@@ -119,9 +147,9 @@ def _interp_rel(win, rely, relx, n, bitdepth):
 def _window_descent(win, b32, mv, anchor8, n, bitdepth,
                     limit=60 * 8):
     """Greedy (+-4, +-2, +-1 eighth-pel) descent evaluated inside a
-    prefetched window: bit-exact twin of three _subpel_step_sads
-    rounds with one fetch total.  anchor8: (N, 2) eighth-pel position
-    of the window anchor (win origin + TOP_APRON)."""
+    prefetched channels-last window: bit-exact twin of three
+    _subpel_step_sads rounds with one fetch total.  win: (K, K, N);
+    b32: (n, n, N); anchor8: (N, 2) eighth-pel window anchor."""
     for step in (4, 2, 1):
         c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
                        (0, step)], dtype=np.int32)
@@ -130,15 +158,10 @@ def _window_descent(win, b32, mv, anchor8, n, bitdepth,
             mvc = mv + jnp.asarray(d, jnp.int32)[None, :]
             rel = mvc - anchor8
             p = _interp_rel(win, rel[:, 0], rel[:, 1], n, bitdepth)
-            sads.append(jnp.abs(b32 - p).sum((1, 2)))
+            sads.append(jnp.abs(b32 - p).sum((0, 1)))
         pick = jnp.argmin(jnp.stack(sads, axis=1), axis=1)
         mv = jnp.clip(mv + jnp.asarray(c8)[pick], -limit, limit)
     return mv
-
-
-def _subpel_sad1(refp8, pad, ys, xs, b32, mv, n, bitdepth):
-    p = subpel_predict_blocks_jax(refp8, pad, ys, xs, mv, n, bitdepth)
-    return jnp.abs(b32 - p.astype(jnp.int32)).sum((1, 2))
 
 
 def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
@@ -165,16 +188,16 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
                      dtype=np.int32)
     bias = (np.abs(cands).sum(axis=1) * (n4 * n4 // 32)).astype(np.int32)
     rad = coarse_range
-    win4 = ref4p[(ys4 + pad4 - rad)[:, None, None]
-                 + np.arange(n4 + 2 * rad)[None, :, None],
-                 (xs4 + pad4 - rad)[:, None, None]
-                 + np.arange(n4 + 2 * rad)[None, None, :]].astype(jnp.int32)
-    sads = _window_sads(win4, blocks4, cands, n4, rad) \
+    win4 = _gather_blocks(ref4p, ys4 + pad4 - rad, xs4 + pad4 - rad,
+                          n4 + 2 * rad).astype(jnp.int32)
+    sads = _dense_sads_cl(win4.transpose(1, 2, 0),
+                          blocks4.transpose(1, 2, 0), n4, rad) \
         + jnp.asarray(bias)[None, :]
     best = jnp.asarray(cands)[jnp.argmin(sads, axis=1)] * 4  # full-res px
 
     # -- stage 2: +-2 full-pel refine at full resolution -----------------
     b32 = _gather_blocks(cur, ys, xs, n).astype(jnp.int32)
+    b32c = b32.transpose(1, 2, 0)
     steps = np.array([(dy, dx) for dy in range(-2, 3)
                       for dx in range(-2, 3)], dtype=np.int32)
     # Data-dependent window: one slice-fetch of (N, n+4, n+4) around
@@ -184,7 +207,7 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     win = _window_slices(refp8, jnp.asarray(ys + 62) + best[:, 0],
                          jnp.asarray(xs + 62) + best[:, 1],
                          n + 4, n + 4).astype(jnp.int32)
-    sads = _window_sads(win, b32, steps, n, 2)
+    sads = _window_sads_cl(win.transpose(1, 2, 0), b32c, steps, n, 2)
     pick = jnp.asarray(steps)[jnp.argmin(sads, axis=1)]
     mv = jnp.clip(best + pick, -60, 60).astype(jnp.int32) * 8
 
@@ -198,7 +221,8 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     dwin = _window_slices(refp8, jnp.asarray(ys + 62) + anchor[:, 0],
                           jnp.asarray(xs + 62) + anchor[:, 1],
                           n + 9, n + 9).astype(jnp.int32)
-    mv = _window_descent(dwin, b32, mv, anchor << 3, n, bitdepth)
+    mv = _window_descent(dwin.transpose(1, 2, 0), b32c, mv,
+                         anchor << 3, n, bitdepth)
 
     grid = mv.reshape(nvy, nvx, 2)
 
@@ -207,20 +231,20 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     stack = jnp.stack([gp[dy:dy + nvy, dx:dx + nvx]
                        for dy in range(3) for dx in range(3)])
     med = jnp.median(stack, axis=0).astype(jnp.int32)
-    s_cur = _subpel_sad1(refp8, 64, ys, xs, b32, grid.reshape(-1, 2), n,
-                         bitdepth)
-    s_med = _subpel_sad1(refp8, 64, ys, xs, b32, med.reshape(-1, 2), n,
-                         bitdepth)
+    s_cur = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
+                            grid.reshape(-1, 2), n, bitdepth)
+    s_med = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
+                            med.reshape(-1, 2), n, bitdepth)
     keep_med = (s_med <= s_cur + (s_cur >> 4)).reshape(nvy, nvx)
     grid = jnp.where(keep_med[..., None], med, grid)
 
     # -- stage 5: global-motion candidate --------------------------------
     gmv = jnp.median(grid.reshape(-1, 2), axis=0).astype(jnp.int32)
-    s_cur2 = _subpel_sad1(refp8, 64, ys, xs, b32, grid.reshape(-1, 2),
-                          n, bitdepth)
-    s_glob = _subpel_sad1(refp8, 64, ys, xs, b32,
-                          jnp.broadcast_to(gmv, (len(ys), 2)), n,
-                          bitdepth)
+    s_cur2 = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
+                             grid.reshape(-1, 2), n, bitdepth)
+    s_glob = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
+                             jnp.broadcast_to(gmv, (len(ys), 2)), n,
+                             bitdepth)
     keep_glob = (s_glob <= s_cur2 + (s_cur2 >> 3) + n).reshape(nvy, nvx)
     return jnp.where(keep_glob[..., None], gmv[None, None, :], grid)
 
@@ -268,7 +292,8 @@ def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
     K = n + 13
     win = _window_slices(refp8, jnp.asarray(ys + 62) + anchor[:, 0],
                          jnp.asarray(xs + 62) + anchor[:, 1],
-                         K, K).astype(jnp.int32)
+                         K, K).astype(jnp.int32).transpose(1, 2, 0)
+    b32c = b32.transpose(1, 2, 0)
     # Shared subpel phase: one in-window interpolation of the (n+4)
     # extended block serves all 25 integer offsets as static slices.
     rel = mv - anchor8 - 16
@@ -277,11 +302,11 @@ def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
     for ci, (dy, dx) in enumerate(cands):
         py = 2 + (int(dy) >> 3)
         px = 2 + (int(dx) >> 3)
-        sads.append(jnp.abs(b32 - ext[:, py:py + n, px:px + n]
-                            ).sum((1, 2)) + dev_bias[ci])
+        sads.append(jnp.abs(b32c - ext[py:py + n, px:px + n]
+                            ).sum((0, 1)) + dev_bias[ci])
     pick = jnp.argmin(jnp.stack(sads, axis=1), axis=1)
     mv = jnp.clip(mv + jnp.asarray(cands)[pick], -60 * 8, 60 * 8)
-    mv = _window_descent(win, b32, mv, anchor8, n, bitdepth)
+    mv = _window_descent(win, b32c, mv, anchor8, n, bitdepth)
     return flat.at[idx].set(mv).reshape(nvy, nvx, 2)
 
 
