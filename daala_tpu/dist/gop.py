@@ -28,12 +28,26 @@ def split_gops(nframes: int, gop_len: int):
             for s in range(0, nframes, gop_len)]
 
 
+def _p_anchors(nframes_after_key: int, b_frames: int) -> int:
+    """P anchors a GOP contributes to the golden cadence counter: one
+    per full (b+1) group plus the trailing flush frames (coded as P)."""
+    if b_frames <= 0:
+        return nframes_after_key
+    return (nframes_after_key // (b_frames + 1)
+            + nframes_after_key % (b_frames + 1))
+
+
 def _encode_gop(args):
-    (frames, info_dict, quality, kwargs, base_index) = args
+    (frames, info_dict, quality, kwargs, base_index, golden_phase) = args
     from ..pipeline.inter import EncoderSession
 
     info = FrameInfo(**info_dict)
     sess = EncoderSession(info, quality, keyframe_rate=1 << 30, **kwargs)
+    # Seed the golden cadence with the global I/P-frame phase so the
+    # parallel streams are bit-identical to the serial encode (the
+    # reference's cadence is a GLOBAL ip_frame_count modulo,
+    # encode.c:2958, not per-GOP).
+    sess.since_golden = golden_phase
     outs = []
     for fr in frames:
         outs += sess.push_frame(fr)
@@ -60,10 +74,16 @@ def encode_gops_parallel(frames: List, info: FrameInfo, quality: int,
         bitdepth=info.bitdepth, keyframe_rate=info.keyframe_rate,
         timebase_num=info.timebase_num, timebase_den=info.timebase_den,
     )
-    jobs = [
-        (frames[s:e], info_dict, quality, session_kwargs, s)
-        for (s, e) in split_gops(len(frames), gop_len)
-    ]
+    from ..pipeline.inter import GOLDEN_INTERVAL
+
+    b = session_kwargs.get("b_frames", 0)
+    jobs = []
+    phase = 0
+    for (s, e) in split_gops(len(frames), gop_len):
+        jobs.append((frames[s:e], info_dict, quality, session_kwargs, s,
+                     phase))
+        phase = (phase + _p_anchors(e - s - 1, b)) % GOLDEN_INTERVAL
+    del b
     if workers is None:
         workers = min(len(jobs), os.cpu_count() or 1)
     if workers <= 1:
@@ -72,11 +92,13 @@ def encode_gops_parallel(frames: List, info: FrameInfo, quality: int,
         ctx = mp.get_context("fork")
         with ctx.Pool(workers) as pool:
             results = pool.map(_encode_gop, jobs)
+    bs_luma = session_kwargs.get("bs_luma", 1)
     packets = []
     for gop_pkts in results:
         for p in gop_pkts:
             packets.append(FramePacket(
                 data=p["data"], keyframe=p["ftype"] == 0,
                 use_haar=p["use_haar"],
+                bs_luma=3 if p["use_haar"] else max(bs_luma, 0),
                 ftype=p["ftype"], display_order=p["display_order"]))
     return packets

@@ -294,15 +294,21 @@ def test_gop_parallel_bit_identical():
     from daala_tpu.dist.gop import encode_gops_parallel
     from daala_tpu.pipeline.inter import EncoderSession
 
-    frames = [_synth_planes(64, 64, (0, 1, 1), seed=i) for i in range(6)]
+    # Long enough that the GLOBAL golden-frame cadence (every 10th P,
+    # the reference's ip_frame_count modulo, encode.c:2958) crosses GOP
+    # boundaries — the parallel workers must seed that phase.
+    frames = [_synth_planes(64, 64, (0, 1, 1), seed=i) for i in range(26)]
     info = FrameInfo(pic_width=64, pic_height=64)
-    sess = EncoderSession(info, 25, keyframe_rate=3)
+    sess = EncoderSession(info, 25, keyframe_rate=4)
     serial = []
     for fr in frames:
         serial += sess.push_frame(fr)
-    pkts = encode_gops_parallel(frames, info, 25, gop_len=3, workers=2)
+    serial += sess.flush()
+    pkts = encode_gops_parallel(frames, info, 25, gop_len=4, workers=2)
     assert len(pkts) == len(serial)
+    assert any(a["ftype"] == 3 for a in serial)  # a golden P occurred
     for a, b in zip(serial, pkts):
+        assert a["ftype"] == b.ftype
         assert a["data"] == b.data
         assert a["display_order"] == b.display_order
 
