@@ -3397,3 +3397,122 @@ extern "C" void dtpu_obmc_refine(
     }
   }
 }
+
+/* ---- Integer PVQ synthesis (pvq/isynth.py spec) -----------------------
+   Fixed-point re-specification of the PVQ synthesis chain so host,
+   device and native walks reconstruct identical integers (the float
+   chain is not reproducible across platforms).  All arithmetic is
+   int64 with arithmetic (floor) shifts and divisions on non-negative
+   operands; see daala_tpu/pvq/isynth.py for the full spec text. */
+
+extern "C" {
+
+int64_t dtpu_isqrt64(int64_t v) {
+  int64_t x = 0, r = v, bit = (int64_t)1 << 62;
+  for (int i = 0; i < 32; i++) {
+    int64_t t = x + bit;
+    if (r >= t) { r -= t; x = (x >> 1) + bit; }
+    else x >>= 1;
+    bit >>= 2;
+  }
+  return x;
+}
+
+static const int64_t DTPU_PI_HALF_Q16 = 102944;
+
+static int64_t div_nn(int64_t num, int64_t den) {
+  return num < 0 ? -((-num) / den) : num / den;
+}
+
+int64_t dtpu_sin_q15(const int64_t* lut, int64_t u_q16) {
+  int64_t hi = u_q16 >> 8;
+  if (hi > 255) hi = 255;
+  int64_t fr = u_q16 - (hi << 8);
+  int64_t a = lut[hi], b = lut[hi + 1];
+  return a + (((b - a) * fr + 128) >> 8);
+}
+
+/* Noref bands, batched: y (B, n) signed pulses, qg (B,), qm_inv (n,)
+   Q12; out (B, n) int32. */
+void dtpu_isynth_noref(const int64_t* y, const int64_t* qg, int B,
+                       int n, int64_t q0, const int64_t* qm_inv,
+                       int32_t* out) {
+  for (int b = 0; b < B; b++) {
+    const int64_t* yb = y + (int64_t)b * n;
+    int32_t* ob = out + (int64_t)b * n;
+    int64_t yy = 0;
+    for (int i = 0; i < n; i++) yy += yb[i] * yb[i];
+    if (qg[b] <= 0 || yy == 0) {
+      for (int i = 0; i < n; i++) ob[i] = 0;
+      continue;
+    }
+    int64_t g_q4 = qg[b] * q0 * 16;
+    int64_t den = dtpu_isqrt64(yy << 32);
+    if (den < 1) den = 1;
+    for (int i = 0; i < n; i++) {
+      int64_t x_q4 = div_nn((yb[i] * g_q4) << 16, den);
+      ob[i] = (int32_t)((x_q4 * qm_inv[i] + ((int64_t)1 << 15)) >> 16);
+    }
+  }
+}
+
+/* Householder-reference bands, batched: y has the reflection-axis
+   position zeroed; rq_q4/gr_q8/gain_offset_q8 per dtpu spec. */
+void dtpu_isynth_ref(const int64_t* y, const int64_t* rq_q4,
+                     const int64_t* gr_q8, const int64_t* goff_q8,
+                     const int64_t* qg, const int64_t* itheta, int B,
+                     int n, int64_t q0, const int64_t* qm_inv,
+                     const int64_t* sin_lut, int32_t* out) {
+  for (int b = 0; b < B; b++) {
+    const int64_t* yb = y + (int64_t)b * n;
+    const int64_t* rb = rq_q4 + (int64_t)b * n;
+    int32_t* ob = out + (int64_t)b * n;
+    int64_t qcg_q8 = (qg[b] << 8) + goff_q8[b];
+    if (qcg_q8 < 0) qcg_q8 = 0;
+    if (qcg_q8 == 0) {
+      for (int i = 0; i < n; i++) ob[i] = 0;
+      continue;
+    }
+    int64_t g_q4 = (qcg_q8 * q0) >> 4;
+    int64_t ts = (qcg_q8 * DTPU_PI_HALF_Q16 + ((int64_t)1 << 23)) >> 24;
+    if (qcg_q8 < 358) ts = 1;
+    int64_t t = itheta[b] < ts - 1 ? itheta[b] : ts - 1;
+    if (t < 0) t = 0;
+    int64_t u_q16 = div_nn(t << 16, ts < 1 ? 1 : ts);
+    int64_t s_q15 = dtpu_sin_q15(sin_lut, u_q16);
+    int64_t c_q15 = dtpu_sin_q15(sin_lut, 65536 - u_q16);
+    int m = 0;
+    int64_t mabs = -1;
+    for (int i = 0; i < n; i++) {
+      int64_t a = rb[i] < 0 ? -rb[i] : rb[i];
+      if (a > mabs) { mabs = a; m = i; }
+    }
+    int64_t sgn = rb[m] > 0 ? 1 : -1;
+    int64_t yy = 0;
+    for (int i = 0; i < n; i++) yy += yb[i] * yb[i];
+    int64_t gs_q4 = (g_q4 * s_q15 + ((int64_t)1 << 14)) >> 15;
+    int64_t den = dtpu_isqrt64(yy << 32);
+    if (den < 1) den = 1;
+    int64_t x_q4[128];
+    for (int i = 0; i < n; i++) {
+      x_q4[i] = yy > 0 ? div_nn((yb[i] * gs_q4) << 16, den) : 0;
+    }
+    x_q4[m] = -sgn * ((g_q4 * c_q15 + ((int64_t)1 << 14)) >> 15);
+    int64_t r_m = rb[m] + sgn * (gr_q8[b] >> 4);
+    int64_t l2r = 0, proj = 0;
+    for (int i = 0; i < n; i++) {
+      int64_t ri = i == m ? r_m : rb[i];
+      l2r += ri * ri;
+      proj += ri * x_q4[i];
+    }
+    if (l2r < 1) l2r = 1;
+    int64_t f_q16 = div_nn((2 * proj) << 16, l2r);
+    for (int i = 0; i < n; i++) {
+      int64_t ri = i == m ? r_m : rb[i];
+      int64_t xi = x_q4[i] - ((ri * f_q16 + ((int64_t)1 << 15)) >> 16);
+      ob[i] = (int32_t)((xi * qm_inv[i] + ((int64_t)1 << 15)) >> 16);
+    }
+  }
+}
+
+}  // extern "C"
