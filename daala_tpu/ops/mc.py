@@ -263,6 +263,43 @@ def obmc_predict_mixed(ref_padded, pad: int, h: int, w: int,
     return out
 
 
+def _obmc_frame_native(lib, refs, pad, h, w, mv_grid, blk_log, ref_ids,
+                       block_mask, out, bitdepth):
+    """One threaded C++ pass for the whole-frame OBMC blend
+    (dtpu_obmc_frame) — interp + bilinear blend per block."""
+    import ctypes
+
+    if not getattr(lib, "_obmc_ready", False):
+        p = ctypes.c_void_p
+        lib.dtpu_obmc_frame.argtypes = [
+            p, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            p, p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, p, p]
+        lib._obmc_ready = True
+    refs_c = [np.ascontiguousarray(r) for r in refs]
+    arr = (ctypes.c_void_p * len(refs_c))(
+        *[r.ctypes.data_as(ctypes.c_void_p).value for r in refs_c])
+    mv = np.ascontiguousarray(mv_grid, dtype=np.int64)
+    vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    rid_p = None
+    if ref_ids is not None and len(refs_c) > 1:
+        rid = np.ascontiguousarray(ref_ids, dtype=np.int32)
+        rid_p = vp(rid)
+    bm_p = None
+    if block_mask is not None:
+        bm = np.ascontiguousarray(block_mask, dtype=np.uint8)
+        bm_p = vp(bm)
+    dtype = np.uint8 if bitdepth <= 8 else np.uint16
+    if out is None:
+        out = np.zeros((h, w), dtype=dtype)
+    lib.dtpu_obmc_frame(
+        arr, len(refs_c), refs_c[0].dtype.itemsize,
+        refs_c[0].shape[1], int(pad), vp(mv), rid_p,
+        mv_grid.shape[1], h, w, int(blk_log), int(bitdepth), bm_p,
+        vp(out))
+    return out
+
+
 def obmc_predict(ref_padded, pad: int, h: int, w: int,
                  mv_grid: np.ndarray, blk_log: int,
                  ref_ids: np.ndarray = None,
@@ -297,6 +334,15 @@ def obmc_predict(ref_padded, pad: int, h: int, w: int,
                            bitdepth)
             if r is not None:
                 return r
+    lib = _mc_lib()
+    if lib and n <= 64:
+        refs = ref_padded if isinstance(ref_padded, (list, tuple)) \
+            else [ref_padded]
+        if all(getattr(r, "dtype", None) in (np.uint8, np.uint16)
+               for r in refs):
+            return _obmc_frame_native(lib, refs, pad, h, w, mv_grid,
+                                      blk_log, ref_ids, block_mask,
+                                      out, bitdepth)
     by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
     by = by.ravel()
     bx = bx.ravel()

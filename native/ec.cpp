@@ -3516,3 +3516,103 @@ void dtpu_isynth_ref(const int64_t* y, const int64_t* rq_q4,
 }
 
 }  // extern "C"
+
+// ====================================================================
+// Whole-frame OBMC prediction (4-corner bilinear blend over a uniform
+// MV vertex grid) — C++ twin of ops/mc.py obmc_predict: per block,
+// the four vertex MVs each produce a subpel prediction (multi-ref via
+// per-vertex ref ids) and the bilinear blend combines them
+// (od_mc_blend_full semantics, mc.h:39-59).  Threaded over block rows.
+// ====================================================================
+
+namespace {
+
+template <typename T>
+void obmc_frame_t(const T* const* refs, int nrefs, int64_t stride,
+                  int pad, const int64_t* mv, const int32_t* rids,
+                  int nvx, int h, int w, int blk_log, int bitdepth,
+                  const uint8_t* bmask, T* out) {
+  int n = 1 << blk_log;
+  int nby = h >> blk_log, nbx = w >> blk_log;
+  int center = 128 << (bitdepth - 8);
+  int maxv = (1 << bitdepth) - 1;
+  int bl2 = 2 * blk_log;
+  auto work = [&](int r0, int r1) {
+    int32_t p[4][64 * 64];
+    for (int by = r0; by < r1; by++) {
+      for (int bx = 0; bx < nbx; bx++) {
+        if (bmask && !bmask[by * nbx + bx]) continue;
+        int64_t ys = (int64_t)by << blk_log;
+        int64_t xs = (int64_t)bx << blk_log;
+        const int cdy[4] = {0, 0, 1, 1}, cdx[4] = {0, 1, 1, 0};
+        for (int c = 0; c < 4; c++) {
+          int64_t v = (int64_t)(by + cdy[c]) * nvx + (bx + cdx[c]);
+          int64_t mvy = mv[2 * v], mvx = mv[2 * v + 1];
+          const T* ref = refs[rids ? rids[v] : 0];
+          int64_t iy = ys + (mvy >> 3) + pad;
+          int64_t ix = xs + (mvx >> 3) + pad;
+          int fy = (int)(mvy & 7), fx = (int)(mvx & 7);
+          if (fy == 0 && fx == 0) {
+            for (int r = 0; r < n; r++) {
+              const T* src = ref + (iy + r) * stride + ix;
+              int32_t* dst = p[c] + r * n;
+              for (int cc = 0; cc < n; cc++) dst[cc] = src[cc];
+            }
+          } else {
+            subpel_one(ref, stride, iy, ix, fy, fx, n, center, maxv,
+                       p[c]);
+          }
+        }
+        for (int j = 0; j < n; j++) {
+          T* orow = out + (ys + j) * w + xs;
+          const int32_t* r0p = p[0] + j * n;
+          const int32_t* r1p = p[1] + j * n;
+          const int32_t* r2p = p[2] + j * n;
+          const int32_t* r3p = p[3] + j * n;
+          for (int i = 0; i < n; i++) {
+            int64_t a = ((int64_t)r0p[i] << blk_log)
+                + (int64_t)(r1p[i] - r0p[i]) * i;
+            int64_t b = ((int64_t)r3p[i] << blk_log)
+                + (int64_t)(r2p[i] - r3p[i]) * i;
+            int64_t val = ((a << blk_log) + (b - a) * j
+                           + ((int64_t)1 << (bl2 - 1))) >> bl2;
+            if (val < 0) val = 0;
+            if (val > maxv) val = maxv;
+            orow[i] = (T)val;
+          }
+        }
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = ((int64_t)h * w >= 1 << 16 && hw > 1)
+      ? (hw < 8 ? (int)hw : 8) : 1;
+  if (nt <= 1) { work(0, nby); return; }
+  std::vector<std::thread> ts;
+  int per = (nby + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int b0 = t * per, b1 = b0 + per < nby ? b0 + per : nby;
+    if (b0 >= b1) break;
+    ts.emplace_back(work, b0, b1);
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" void dtpu_obmc_frame(const void* const* refs, int nrefs,
+                                int elem, int64_t stride, int pad,
+                                const int64_t* mv, const int32_t* rids,
+                                int nvx, int h, int w, int blk_log,
+                                int bitdepth, const uint8_t* bmask,
+                                void* out) {
+  if (elem == 1) {
+    obmc_frame_t((const uint8_t* const*)refs, nrefs, stride, pad, mv,
+                 rids, nvx, h, w, blk_log, bitdepth, bmask,
+                 (uint8_t*)out);
+  } else {
+    obmc_frame_t((const uint16_t* const*)refs, nrefs, stride, pad, mv,
+                 rids, nvx, h, w, blk_log, bitdepth, bmask,
+                 (uint16_t*)out);
+  }
+}
