@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <thread>
+#include <array>
 #include <vector>
 #include <cmath>
 #include <algorithm>
@@ -3304,22 +3305,47 @@ extern "C" void dtpu_obmc_refine(
                  bitdepth,
                  &cache[(((size_t)by * nbx + bx) * 4 + c) * RB * RB]);
   };
-  for (int by = 0; by < nby; by++) {
-    for (int bx = 0; bx < nbx; bx++) {
-      for (int c = 0; c < 4; c++) fill_cache(by, bx, c);
+  {
+    auto fill_rows = [&](int b0, int b1) {
+      for (int by = b0; by < b1; by++) {
+        for (int bx = 0; bx < nbx; bx++) {
+          for (int c = 0; c < 4; c++) fill_cache(by, bx, c);
+        }
+      }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    int nt = (nby >= 8 && hw > 1) ? (hw < 8 ? (int)hw : 8) : 1;
+    if (nt <= 1) {
+      fill_rows(0, nby);
+    } else {
+      std::vector<std::thread> ts;
+      int per = (nby + nt - 1) / nt;
+      for (int t = 0; t < nt; t++) {
+        int b0 = t * per, b1 = b0 + per < nby ? b0 + per : nby;
+        if (b0 >= b1) break;
+        ts.emplace_back(fill_rows, b0, b1);
+      }
+      for (auto& t : ts) t.join();
     }
   }
   // blocks adjacent to vertex (vy,vx) and which corner the vertex is.
   static const int bdy[4] = {-1, -1, 0, 0}, bdx[4] = {-1, 0, 0, -1};
   static const int bc[4] = {2, 3, 0, 1};  // vertex's corner role: BR,BL,TL,TR
-  int32_t mov[RB * RB];
   for (int it = 0; it < iters; it++) {
     for (int si = 0; si < nsteps; si++) {
       int64_t st = steps[si];
       const int64_t cand[4][2] = {
           {st, 0}, {-st, 0}, {0, st}, {0, -st}};
-      for (int vy = 0; vy < nvy; vy++) {
-        for (int vx = 0; vx < nvx; vx++) {
+      // Distance-2 colored Jacobi-within-color sweeps: vertices of the
+      // same (vy&1, vx&1) color share no adjacent block and are not
+      // median neighbors, so each color pass is conflict-free and
+      // deterministic under threading.
+      for (int color = 0; color < 4; color++) {
+        int cy0 = color >> 1, cx0 = color & 1;
+        auto pass = [&](int ry0, int ry1, int32_t* mov) {
+        for (int vy = cy0 + 2 * ry0; vy < nvy && vy < cy0 + 2 * ry1;
+             vy += 2) {
+        for (int vx = cx0; vx < nvx; vx += 2) {
           int64_t* mv = g4 + ((int64_t)vy * nvx + vx) * 2;
           int rid = rids[(int64_t)vy * nvx + vx];
           if (rid >= nrefs) rid = 0;
@@ -3392,6 +3418,25 @@ extern "C" void dtpu_obmc_refine(
               fill_cache(by, bx, bc[a]);
             }
           }
+        }
+        }
+        };
+        int nrows = (nvy - cy0 + 1) / 2;
+        unsigned hw = std::thread::hardware_concurrency();
+        int nt = (nrows >= 8 && hw > 1) ? (hw < 8 ? (int)hw : 8) : 1;
+        if (nt <= 1) {
+          int32_t mov[RB * RB];
+          pass(0, nrows, mov);
+        } else {
+          std::vector<std::thread> ts;
+          std::vector<std::array<int32_t, RB * RB>> movs(nt);
+          int per = (nrows + nt - 1) / nt;
+          for (int t = 0; t < nt; t++) {
+            int r0 = t * per, r1 = r0 + per < nrows ? r0 + per : nrows;
+            if (r0 >= r1) break;
+            ts.emplace_back(pass, r0, r1, movs[t].data());
+          }
+          for (auto& t : ts) t.join();
         }
       }
     }
