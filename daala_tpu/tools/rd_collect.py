@@ -76,7 +76,7 @@ def main(argv=None):
     ap.add_argument("-q", "--quantizers", default="8,16,24,32,40")
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--limit", type=int, default=0)
-    ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--bs", type=int, default=-1)
     ap.add_argument("--baseline", default=None,
                     help="previous rd.json to compute BD-rate against")
     args = ap.parse_args(argv)
