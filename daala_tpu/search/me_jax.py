@@ -28,9 +28,20 @@ def pad_edge(p, pad):
 
 
 def _down2(p):
-    p = p.astype(jnp.int32)
-    return ((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2]
-             + p[1::2, 1::2] + 2) >> 2).astype(jnp.uint8)
+    """2x box downsample via two pair-sum matmuls: lane-strided
+    slicing is ~50x slower than the MXU on real chips, and 2x2 sums
+    (<= 1020) are exact in f32."""
+    h, w = p.shape
+    pf = p.astype(jnp.float32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h // 2, h), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (h // 2, h), 1)
+    R = ((rj >> 1) == ri).astype(jnp.float32)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (w, w // 2), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (w, w // 2), 1)
+    C = ((ci >> 1) == cj).astype(jnp.float32)
+    s = jnp.dot(jnp.dot(R, pf, preferred_element_type=jnp.float32), C,
+                preferred_element_type=jnp.float32)
+    return ((s.astype(jnp.int32) + 2) >> 2).astype(jnp.uint8)
 
 
 def _gather_blocks(plane, ys, xs, n):
