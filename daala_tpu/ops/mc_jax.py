@@ -63,6 +63,44 @@ def subpel_predict_blocks_jax(ref_padded, pad, ys, xs, mvs, n,
     return jnp.clip(out, 0, maxv).astype(dtype)
 
 
+def _banded_windows(p, row_base, iy, ix, K, Bh):
+    """(R, C, K, K) windows via per-row bands and one-hot MXU
+    selection — the fast form when windows are small and numerous
+    (per-slice fetch overhead dominates below ~16x16).
+
+    p: (H, W) int plane; row_base: (R,) static band start rows;
+    iy/ix: (R, C) absolute window starts with iy - row_base in
+    [0, Bh - K).  Exact: one-hot matmuls pick single elements and
+    values <= 2^15 are exact in f32 accumulation."""
+    W = p.shape[1]
+    bands = jnp.stack([jax.lax.dynamic_slice(
+        p, (int(r), 0), (Bh, W)) for r in row_base]).astype(jnp.bfloat16)
+    ry = (iy - jnp.asarray(row_base, dtype=jnp.int32)[:, None])
+    kk = jnp.arange(K, dtype=jnp.int32)
+
+    def row(carry, args):
+        band, ryr, ixr = args
+        wi = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
+        # Sx: (W, C*K) one-hot of column starts.
+        sx = (wi[:, None, None] == ixr[None, :, None]
+              + kk[None, None, :]).astype(jnp.bfloat16)
+        C = ixr.shape[0]
+        e1 = jnp.dot(band, sx.reshape(W, C * K),
+                     preferred_element_type=jnp.float32)
+        e1 = e1.reshape(Bh, C, K).transpose(1, 0, 2)   # (C, Bh, K)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (Bh, 1), 0)[:, 0]
+        sy = (bi[None, :, None] == ryr[:, None, None]
+              + kk[None, None, :]).astype(jnp.bfloat16)  # (C, Bh, K)
+        e2 = jnp.einsum("cbk,cbl->ckl", sy,
+                        e1.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        return carry, e2.astype(jnp.int32)
+
+    _, wins = jax.lax.scan(row, 0, (bands, ry.astype(jnp.int32),
+                                    ix.astype(jnp.int32)))
+    return wins
+
+
 def _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth):
     """Interpolated (2n, 2n) patch around every mesh vertex at the
     vertex's MV — each patch serves the 4 adjacent blocks' corner
@@ -92,9 +130,20 @@ def _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth):
         p = jnp.pad(refs[r], ((E, E), (E, E)), mode="edge")
         iy = ys + (mvy >> 3) + pad + E - TOP_APRON
         ix = xs + (mvx >> 3) + pad + E - TOP_APRON
-        win = jax.vmap(
-            lambda y, x: jax.lax.dynamic_slice(p, (y, x), (K, K))
-        )(iy, ix).astype(jnp.int32)
+        if n <= 8:
+            # Small blocks: tens of thousands of tiny windows — the
+            # per-slice fetch overhead dominates, so fetch per-row
+            # bands and select with one-hot matmuls instead.
+            row_base = [int(rr * n - n - 62 + pad + E)
+                        for rr in range(nvy)]
+            win = _banded_windows(
+                p, row_base, iy.reshape(nvy, nvx),
+                ix.reshape(nvy, nvx), K, K + 121)
+            win = win.reshape(-1, K, K)
+        else:
+            win = jax.vmap(
+                lambda y, x: jax.lax.dynamic_slice(p, (y, x), (K, K))
+            )(iy, ix).astype(jnp.int32)
         fh = filters[(mvx & 7).astype(jnp.int32)]
         hacc = jnp.zeros((win.shape[0], K, 2 * n), dtype=jnp.int32)
         for k in range(6):

@@ -272,38 +272,51 @@ def _upsample_grid(g):
     return u
 
 
-def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
-    """Twin of me._refine_midpoints: refine the odd-lattice vertices."""
-    nvy = (h >> vlog) + 1
-    nvx = (w >> vlog) + 1
-    n = 1 << vlog
-    mask = np.ones((nvy, nvx), dtype=bool)
-    mask[::2, ::2] = False
-    idx = np.where(mask.ravel())[0]
-    if len(idx) == 0:
-        return g
-    vy = (np.repeat(np.arange(nvy) << vlog, nvx))[idx]
-    vx = (np.tile(np.arange(nvx) << vlog, nvy))[idx]
-    ys = np.clip(vy - n // 2, 0, h - n)
-    xs = np.clip(vx - n // 2, 0, w - n)
-    b32 = _gather_blocks(cur, ys, xs, n).astype(jnp.int32)
-    flat = g.reshape(-1, 2)
-    mv = jnp.clip(flat[idx], -58 * 8, 58 * 8).astype(jnp.int32)
-    cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
-                      for dx in (-16, -8, 0, 8, 16)], dtype=np.int32)
-    dev_bias = jnp.asarray(
-        (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8), dtype=jnp.int32)
-    # One window fetch (apron 4 int px around the interpolated MV)
-    # serves the 25-candidate pick AND the 15 descent evaluations.
-    from ..ops.mc_jax import _window_slices
+def _lattice_blocks(plane, row_ys, col_xs, n):
+    """(R*C, n, n) blocks at a static position lattice via static row
+    bands + ONE constant one-hot matmul over columns — small numerous
+    blocks pay ~1.3us per slice-fetch otherwise."""
+    R, C = len(row_ys), len(col_xs)
+    W = plane.shape[1]
+    bands = jnp.concatenate([
+        jax.lax.dynamic_slice(plane, (int(y), 0), (n, W))
+        for y in row_ys], axis=0).astype(jnp.bfloat16)
+    targ = jnp.asarray(np.repeat(col_xs, n)
+                       + np.tile(np.arange(n), C), dtype=jnp.int32)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
+    sx = (wi[:, None] == targ[None, :]).astype(jnp.bfloat16)
+    e = jnp.dot(bands, sx, preferred_element_type=jnp.float32)
+    return (e.reshape(R, n, C, n).transpose(0, 2, 1, 3)
+            .reshape(R * C, n, n).astype(jnp.int32))
 
+
+def _refine_group(cur, refp8, flat, vys, vxs, idx, n, h, w, bitdepth,
+                  cands, dev_bias):
+    """Refine one rectangular lattice group of midpoint vertices.
+
+    vys: (R,) static vertex rows; vxs: (C,) static vertex cols; idx:
+    flat grid indices in row-major (R, C) order.  Returns the refined
+    (R*C, 2) MVs.  The window fetch is banded (one-hot MXU selection)
+    — per-row bands cover the +-58 px MV range."""
+    from ..ops.mc_jax import _banded_windows
+
+    R, C = len(vys), len(vxs)
+    ys_row = np.clip(vys - n // 2, 0, h - n)
+    xs_col = np.clip(vxs - n // 2, 0, w - n)
+    b32 = _lattice_blocks(cur, ys_row, xs_col, n)
+    mv = jnp.clip(flat[idx], -58 * 8, 58 * 8).astype(jnp.int32)
     base = mv >> 3
     anchor = base - 4
     anchor8 = anchor << 3
     K = n + 13
-    win = _window_slices(refp8, jnp.asarray(ys + 62) + anchor[:, 0],
-                         jnp.asarray(xs + 62) + anchor[:, 1],
-                         K, K).astype(jnp.int32).transpose(1, 2, 0)
+    pe = jnp.pad(refp8, ((0, 8), (0, 8)), mode="edge")
+    iy = (jnp.asarray(np.repeat(ys_row, C) + 62, dtype=jnp.int32)
+          + anchor[:, 0]).reshape(R, C)
+    ix = (jnp.asarray(np.tile(xs_col, R) + 62, dtype=jnp.int32)
+          + anchor[:, 1]).reshape(R, C)
+    win = _banded_windows(pe, [int(y) for y in ys_row], iy, ix, K,
+                          K + 117)
+    win = win.reshape(R * C, K, K).transpose(1, 2, 0)
     b32c = b32.transpose(1, 2, 0)
     # Shared subpel phase: one in-window interpolation of the (n+4)
     # extended block serves all 25 integer offsets as static slices.
@@ -317,8 +330,38 @@ def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
                             ).sum((0, 1)) + dev_bias[ci])
     pick = jnp.argmin(jnp.stack(sads, axis=1), axis=1)
     mv = jnp.clip(mv + jnp.asarray(cands)[pick], -60 * 8, 60 * 8)
-    mv = _window_descent(win, b32c, mv, anchor8, n, bitdepth)
-    return flat.at[idx].set(mv).reshape(nvy, nvx, 2)
+    return _window_descent(win, b32c, mv, anchor8, n, bitdepth)
+
+
+def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
+    """Twin of me._refine_midpoints: refine the odd-lattice vertices.
+    The non-lattice positions split into two rectangular groups (odd
+    rows x all cols; even rows x odd cols) so the fetches can ride the
+    banded one-hot path."""
+    nvy = (h >> vlog) + 1
+    nvx = (w >> vlog) + 1
+    n = 1 << vlog
+    cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
+                      for dx in (-16, -8, 0, 8, 16)], dtype=np.int32)
+    dev_bias = jnp.asarray(
+        (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8), dtype=jnp.int32)
+    flat = g.reshape(-1, 2)
+    groups = []
+    rows_a = np.arange(1, nvy, 2)
+    if len(rows_a):
+        cols_a = np.arange(nvx)
+        idx_a = (rows_a[:, None] * nvx + cols_a[None, :]).ravel()
+        groups.append((rows_a << vlog, cols_a << vlog, idx_a))
+    rows_b = np.arange(0, nvy, 2)
+    cols_b = np.arange(1, nvx, 2)
+    if len(rows_b) and len(cols_b):
+        idx_b = (rows_b[:, None] * nvx + cols_b[None, :]).ravel()
+        groups.append((rows_b << vlog, cols_b << vlog, idx_b))
+    for (vys, vxs, idx) in groups:
+        mv = _refine_group(cur, refp8, flat, vys, vxs, idx, n, h, w,
+                           bitdepth, cands, dev_bias)
+        flat = flat.at[idx].set(mv)
+    return flat.reshape(nvy, nvx, 2)
 
 
 def motion_search_dense_jax(cur, refp8, h, w, bitdepth=8):
