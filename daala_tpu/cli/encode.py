@@ -58,6 +58,10 @@ def main(argv=None):
     ap.add_argument("-V", "--bitrate", type=int, default=0,
                     help="rate target in kbit/s (0 = constant quality; "
                          "-v becomes the starting quality)")
+    ap.add_argument("--dres", action="store_true",
+                    help="device-residual inter mode: noref integer-"
+                         "synthesis residual bands (the TPU device "
+                         "encode pipeline's stream mode)")
     args = ap.parse_args(argv)
 
     with open(args.input, "rb") as f:
@@ -99,7 +103,8 @@ def main(argv=None):
                               keyframe_rate=args.keyframe_rate,
                               b_frames=args.b_frames, tiles=args.tiles,
                               tile_workers=args.tile_jobs,
-                              bitrate=args.bitrate * 1000)
+                              bitrate=args.bitrate * 1000,
+                              dres=args.dres)
         packets = []
         t0 = time.time()
 
@@ -109,7 +114,8 @@ def main(argv=None):
                     o["data"], keyframe=o["ftype"] == FT_INTRA,
                     use_haar=o.get("use_haar", False),
                     bs_luma=3 if o.get("use_haar") else max(bs, 0),
-                    ftype=o["ftype"], display_order=o["display_order"]))
+                    ftype=o["ftype"], display_order=o["display_order"],
+                    dres=bool(o.get("dres")) and o["ftype"] != FT_INTRA))
                 sys.stderr.write(
                     f"\rframe {o['display_order']} "
                     f"({len(o['data'])} bytes)")

@@ -7,7 +7,8 @@ three logical headers in a simple self-contained container (".dtp"):
   magic "\\x80dtpu" | version | info fields | comment | setup(reserved)
   then per frame: u8 flags | u32 length | packet bytes
 
-Frame flags: bit0 keyframe, bit1 use_haar(lossless), bits 2-3 bs_luma.
+Frame flags: bit0 keyframe, bit1 use_haar(lossless), bits 2-3 bs_luma,
+bits 4-5 ftype, bit6 dres (device-residual integer-synthesis mode).
 Packet classification helpers mirror daala_packet_isheader/iskeyframe
 (src/info.c:24-60).
 """
@@ -38,6 +39,8 @@ class FramePacket:
     # Display-order index (packets are stored in coding order; B-frames
     # come after their forward anchor, the granulepos analogue).
     display_order: int = 0
+    # Device-residual integer-synthesis inter mode (pipeline dres flag).
+    dres: bool = False
 
 
 def packet_is_keyframe(flags: int) -> bool:
@@ -91,7 +94,8 @@ def write_stream(path: str, info: FrameInfo, packets: List[FramePacket],
         f.write(struct.pack("<H", 0))  # setup header (reserved)
         for p in packets:
             flags = (1 if p.keyframe else 0) | ((1 if p.use_haar else 0) << 1) \
-                | ((p.bs_luma & 3) << 2) | ((p.ftype & 3) << 4)
+                | ((p.bs_luma & 3) << 2) | ((p.ftype & 3) << 4) \
+                | ((1 if p.dres else 0) << 6)
             f.write(struct.pack("<BII", flags, p.display_order,
                                 len(p.data)))
             f.write(p.data)
@@ -123,5 +127,6 @@ def read_stream(path: str) -> Tuple[FrameInfo, str, List[FramePacket]]:
                 bs_luma=(flags >> 2) & 3,
                 ftype=(flags >> 4) & 3,
                 display_order=disp,
+                dres=bool(flags & 0x40),
             ))
         return info, comment, packets

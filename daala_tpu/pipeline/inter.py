@@ -250,9 +250,15 @@ def _code_mesh(ecs, mvctxs, bounds, info, nrefs, encoder,
 
 
 def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
-                      encoder, skip_in=0):
+                      encoder, skip_in=0, dres=False):
     """Inter leaf: prediction = transformed MC block; PVQ + DC delta.
-    bx/by are node coords at level bsi."""
+    bx/by are node coords at level bsi.
+
+    dres: device-residual mode — AC bands code the coefficient residual
+    (dblock - predt) noref with the INTEGER synthesis spec, and the
+    prediction is added back after synthesis, so the reconstruction is
+    reproducible bit-exactly on the TPU (the device encode pipeline
+    carries it as the reference)."""
     pli = pc.pli
     n = 4 << bs
     y0 = by << (2 + bsi - pc.xdec)
@@ -273,9 +279,14 @@ def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
     if encoder:
         dblock = raster_to_coding(
             np.asarray(d[y0:y0 + n, x0:x0 + n])).astype(np.int32)
+        if dres:
+            dblock = dblock - predt
+            band_ref = np.zeros_like(predt)
+        else:
+            band_ref = predt
         out, skip = pvq_encode_block(
-            ec, state, predt, dblock, q0, pli, bs, beta, True, False,
-            qm, qm_inv, precomputed=pre_entry)
+            ec, state, band_ref, dblock, q0, pli, bs, beta, True, False,
+            qm, qm_inv, precomputed=pre_entry, dres=dres)
         # DC magnitude with dc-skip fusion (encode.c:1192-1207).
         if out[0]:
             new_ex = generic_encode(ec, state.model_dc[pli],
@@ -284,12 +295,18 @@ def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
             state.ex_dc[pli, bs, 0] = new_ex
             ec.encode_bits(int(out[0] < 0), 1)
             skip = 0
+        if dres:
+            out[1:] += predt[1:len(out)]
         out[0] = int(out[0]) * dc_quant + int(predt[0])
     else:
         nsym = 4 + (1 if (pli == 0 and bs > 0) else 0)
         del nsym  # skip decoded by caller
-        out = pvq_decode_block(ec, state, predt, q0, pli, bs, beta, True,
-                               False, skip_in, qm, qm_inv)
+        band_ref = np.zeros_like(predt) if dres else predt
+        out = pvq_decode_block(ec, state, band_ref, q0, pli, bs, beta,
+                               True, False, skip_in, qm, qm_inv,
+                               dres=dres)
+        if dres:
+            out[1:] += predt[1:len(out)]
         dcflag = int(out[0])
         skip = (skip_in >> 1) and not dcflag
         if dcflag:
@@ -310,7 +327,7 @@ def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
 
 
 def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
-                     encoder):
+                     encoder, dres=False):
     """Inter Z-order walk: split signaling through the luma skip symbol
     (no Haar DC on inter frames)."""
     from ..entropy.adapt import decode_cdf_adapt, encode_cdf_adapt
@@ -335,10 +352,12 @@ def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
         if is_leaf:
             if encoder:
                 skip = _code_inter_block(ec, state, pc, md, bx, by, bsi,
-                                         bsi, use_masking, True)
+                                         bsi, use_masking, True,
+                                         dres=dres)
             else:
                 skip = _code_inter_block(ec, state, pc, md, bx, by, bsi,
-                                         bsi, use_masking, False, sk)
+                                         bsi, use_masking, False, sk,
+                                         dres=dres)
             _mark_bskip(pc, bx, by, bsi, skip)
             return
         if encoder:
@@ -350,18 +369,20 @@ def _inter_recursive(ec, state, pc, md, bx, by, bsi, use_masking,
             bs = bsi - xdec
             if encoder:
                 skip = _code_inter_block(ec, state, pc, md, bx, by, bsi,
-                                         bs, use_masking, True)
+                                         bs, use_masking, True,
+                                         dres=dres)
             else:
                 sk = decode_cdf_adapt(ec, state.skip_cdf[2 * bs + 1][:4],
                                       state.skip_increment)
                 skip = _code_inter_block(ec, state, pc, md, bx, by, bsi,
-                                         bs, use_masking, False, sk)
+                                         bs, use_masking, False, sk,
+                                         dres=dres)
             _mark_bskip(pc, bx, by, bsi, skip)
             return
     for dy in (0, 1):
         for dx in (0, 1):
             _inter_recursive(ec, state, pc, md, 2 * bx + dx, 2 * by + dy,
-                             bsi - 1, use_masking, encoder)
+                             bsi - 1, use_masking, encoder, dres)
 
 
 def _mc_pred_tables(pc, md, pg=None):
@@ -421,7 +442,7 @@ def _mc_pred_tables(pc, md, pg=None):
             C = lap_frame_v(C, np.arange(mid, w, npx))
 
 
-def _prepass_inter(pcs, state, use_masking):
+def _prepass_inter(pcs, state, use_masking, dres=False):
     """Encoder prepass: batch-search every band of every leaf in one
     native call, using the precomputed MC transform tables.
     Fills pc.pre[(y0, x0)] = band search results."""
@@ -445,6 +466,9 @@ def _prepass_inter(pcs, state, use_masking):
             dbs = raster_to_coding(
                 np.asarray(pc.d, dtype=np.int32)[idx_r, idx_c]
             ).astype(np.int32)
+            if dres:
+                dbs = dbs - predts
+                predts = np.zeros_like(predts)
             offs = BAND_OFFSETS[bs]
             beta = pvq_betas(use_masking, pc.pli, bs)
             for bi in range(len(ys)):
@@ -461,7 +485,7 @@ def _prepass_inter(pcs, state, use_masking):
                         "qm": state.qm[bs][lo:hi],
                         "qm_inv": state.qm_inv[bs][lo:hi],
                     })
-    results = batch_band_search(bands, True, False)
+    results = batch_band_search(bands, True, False, dres)
     for (pc, key, nb, start) in slots:
         pc.pre[key] = results[start:start + nb]
 
@@ -475,7 +499,7 @@ def _mark_bskip(pc, bx, by, bsi, skip):
 
 
 def _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
-                      encoder, rows=None):
+                      encoder, rows=None, dres=False):
     """Per-tile inter symbol pass over SB rows [rows[0], rows[1]).
     Inter blocks have no cross-SB-row symbol prediction (MC prediction
     only), so tiling needs no further cuts here."""
@@ -486,7 +510,7 @@ def _code_inter_frame(ec, state, pcs, mds, info, bs_luma, use_masking,
         for sbx in range(nhsb):
             for pli in range(len(pcs)):
                 _inter_recursive(ec, state, pcs[pli], mds[pli], sbx, sby,
-                                 3, use_masking, encoder)
+                                 3, use_masking, encoder, dres)
 
 
 GOLDEN_INTERVAL = 10  # OD_GOLDEN_FRAME_INTERVAL (encode.c:60)
@@ -516,7 +540,8 @@ def _frame_quality(cq, ftype, b_frames):
 
 def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                        refs, planes_or_packet, encoder, tiles=1,
-                       tile_workers=1, out_info=None, acct=None):
+                       tile_workers=1, out_info=None, acct=None,
+                       dres=False):
     """Shared P/B frame coder.  refs: list of padded reference plane
     lists (1 = single-ref P, 2 = multi-ref P or B).
 
@@ -667,28 +692,30 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                   and acct is None
                   and all(getattr(e, "_h", None) is not None for e in ecs))
     if use_native and encoder:
-        pre = _nw.prepass_search(pcs, state, use_masking)
+        pre = _nw.prepass_search(pcs, state, use_masking, dres)
         out_dc = np.zeros(pre.nslots, dtype=np.int32)
         out_acskip = np.zeros(pre.nslots, dtype=np.uint8)
         out_bskip = np.zeros(pre.nslots, dtype=np.uint8)
         for ti, rows in enumerate(bounds):
             _nw.walk_enc(ecs[ti], states[ti], pcs, pre, rows,
                          pcs[0].nhsb, use_masking, out_dc, out_acskip,
-                         out_bskip)
-        _nw.assemble_recon(pcs, pre, out_dc, out_acskip, out_bskip)
+                         out_bskip, dres)
+        _nw.assemble_recon(pcs, pre, out_dc, out_acskip, out_bskip,
+                           dres)
     elif use_native:
         results = [_nw.walk_dec(ecs[ti], states[ti], pcs, rows,
-                                pcs[0].nhsb, use_masking)
+                                pcs[0].nhsb, use_masking, dres)
                    for ti, rows in enumerate(bounds)]
-        _nw.assemble_dec(pcs, state, results, use_masking)
+        _nw.assemble_dec(pcs, state, results, use_masking, dres)
     else:
         if encoder:
-            _prepass_inter(pcs, state, use_masking)
+            _prepass_inter(pcs, state, use_masking, dres)
 
         def _sb_job(ti):
             rows = bounds[ti]
             _code_inter_frame(ecs[ti], states[ti], pcs, mds, info,
-                              bs_luma, use_masking, encoder, rows)
+                              bs_luma, use_masking, encoder, rows,
+                              dres)
             gr = None if encoder else _tile_grid_rows(bgrid, rows)
             return ecs[ti], states[ti], _tile_d_rows(pcs, rows), gr
 
@@ -741,7 +768,14 @@ class EncoderSession:
                  use_masking: bool = False, bs_luma: int = 1,
                  use_dering: bool = True, keyframe_rate: int = None,
                  b_frames: int = 0, tiles: int = 1,
-                 tile_workers: int = 1, bitrate: int = 0):
+                 tile_workers: int = 1, bitrate: int = 0,
+                 dres: bool = False):
+        # dres: code inter frames in device-residual mode (noref
+        # integer-synthesis residual bands) — the stream mode the TPU
+        # device encode pipeline emits (pipeline/device_inter.py).
+        if dres and use_masking:
+            raise ValueError("dres mode requires use_masking=False "
+                             "(beta = 1 companding only)")
         if tuple(info.xdec) != tuple(info.ydec):
             raise ValueError(
                 "only 4:4:4 / 4:2:0 / mono are supported (the codec "
@@ -755,6 +789,7 @@ class EncoderSession:
         self.b_frames = b_frames
         self.tiles = tiles
         self.tile_workers = tile_workers
+        self.dres = dres
         self.frame_idx = 0          # display index of next input
         self.since_golden = 0
         self.ref_prev = None
@@ -880,10 +915,10 @@ class EncoderSession:
         pkt, rec = _code_inter_packet(
             self.info, self.bs_luma, self.use_masking, self.use_dering,
             cq, refs, planes, True, tiles=self.tiles,
-            tile_workers=self.tile_workers)
+            tile_workers=self.tile_workers, dres=self.dres)
         self._rotate_refs(rec, ftype)
         return {"data": pkt, "ftype": ftype, "display_order": idx,
-                "recon": rec, "use_haar": False}
+                "recon": rec, "use_haar": False, "dres": self.dres}
 
     def _flush_queue(self, next_anchor):
         """Encode buffered frames as B (prev+next refs) or trailing P."""
@@ -895,10 +930,11 @@ class EncoderSession:
                 pkt, rec = _code_inter_packet(
                     self.info, self.bs_luma, self.use_masking,
                     self.use_dering, cq, refs, planes, True,
-                    tiles=self.tiles, tile_workers=self.tile_workers)
+                    tiles=self.tiles, tile_workers=self.tile_workers,
+                    dres=self.dres)
                 out.append({"data": pkt, "ftype": FT_B,
                             "display_order": idx, "recon": rec,
-                            "use_haar": False})
+                            "use_haar": False, "dres": self.dres})
             else:
                 out.append(self._encode_anchor(planes, idx, False))
         self.queue = []
@@ -936,7 +972,7 @@ class DecoderSession:
 
     def decode_frame(self, packet: bytes, keyframe: bool,
                      use_haar: bool = False, ftype: int = None,
-                     acct=None):
+                     acct=None, dres: bool = False):
         """Single-packet decode (coding order).  ftype defaults to
         I/P by the keyframe flag for b_frames=0 streams."""
         from .intra import decode_keyframe
@@ -966,7 +1002,8 @@ class DecoderSession:
             rec = _code_inter_packet(
                 self.info, self.bs_luma, self.use_masking,
                 self.use_dering, 0, refs, packet, False,
-                tile_workers=self.tile_workers, out_info=oi, acct=acct)
+                tile_workers=self.tile_workers, out_info=oi, acct=acct,
+                dres=dres)
             # B frames are not references; no rotation.
             return rec
         refs = [self.ref_prev]
@@ -975,7 +1012,7 @@ class DecoderSession:
         rec = _code_inter_packet(
             self.info, self.bs_luma, self.use_masking, self.use_dering,
             0, refs, packet, False, tile_workers=self.tile_workers,
-            out_info=oi, acct=acct)
+            out_info=oi, acct=acct, dres=dres)
         self._rotate(rec, ftype)
         return rec
 

@@ -156,6 +156,25 @@ def _merge_adapt(row, curr, speed):
                                       - row[OD_ADAPT_COUNT_EX_Q8]) >> speed
 
 
+def _isynth_band(y, qg, itheta, noref, r0, n, q0, qm, qm_inv):
+    """Integer-spec synthesis of one band (pvq/isynth.py): the dres-mode
+    replacement of core.synthesis_partial, identical on every backend."""
+    from .isynth import isynthesis_noref, isynthesis_ref, pred_gain_q8
+
+    y = np.asarray(y, dtype=np.int64)
+    if noref:
+        return isynthesis_noref(y[None, :n], np.asarray([qg]), q0,
+                                qm_inv)[0]
+    rq_q4, gr_q8, _, _, goff_q8 = pred_gain_q8(r0[None], qm, q0)
+    m = int(np.argmax(np.abs(rq_q4[0])))
+    yf = np.zeros((1, n), dtype=np.int64)
+    yf[0, :m] = y[:m]
+    yf[0, m + 1:] = y[m:n - 1]
+    return isynthesis_ref(yf, rq_q4, gr_q8, goff_q8,
+                          np.asarray([qg]), np.asarray([itheta]), q0,
+                          qm_inv)[0]
+
+
 # -- pulse search ---------------------------------------------------------
 
 
@@ -308,26 +327,30 @@ def _pvq_rate(qg, icgr, theta, ts, adapt, y, k, n, is_keyframe, pli,
 def pvq_theta(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
               beta: float, robust: bool, is_keyframe: bool, pli: int,
               adapt: PvqAdapt, bs: int, qm: np.ndarray,
-              qm_inv: np.ndarray):
+              qm_inv: np.ndarray, dres: bool = False):
     """Per-band RDO quantization (pvq_theta, pvq_encoder.c:311-533).
 
     Returns dict with out, y, qg_coded, itheta, max_theta, k, skip_diff.
     Dispatches the candidate search to the native library when possible;
     synthesis always runs through the same Python path the decoder uses
     so reconstruction cannot diverge.
-    """
+
+    dres: device-residual mode — the band is a noref residual (caller
+    passes r0 == 0) and reconstruction uses the INTEGER synthesis spec
+    (pvq/isynth.py) with integer k, so the decoder's reconstruction is
+    reproducible bit-exactly on every backend, including the TPU."""
     lib = _native_search()
     if lib and not EXACT_RATE and n > 1:
         res = _pvq_theta_native(lib, x0, r0, n, q0, beta, robust,
-                                is_keyframe, pli, qm, qm_inv)
+                                is_keyframe, pli, qm, qm_inv, dres)
         if res is not None:
             return res
     return _pvq_theta_py(x0, r0, n, q0, beta, robust, is_keyframe, pli,
-                         adapt, bs, qm, qm_inv)
+                         adapt, bs, qm, qm_inv, dres)
 
 
 def _pvq_theta_native(lib, x0, r0, n, q0, beta, robust, is_keyframe,
-                      pli, qm, qm_inv):
+                      pli, qm, qm_inv, dres=False):
     import ctypes
 
     if not hasattr(lib, "_theta_ready"):
@@ -363,11 +386,12 @@ def _pvq_theta_native(lib, x0, r0, n, q0, beta, robust, is_keyframe,
     return _finish_band(x0, r0, n, q0, beta, robust, is_keyframe, pli,
                         qm, qm_inv, int(qg.value), int(itheta.value),
                         bool(noref.value), int(k.value), y,
-                        float(skip_diff.value))
+                        float(skip_diff.value), dres)
 
 
 def _finish_band(x0, r0, n, q0, beta, robust, is_keyframe, pli, qm,
-                 qm_inv, qgv, ithetav, norefv, kv, y, skip_diff_v):
+                 qm_inv, qgv, ithetav, norefv, kv, y, skip_diff_v,
+                 dres=False):
     """Decoder-identical post-processing of native search choices:
     k re-check, skip decisions, synthesis, gain interleave."""
     # Recompute everything the decoder recomputes, in Python floats.
@@ -386,7 +410,11 @@ def _finish_band(x0, r0, n, q0, beta, robust, is_keyframe, pli, qm,
         qcg = qgv + gain_offset
         ts = core.compute_max_theta(qcg, beta)
         theta = core.compute_theta(ithetav, ts)
-    if (norefv and qgv != 0) or (not norefv and ithetav != 0):
+    if dres:
+        from .isynth import icompute_k
+
+        k_py = int(icompute_k(n, norefv, qgv if norefv else ithetav))
+    elif (norefv and qgv != 0) or (not norefv and ithetav != 0):
         k_py = core.compute_k(qcg, ithetav, theta, norefv, n, beta,
                               robust or is_keyframe)
     else:
@@ -423,6 +451,9 @@ def _finish_band(x0, r0, n, q0, beta, robust, is_keyframe, pli, qm,
     if skip:
         out = r0.copy() if skip == SKIP_COPY else np.zeros(n,
                                                            dtype=np.int32)
+    elif dres:
+        out = _isynth_band(y, qgv, ithetav, norefv, r0, n, q0, qm,
+                           qm_inv)
     else:
         rr = r0.astype(np.float64) * qmf
         if norefv:
@@ -447,7 +478,7 @@ def _finish_band(x0, r0, n, q0, beta, robust, is_keyframe, pli, qm,
     }
 
 
-def batch_band_search(bands, robust, is_keyframe):
+def batch_band_search(bands, robust, is_keyframe, dres=False):
     """Search many independent bands in ONE native call
     (dtpu_pvq_theta_batch), then finish each decoder-identically.
 
@@ -460,7 +491,7 @@ def batch_band_search(bands, robust, is_keyframe):
         return [
             pvq_theta(b["x0"], b["r0"], len(b["x0"]), b["q0"], b["beta"],
                       robust, is_keyframe, b["pli"], None, 0, b["qm"],
-                      b["qm_inv"])
+                      b["qm_inv"], dres)
             for b in bands
         ]
     if not hasattr(lib, "_batch_ready"):
@@ -510,14 +541,21 @@ def batch_band_search(bands, robust, is_keyframe):
             b["x0"], b["r0"], hi - lo, b["q0"], b["beta"], robust,
             is_keyframe, b["pli"], b["qm"], b["qm_inv"], int(qg[i]),
             int(itheta[i]), bool(norefs[i]), int(ks[i]),
-            ys[lo:hi].copy(), float(sds[i])))
+            ys[lo:hi].copy(), float(sds[i]), dres))
     return out
 
 
 def _pvq_theta_py(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
                   beta: float, robust: bool, is_keyframe: bool, pli: int,
                   adapt: PvqAdapt, bs: int, qm: np.ndarray,
-                  qm_inv: np.ndarray):
+                  qm_inv: np.ndarray, dres: bool = False):
+    if dres:
+        from .isynth import icompute_k
+
+        def _k_of(qcg, j, qt, noref, nn, b, nd):
+            return int(icompute_k(nn, noref, int(qcg) if noref else j))
+    else:
+        _k_of = core.compute_k
     lam = PVQ_LAMBDA
     gain_weight = 1.4
     qmf = qm.astype(np.float64) * core.QM_SCALE_1
@@ -575,8 +613,8 @@ def _pvq_theta_py(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
                            min(ts - 1,
                                int(np.ceil(theta * 2 / np.pi * ts))) + 1):
                 qtheta = core.compute_theta(j, ts)
-                k = core.compute_k(qcg, j, qtheta, False, n, beta,
-                                   robust or is_keyframe)
+                k = _k_of(qcg, j, qtheta, False, n, beta,
+                          robust or is_keyframe)
                 y_tmp, cos_dist = pvq_search(
                     x, k, qcg * cg * np.sin(theta) * np.sin(qtheta))
                 dist_theta = (2 - 2 * np.cos(theta - qtheta)
@@ -602,8 +640,8 @@ def _pvq_theta_py(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
         x1 = x0.astype(np.float64) * qmf
         for i in range(max(1, int(np.floor(cg))), int(np.ceil(cg)) + 1):
             qcg = float(i)
-            k = core.compute_k(qcg, -1, -1, True, n, beta,
-                               robust or is_keyframe)
+            k = _k_of(qcg, -1, -1, True, n, beta,
+                      robust or is_keyframe)
             y_tmp, cos_dist = pvq_search(x1, k, qcg * cg)
             dist = (gain_weight * (qcg - cg) * (qcg - cg)
                     + qcg * cg * (2 - 2 * cos_dist))
@@ -631,6 +669,8 @@ def _pvq_theta_py(x0: np.ndarray, r0: np.ndarray, n: int, q0: int,
             skip = SKIP_COPY
     if skip:
         out = r0.copy() if skip == SKIP_COPY else np.zeros(n, dtype=np.int32)
+    elif dres:
+        out = _isynth_band(y, qg, itheta, noref, r0, n, q0, qm, qm_inv)
     else:
         go = 0.0 if noref else gain_offset
         g_out = core.gain_expand(qg + go, q0, beta)
@@ -765,7 +805,7 @@ def _encode_partition(enc: RangeEncoder, adapt: PvqAdapt, qg, theta,
 def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
                       ref, beta, robust, is_keyframe, pli,
                       cdf_ctx, cfl, has_skip, skip_rest, band, bs,
-                      qm, qm_inv):
+                      qm, qm_inv, dres=False):
     """Returns (out, noref, skip)."""
     h = getattr(dec, "_h", None)
     lib = _partition_lib() if h is not None else False
@@ -856,7 +896,12 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
         qcg = float(qg)
         if qg == 0:
             skip = SKIP_ZERO
-    k = core.compute_k(qcg, itheta, theta, noref, n, beta, nodesync)
+    if dres:
+        from .isynth import icompute_k
+
+        k = int(icompute_k(n, noref, qg if noref else itheta))
+    else:
+        k = core.compute_k(qcg, itheta, theta, noref, n, beta, nodesync)
     if k != 0:
         if lib:
             y = np.zeros(n, dtype=np.int64)
@@ -878,6 +923,8 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
         cfl["allow_flip"] = False
     if skip:
         out = ref.copy() if skip == SKIP_COPY else np.zeros(n, dtype=np.int32)
+    elif dres:
+        out = _isynth_band(y, qg, itheta, noref, ref, n, q0, qm, qm_inv)
     else:
         rf = ref.astype(np.float64) * (qm.astype(np.float64)
                                        * core.QM_SCALE_1)
@@ -896,7 +943,7 @@ def pvq_encode_block(enc: RangeEncoder, state, ref: np.ndarray,
                      dblock: np.ndarray, q0: int, pli: int, bs: int,
                      beta, robust: bool, is_keyframe: bool,
                      qm: np.ndarray, qm_inv: np.ndarray,
-                     precomputed=None) -> tuple:
+                     precomputed=None, dres: bool = False) -> tuple:
     """Encode one block's AC bands (od_pvq_encode, pvq_encoder.c:645-815).
 
     `state` carries .pvq (PvqAdapt), .skip_cdf, .skip_increment,
@@ -931,7 +978,7 @@ def pvq_encode_block(enc: RangeEncoder, state, ref: np.ndarray,
                             off[i + 1] - off[i], q, beta[i], robust,
                             is_keyframe, pli, adapt, bs,
                             qm[off[i]:off[i + 1]],
-                            qm_inv[off[i]:off[i + 1]])
+                            qm_inv[off[i]:off[i + 1]], dres)
         out[off[i]:off[i + 1]] = res["out"]
         results.append(res)
         skip_diff += res["skip_diff"]
@@ -1022,7 +1069,8 @@ def pvq_encode_block(enc: RangeEncoder, state, ref: np.ndarray,
 def pvq_decode_block(dec: RangeDecoder, state, ref: np.ndarray, q0: int,
                      pli: int, bs: int, beta, robust: bool,
                      is_keyframe: bool, block_skip: int,
-                     qm: np.ndarray, qm_inv: np.ndarray) -> np.ndarray:
+                     qm: np.ndarray, qm_inv: np.ndarray,
+                     dres: bool = False) -> np.ndarray:
     """Decode one block's AC bands (od_pvq_decode, pvq_decoder.c:311-387).
 
     Returns the coding-order output vector with out[0] = DC-nonzero flag
@@ -1059,7 +1107,7 @@ def pvq_decode_block(dec: RangeDecoder, state, ref: np.ndarray, q0: int,
             (1 if pli != 0 else 0) * NBSIZES * PVQ_MAX_PARTITIONS
             + bs * PVQ_MAX_PARTITIONS + i,
             cfl, 1 if (i == 0 and i < nb_bands - 1) else 0, skip_rest, i,
-            bs, qm[off[i]:off[i + 1]], qm_inv[off[i]:off[i + 1]])
+            bs, qm[off[i]:off[i + 1]], qm_inv[off[i]:off[i + 1]], dres)
         out[off[i]:off[i + 1]] = o
         if i == 0 and not skip_rest[0] and bs > 0:
             skip_dir = decode_cdf_adapt(

@@ -70,6 +70,7 @@ class _WalkCtx(ctypes.Structure):
         ("d_b_noref", c_void_p), ("d_b_k", c_void_p), ("d_b_q", c_void_p),
         ("d_y", c_void_p),
         ("n_leaves", c_int64), ("n_bands", c_int64), ("y_len", c_int64),
+        ("dres", c_int32),
     ]
 
 
@@ -118,7 +119,13 @@ def _load():
     lib.dtpu_key_walk.argtypes = [c_void_p, POINTER(_KeyCtx), c_int32]
     lib.dtpu_key_walk.restype = c_int32
     lib.dtpu_pvq_synth_batch.argtypes = [c_int32] + [c_void_p] * 9 + [
-        c_void_p, c_int32, c_void_p, c_void_p]
+        c_void_p, c_int32, c_void_p, c_void_p, c_int32]
+    # Register the sin LUT format constants for the integer synthesis.
+    from .isynth import SIN_Q15
+
+    lut = np.ascontiguousarray(SIN_Q15, dtype=np.int64)
+    lib.dtpu_set_sin_lut.argtypes = [c_void_p]
+    lib.dtpu_set_sin_lut(lut.ctypes.data_as(c_void_p))
     _LIB = lib
     return lib
 
@@ -132,9 +139,10 @@ def _vp(a):
 
 
 def synth_batch(offsets, r0s, qms, qm_invs, ys, qgs, ithetas, norefs,
-                q0s, betas, is_keyframe, plis):
+                q0s, betas, is_keyframe, plis, isynth=False):
     """Batched PVQ band synthesis (both sides).  All arrays int32
-    except betas (f64); returns the int32 flattened out vectors."""
+    except betas (f64); returns the int32 flattened out vectors.
+    isynth selects the integer-spec synthesis (dres stream mode)."""
     lib = _load()
     nb = len(offsets) - 1
     outs = np.zeros(int(offsets[-1]), dtype=np.int32)
@@ -143,7 +151,7 @@ def synth_batch(offsets, r0s, qms, qm_invs, ys, qgs, ithetas, norefs,
     lib.dtpu_pvq_synth_batch(
         nb, _vp(offsets), _vp(r0s), _vp(qms), _vp(qm_invs), _vp(ys),
         _vp(qgs), _vp(ithetas), _vp(norefs), _vp(q0s), _vp(betas),
-        int(is_keyframe), _vp(plis), _vp(outs))
+        int(is_keyframe), _vp(plis), _vp(outs), int(bool(isynth)))
     return outs
 
 
@@ -157,9 +165,12 @@ class Pre:
     )
 
 
-def prepass_search(pcs, state, use_masking):
+def prepass_search(pcs, state, use_masking, dres=False):
     """Flatten every leaf of every plane, run the batched band search
-    and the batched synthesis.  Returns a Pre."""
+    and the batched synthesis.  Returns a Pre.
+
+    dres: bands are noref residuals (x0 = d - predt, r0 = 0) with the
+    integer k rule and integer synthesis."""
     import ctypes as ct
 
     from ..pipeline.grid import block_positions
@@ -230,8 +241,13 @@ def prepass_search(pcs, state, use_masking):
         # Flattened AC segment per leaf is contiguous: coding indices
         # [1, 1+clen) in leaf order.
         seg = slice(off0, off0 + nleaf * clen)
-        x0s[seg] = dbs[:, 1:1 + clen].ravel()
-        pre.r0s[seg] = predts[:, 1:1 + clen].ravel()
+        if dres:
+            x0s[seg] = (dbs[:, 1:1 + clen]
+                        - predts[:, 1:1 + clen]).ravel()
+            pre.r0s[seg] = 0
+        else:
+            x0s[seg] = dbs[:, 1:1 + clen].ravel()
+            pre.r0s[seg] = predts[:, 1:1 + clen].ravel()
         pre.qms[seg] = np.tile(state.qm[bs][1:1 + clen], nleaf)
         pre.qm_invs[seg] = np.tile(state.qm_inv[bs][1:1 + clen], nleaf)
         beta = pvq_betas(use_masking, pli, bs)
@@ -263,10 +279,47 @@ def prepass_search(pcs, state, use_masking):
             _vp(pre.itheta), _vp(pre.max_theta), _vp(pre.k),
             _vp(pre.noref), _vp(pre.skip_diff), _vp(extras))
     del ct
+    if dres and nbands:
+        _recheck_k_int(pre, x0s)
     pre.outs = synth_batch(
         pre.offsets, pre.r0s, pre.qms, pre.qm_invs, pre.y, pre.qg,
-        pre.itheta, pre.noref, pre.q0s, pre.betas, 0, pre.plis)
+        pre.itheta, pre.noref, pre.q0s, pre.betas, 0, pre.plis,
+        isynth=dres)
     return pre
+
+
+def _recheck_k_int(pre, x0s):
+    """dres: the decoder derives k with the INTEGER rule
+    (isynth.icompute_k); redo the pulse search for the (rare) bands
+    where the float search used a different k."""
+    from .coding import pvq_search
+    from .core import QM_SCALE_1
+    from .isynth import icompute_k
+
+    ns = np.diff(pre.offsets)
+    v = np.where(pre.noref != 0, pre.qg, pre.itheta)
+    k_int = np.zeros_like(pre.k)
+    for n in np.unique(ns):
+        m_nr = (ns == n) & (pre.noref != 0)
+        m_rf = (ns == n) & (pre.noref == 0)
+        if m_nr.any():
+            k_int[m_nr] = icompute_k(int(n), True, v[m_nr])
+        if m_rf.any():
+            k_int[m_rf] = icompute_k(int(n), False, v[m_rf])
+    bad = np.nonzero(k_int != pre.k)[0]
+    for b in bad:
+        lo, hi = int(pre.offsets[b]), int(pre.offsets[b + 1])
+        n = hi - lo
+        kk = int(k_int[b])
+        if kk <= 0 or not pre.noref[b]:
+            pre.y[lo:hi] = 0
+            pre.k[b] = kk
+            continue
+        qmf = pre.qms[lo:hi].astype(np.float64) * QM_SCALE_1
+        xs = x0s[lo:hi].astype(np.float64) * qmf
+        yv, _ = pvq_search(xs, kk, max(float(pre.qg[b]), 1e-3))
+        pre.y[lo:hi] = yv
+        pre.k[b] = kk
 
 
 def _fill_ctx(ctx, state, pcs, rows, nhsb, use_masking, keep):
@@ -319,11 +372,12 @@ def _fill_ctx(ctx, state, pcs, rows, nhsb, use_masking, keep):
 
 
 def walk_enc(ec, state, pcs, pre: Pre, rows, nhsb, use_masking,
-             out_dc, out_acskip, out_bskip):
+             out_dc, out_acskip, out_bskip, dres=False):
     """One tile's encoder symbol pass (native)."""
     lib = _load()
     keep = []
     ctx = _WalkCtx()
+    ctx.dres = int(bool(dres))
     _fill_ctx(ctx, state, pcs, rows, nhsb, use_masking, keep)
     for pli in range(len(pcs)):
         ctx.leaf_slot[pli] = _vp(pre.leaf_slot[pli])
@@ -343,12 +397,13 @@ def walk_enc(ec, state, pcs, pre: Pre, rows, nhsb, use_masking,
     lib.dtpu_inter_walk(ec._h, ctypes.byref(ctx), 1)
 
 
-def walk_dec(ec, state, pcs, rows, nhsb, use_masking):
+def walk_dec(ec, state, pcs, rows, nhsb, use_masking, dres=False):
     """One tile's decoder symbol pass (native).  Returns dict with the
     appended leaf/band arrays, trimmed to the real counts."""
     lib = _load()
     keep = []
     ctx = _WalkCtx()
+    ctx.dres = int(bool(dres))
     _fill_ctx(ctx, state, pcs, rows, nhsb, use_masking, keep)
     r0, r1 = rows
     w4 = pcs[0].grid.shape[1]
@@ -395,9 +450,11 @@ def walk_dec(ec, state, pcs, rows, nhsb, use_masking):
     }
 
 
-def assemble_recon(pcs, pre: Pre, out_dc, out_acskip, out_bskip):
+def assemble_recon(pcs, pre: Pre, out_dc, out_acskip, out_bskip,
+                   dres=False):
     """Encoder-side batched writeback: synthesized bands + walk DC/skip
-    decisions -> pc.d and pc.bskip."""
+    decisions -> pc.d and pc.bskip.  In dres mode the synthesized bands
+    are residuals: the transformed prediction is added back."""
     from .scan import coding_to_raster
 
     for (pli, bs, ys, xs, slot0, nleaf) in pre.groups:
@@ -412,6 +469,8 @@ def assemble_recon(pcs, pre: Pre, out_dc, out_acskip, out_bskip):
         predts = pc.mcpred[bs][1][ys // n, xs // n]
         preds = pc.mcpred[bs][0][ys // n, xs // n]
         acskip = out_acskip[slot0:slot0 + nleaf].astype(bool)
+        if dres:
+            seg = seg + predts[:, 1:1 + clen]
         outv = np.zeros((nleaf, ncoded), dtype=np.int32)
         outv[:, 1:1 + clen] = np.where(acskip[:, None],
                                        predts[:, 1:1 + clen], seg)
@@ -434,7 +493,7 @@ def _mark_bskip_batch(pc, ys, xs, n, bskip):
         pc.bskip[c0:c0 + span, c1:c1 + span] = 1
 
 
-def assemble_dec(pcs, state, results, use_masking):
+def assemble_dec(pcs, state, results, use_masking, dres=False):
     """Decoder-side batched synthesis + writeback from one or more
     tiles' walk outputs (list of dicts from walk_dec)."""
     pli_a = np.concatenate([r["pli"] for r in results])
@@ -481,7 +540,7 @@ def assemble_dec(pcs, state, results, use_masking):
         for b in range(nb):
             lo, hi = offs[b], offs[b + 1]
             bn = hi - lo
-            r0s[pos:pos + bn] = predt[lo:hi]
+            r0s[pos:pos + bn] = 0 if dres else predt[lo:hi]
             qms[pos:pos + bn] = state.qm[bs][lo:hi]
             qm_invs[pos:pos + bn] = state.qm_inv[bs][lo:hi]
             betas[bi] = beta[b]
@@ -491,7 +550,7 @@ def assemble_dec(pcs, state, results, use_masking):
             offsets[bi] = pos
         del pc, n
     outs = synth_batch(offsets, r0s, qms, qm_invs, ys_flat, b_qg, b_it,
-                       b_nr, b_q, betas, 0, plis)
+                       b_nr, b_q, betas, 0, plis, isynth=dres)
     # Scatter per (pli, bs) group.
     for pli in range(len(pcs)):
         pc = pcs[pli]
@@ -517,6 +576,8 @@ def assemble_dec(pcs, state, results, use_masking):
                     b0 = int(leaf_band0[li])
                     o0 = int(offsets[b0])
                     segs[j] = outs[o0:o0 + clen]
+                if dres:
+                    segs = segs + predts[coded, 1:1 + clen]
                 outv[coded, 1:1 + clen] = segs
             outv[:, 0] = dc_a[sel]
             blocks = coding_to_raster(outv, n,

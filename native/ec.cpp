@@ -1502,16 +1502,109 @@ inline int rdo_quant_c(int x, int q, double delta0, double lambda) {
 
 }  // namespace
 
+// ---- integer-spec (dres mode) helpers: pvq/isynth.py twins ----------
+extern "C" int64_t dtpu_isqrt64(int64_t v);
+extern "C" int64_t dtpu_sin_q15(const int64_t* lut, int64_t u_q16);
+extern "C" void dtpu_isynth_noref(const int64_t* y, const int64_t* qg,
+                                  int B, int n, int64_t q0,
+                                  const int64_t* qm_inv, int32_t* out);
+extern "C" void dtpu_isynth_ref(const int64_t* y, const int64_t* rq_q4,
+                                const int64_t* gr_q8,
+                                const int64_t* goff_q8,
+                                const int64_t* qg, const int64_t* itheta,
+                                int B, int n, int64_t q0,
+                                const int64_t* qm_inv,
+                                const int64_t* sin_lut, int32_t* out);
+
+// Quarter-wave sine LUT (format constants, registered from Python so
+// libm drift cannot silently change the stream format).
+static int64_t g_sin_lut[257];
+extern "C" void dtpu_set_sin_lut(const int64_t* lut) {
+  memcpy(g_sin_lut, lut, sizeof(g_sin_lut));
+}
+
+namespace {
+
+// Integer k rule (isynth.icompute_k): slope is exact because sqrt is
+// correctly rounded and *65536 is a power-of-two scale.
+inline int icompute_k_c(int n, int noref, int64_t v) {
+  if (v <= 0) return 0;
+  int add = noref ? 3 : 2;
+  int64_t slope =
+      (int64_t)std::llround(std::sqrt((n + add) / 2.0) * 65536.0);
+  int64_t k = (v * slope - slope / 5 + ((int64_t)1 << 15)) >> 16;
+  return k < 1 ? 1 : (int)k;
+}
+
+// One band's integer-spec synthesis incl. the skip rules — the dres
+// replacement of the float band synthesis below.  y is the codeword
+// (n entries noref, n-1 entries ref with the axis position excluded).
+void isynth_band_c(const int32_t* r0, const int32_t* qm,
+                   const int32_t* qmi, const int32_t* y, int n, int qg,
+                   int itheta, int noref, int q0, int is_keyframe,
+                   int pli, int32_t* out) {
+  int64_t y64[128], qmi64[128];
+  for (int i = 0; i < n; i++) qmi64[i] = qmi[i];
+  if (noref) {
+    if (qg <= 0) {
+      for (int i = 0; i < n; i++) out[i] = 0;
+      return;
+    }
+    for (int i = 0; i < n; i++) y64[i] = y[i];
+    int64_t qg64 = qg;
+    dtpu_isynth_noref(y64, &qg64, 1, n, q0, qmi64, out);
+    return;
+  }
+  int cfl = is_keyframe && pli != 0;
+  int64_t rq_q4[128];
+  int64_t ss = 0;
+  for (int i = 0; i < n; i++) {
+    rq_q4[i] = ((int64_t)r0[i] * qm[i] + ((int64_t)1 << 10)) >> 11;
+    ss += rq_q4[i] * rq_q4[i];
+  }
+  int64_t gr_q8 = dtpu_isqrt64(ss << 8);
+  int64_t cgr_q8 = gr_q8 / q0;
+  if (cfl) cgr_q8 = 256;
+  int64_t icgr = (cgr_q8 + 128) >> 8;
+  int64_t goff_q8 = cgr_q8 - (icgr << 8);
+  int skip = 0;
+  if (!is_keyframe && qg == 0) skip = icgr ? 1 : 2;
+  if (qg == icgr && itheta == 0 && !cfl) skip = 2;
+  if (skip == 2) {
+    for (int i = 0; i < n; i++) out[i] = r0[i];
+    return;
+  }
+  if (skip == 1) {
+    for (int i = 0; i < n; i++) out[i] = 0;
+    return;
+  }
+  int m = 0;
+  int64_t mabs = -1;
+  for (int i = 0; i < n; i++) {
+    int64_t a = rq_q4[i] < 0 ? -rq_q4[i] : rq_q4[i];
+    if (a > mabs) { mabs = a; m = i; }
+  }
+  for (int i = 0; i < m; i++) y64[i] = y[i];
+  y64[m] = 0;
+  for (int i = m + 1; i < n; i++) y64[i] = y[i - 1];
+  int64_t qg64 = qg, it64 = itheta;
+  dtpu_isynth_ref(y64, rq_q4, &gr_q8, &goff_q8, &qg64, &it64, 1, n, q0,
+                  qmi64, g_sin_lut, out);
+}
+
+}  // namespace
+
 // Batched synthesis of PVQ bands (od_pvq_synthesis_partial pvq.c:552 +
 // the skip rules of pvq_encoder.c:718-813 / pvq_decoder.c:311-387).
 // Inputs are per band; qg is in the TRUE (decoded) domain.  Used by
 // both sides so reconstruction is identical by construction.
+// isynth != 0 selects the integer-spec synthesis (dres stream mode).
 extern "C" int dtpu_pvq_synth_batch(
     int nb, const int32_t* offsets, const int32_t* r0s,
     const int32_t* qms, const int32_t* qm_invs, const int32_t* ys,
     const int32_t* qgs, const int32_t* ithetas, const int32_t* norefs,
     const int32_t* q0s, const double* betas, int is_keyframe,
-    const int32_t* plis, int32_t* outs) {
+    const int32_t* plis, int32_t* outs, int isynth) {
   for (int b = 0; b < nb; b++) {
     int lo = offsets[b];
     int n = offsets[b + 1] - lo;
@@ -1522,6 +1615,11 @@ extern "C" int dtpu_pvq_synth_batch(
     int32_t* out = outs + lo;
     int qg = qgs[b], itheta = ithetas[b], noref = norefs[b];
     int q0 = q0s[b];
+    if (isynth) {
+      isynth_band_c(r0, qm, qmi, y, n, qg, itheta, noref, q0,
+                    is_keyframe, plis[b], out);
+      continue;
+    }
     double beta = betas[b];
     int cfl = is_keyframe && plis[b] != 0;
     double gr = 0, cgr = 0, gain_offset = 0;
@@ -1654,6 +1752,9 @@ struct DtpuWalkCtx {
   int32_t* d_b_q;      // band quantizer (for synthesis)
   int32_t* d_y;        // flattened (band offsets implied by leaf bs)
   int64_t n_leaves, n_bands, y_len;
+  // device-residual mode: bands are noref residuals with the integer
+  // synthesis spec; the per-band ref is the zero vector.
+  int32_t dres;
 };
 
 namespace {
@@ -1745,6 +1846,10 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
     int bqg = c->b_qg[s0 + i];
     if (c->b_noref[s0 + i]) {
       qgc[i] = bqg - 1;
+    } else if (c->dres) {
+      // dres: the band ref is the zero vector -> icgr == 0 exactly.
+      qgc[i] = neg_interleave_c(bqg + 1, 1);
+      (void)lo; (void)bn; (void)q;
     } else {
       double gr;
       double cgr = band_cgr(predt + lo, c->qm[bs] + lo, bn, q, beta, &gr);
@@ -1877,8 +1982,8 @@ void dec_leaf_inter(Decoder* d, DtpuWalkCtx* c, int pli, int bs, int bsi,
       double qcg;
       if (!noref) {
         double gr;
-        double cgr = band_cgr(predt + lo, c->qm[bs] + lo, bn, q, beta,
-                              &gr);
+        double cgr = c->dres ? 0.0
+            : band_cgr(predt + lo, c->qm[bs] + lo, bn, q, beta, &gr);
         int icgr = (int)std::floor(.5 + cgr);
         qg = neg_deinterleave_c(qg, icgr + 1) - 1;
         double gain_offset = cgr - icgr;
@@ -1895,8 +2000,10 @@ void dec_leaf_inter(Decoder* d, DtpuWalkCtx* c, int pli, int bs, int bsi,
         qg += 1;  // inter
         qcg = (double)qg;
       }
-      int k = compute_k_v(qcg, noref ? -1 : itheta, 0.0, noref, bn, beta,
-                          /*nodesync=*/1);
+      int k = c->dres
+          ? icompute_k_c(bn, noref, noref ? qg : itheta)
+          : compute_k_v(qcg, noref ? -1 : itheta, 0.0, noref, bn, beta,
+                        /*nodesync=*/1);
       int64_t yi = c->y_len;
       int64_t y64[128];
       for (int t = 0; t < bn; t++) y64[t] = 0;
