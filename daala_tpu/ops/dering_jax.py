@@ -45,8 +45,12 @@ def _dir_find8_jax(blocks):
     p = partial
     nblk = x.shape[0]
     cost = jnp.zeros((nblk, 8), dtype=jnp.int32)
-    cost = cost.at[:, 2].set((p[:, 2, :8] ** 2 >> 3).sum(axis=1))
-    cost = cost.at[:, 6].set((p[:, 6, :8] ** 2 >> 3).sum(axis=1))
+    # dtype pinned: under x64 jnp.sum would promote to int64 and then
+    # unsafely cast back on the scatter.
+    cost = cost.at[:, 2].set((p[:, 2, :8] ** 2 >> 3)
+                             .sum(axis=1, dtype=jnp.int32))
+    cost = cost.at[:, 6].set((p[:, 6, :8] ** 2 >> 3)
+                             .sum(axis=1, dtype=jnp.int32))
     for d in (0, 4):
         c = jnp.zeros(nblk, dtype=jnp.int32)
         for i in range(7):

@@ -1,0 +1,617 @@
+"""Device-side encode, end to end: the TPU computes EVERY encoder
+decision and reconstruction for a chunk of P frames — motion search,
+mesh-level RDO, decoder-exact mixed OBMC prediction, lapped transforms,
+stream-valid PVQ symbols through the INTEGER synthesis spec
+(pvq/isynth.py), DC quantization, and the directional dering filter
+with per-SB flags — and the host merely range-codes the returned symbol
+tensors into a standard dres-mode packet (pipeline/inter.py stream
+layout).  The decoder (DecoderSession) reconstructs bit-identically to
+the reconstruction the device carried as its reference: the
+--enable-encoder-check invariant (encode.c:3204-3243) holds across the
+host/device boundary.
+
+Why this shape: the reference interleaves search, quantization and
+entropy coding per block (daala_encode_img_in, encode.c:2876-3201); on
+TPU the only fast shape is one fused lax.scan per GOP chunk with the
+reconstruction carried on device (SURVEY.md section 2.11).  The serial
+range coding stays on the host (native C++ walk, pvq/native_walk.py)
+and overlaps the device's compute on the next chunk.
+
+Prediction exactness: the decoder predicts from the CODED mesh — every
+vertex the per-SB levels require is entropy-coded (= the searched
+value rounded to the frame MV resolution), the rest interpolate
+(search/mesh.py fill_stride).  The device therefore simulates the
+decoded mesh: level-0/1/2 superblocks read only coded (truth) lattice
+vertices, and the coarse64 stride-4 lattice is rebuilt as
+"interpolated from the 64 px lattice, except where a neighboring
+finer superblock forces the vertex to be coded" (_sim_stride4) —
+bit-exact with mesh.required_stride + fill_stride.
+
+Stream constraints of this mode (all enforced):
+  * dres P frames (container flag bit 6): bands are noref residuals,
+    integer k rule + integer synthesis;
+  * every inter frame is coded FT_GOLDEN so the reference set is
+    always {prev} (single-ref device search);
+  * fixed block sizes (bs_luma=1: 8x8 luma, 4x4 chroma), masking off,
+    8-bit, frame dims 64-aligned.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from ..core.quant import N_CODED_QUANTIZERS, QM8_HVS, \
+    codedquantizer_to_quantizer, init_qm
+from ..core.state import interp_pvq_qm
+from ..pvq.isynth import icompute_k
+from ..pvq.scan import BAND_OFFSETS
+
+__all__ = ["make_device_chunk_fn", "pack_device_frame",
+           "DeviceEncoderSession", "PAD"]
+
+PAD = 80  # carry padding: 60 px search range + subpel/OBMC apron
+
+
+# ---------------------------------------------------------------------------
+# device side (jax)
+# ---------------------------------------------------------------------------
+
+
+def _lap_idx(extent, rows):
+    import numpy as _np
+
+    r = _np.asarray(rows, dtype=_np.int32)
+    return r[:, None] + _np.arange(-2, 2)
+
+
+def _fwd_input(c, bs):
+    """Uniform lapped forward transform of an input plane — twin of
+    prefilter_plane_grid + fdct_plane_grid on a uniform grid."""
+    from ..ops.dct import fdct2d
+    from .device import _lap_h_idx, _to_blocks, _from_blocks, lap_cols, \
+        lap_rows
+
+    n = 4 << bs
+    h, w = c.shape[-2], c.shape[-1]
+    c = lap_rows(c, _lap_h_idx(h, n))
+    c = lap_cols(c, _lap_h_idx(w, n))
+    return _from_blocks(fdct2d(_to_blocks(c, n), n), h, w, n)
+
+
+def _fwd_pred(p, bs, xdec):
+    """Lapped transform of the MC prediction — twin of the
+    _mc_pred_tables cascade (SB-edge pass, then per-level middle
+    crosses, H then V within each pass) read at block size bs."""
+    import numpy as _np
+
+    from ..ops.dct import fdct2d
+    from .device import _to_blocks, _from_blocks, lap_cols, lap_rows
+
+    n = 4 << bs
+    h, w = p.shape[-2], p.shape[-1]
+    sbn = 32 >> xdec
+    c = lap_rows(p, _lap_idx(h, _np.arange(sbn, h, sbn)))
+    c = lap_cols(c, _lap_idx(w, _np.arange(sbn, w, sbn)))
+    npx = sbn
+    while npx > n:
+        mid = npx >> 1
+        c = lap_rows(c, _lap_idx(h, _np.arange(mid, h, npx)))
+        c = lap_cols(c, _lap_idx(w, _np.arange(mid, w, npx)))
+        npx = mid
+    return _from_blocks(fdct2d(_to_blocks(c, n), n), h, w, n)
+
+
+def _inv(d, bs):
+    """Batched idct + uniform postfilter — twin of _to_spatial."""
+    from ..ops.dct import idct2d
+    from .device import _lap_h_idx, _to_blocks, _from_blocks, lap_cols, \
+        lap_rows
+
+    n = 4 << bs
+    h, w = d.shape[-2], d.shape[-1]
+    c = _from_blocks(idct2d(_to_blocks(d, n), n), h, w, n)
+    c = lap_cols(c, _lap_h_idx(w, n), inverse=True)
+    return lap_rows(c, _lap_h_idx(h, n), inverse=True)
+
+
+def _interp_stride4(g8):
+    """Dyadic interpolation of the stride-4 lattice from the stride-8
+    lattice — jax twin of mesh.fill_stride's s=4 pass on a 64-aligned
+    frame (== mesh._coarse64_lattice's core)."""
+    import jax.numpy as jnp
+
+    ny, nx = g8.shape[:2]
+    uy, ux = 2 * ny - 1, 2 * nx - 1
+    u = jnp.zeros((uy, ux, 2), dtype=jnp.int32)
+    u = u.at[::2, ::2].set(g8)
+    u = u.at[::2, 1::2].set((g8[:, :-1] + g8[:, 1:]) >> 1)
+    u = u.at[1::2, ::2].set((g8[:-1] + g8[1:]) >> 1)
+    u = u.at[1::2, 1::2].set((g8[:-1, :-1] + g8[:-1, 1:]
+                              + g8[1:, :-1] + g8[1:, 1:]) >> 2)
+    return u
+
+
+def _sim_stride4(g_res, levels):
+    """Decoded-mesh stride-4 lattice in the MV-resolution domain: the
+    searched (truth) value where mesh.required_stride <= 4 — i.e. any
+    superblock adjacent to the vertex codes at level 0..2 — else the
+    stride-8 interpolation (fill_stride)."""
+    import jax.numpy as jnp
+
+    u = _interp_stride4(g_res[::8, ::8])
+    g4t = g_res[::4, ::4]
+    # For 64-aligned frames the interpolated lattice covers g4t exactly.
+    assert u.shape == g4t.shape, (u.shape, g4t.shape)
+    s = jnp.where(levels == 3, 8,
+                  4 >> jnp.minimum(levels, 2)).astype(jnp.int32)
+    sp = jnp.pad(s, 1, mode="edge")
+    req = jnp.minimum(jnp.minimum(sp[:-1, :-1], sp[1:, :-1]),
+                      jnp.minimum(sp[:-1, 1:], sp[1:, 1:]))
+    return jnp.where((req <= 4)[:, :, None], g4t, u)
+
+
+def _select_by_sb(preds, levels, sb):
+    import jax.numpy as jnp
+
+    lv_px = jnp.repeat(jnp.repeat(levels, sb, 0), sb, 1)
+    stack = jnp.stack(preds)
+    return jnp.take_along_axis(stack, lv_px[None], axis=0)[0]
+
+
+def _choose_levels(cur, preds, quantizer):
+    """Per-SB subdivision RDO — twin of mesh.choose_levels costs."""
+    import jax.numpy as jnp
+
+    h, w = cur.shape
+    nsby, nsbx = h >> 5, w >> 5
+    c32 = cur.astype(jnp.int32)
+    sses = []
+    for p in preds:
+        e = c32 - p.astype(jnp.int32)
+        sses.append((e * e).reshape(nsby, 32, nsbx, 32).sum((1, 3)))
+    sse = jnp.stack(sses).astype(jnp.float32)
+    lam = 5.0 * (max(1, quantizer) / 16.0) ** 2
+    bits = np.array([1, 4, 16, 0.3], dtype=np.float32) * 7.0 + 1.6
+    cost = sse + (lam * bits)[:, None, None]
+    return jnp.argmin(cost, axis=0).astype(jnp.int32)
+
+
+def _plane_code(cur_u8, pred_u8, bs, xdec, quantizer, qm, qm_inv,
+                pvq_qm_pl):
+    """Residual coding of one plane: uniform-lap transform of the
+    input, cascade-lap transform of the prediction, stream-valid PVQ
+    symbols of the residual, reconstruction.  Returns (recon coeff
+    plane int32, dc_idx, qg, y)."""
+    import jax.numpy as jnp
+
+    from ..pvq.device_search import pvq_symbols_frame
+
+    c = (cur_u8.astype(jnp.int32) - 128) << 4
+    p = (pred_u8.astype(jnp.int32) - 128) << 4
+    dcur = _fwd_input(c, bs)
+    dp = _fwd_pred(p, bs, xdec)
+    dq, dc_idx, qg, y = pvq_symbols_frame(dcur - dp, bs, quantizer, qm,
+                                          qm_inv, pvq_qm_pl)
+    return dp + dq, dc_idx, qg, y
+
+
+def _dering_select(recs, orig_y, flags_thr, quantizer, xdecs):
+    """Directional dering with per-SB flags decided on luma distortion
+    (encoder choice; the host codes these flags verbatim).  recs are
+    coeff-domain int32 planes; returns (filtered planes, flags)."""
+    import jax.numpy as jnp
+
+    from ..ops.dering import DERING_VERY_LARGE
+    from ..ops.dering_jax import dering_padded_jax
+
+    thr = np.int32(np.power(float(max(1, quantizer)), 0.84182))
+    h, w = recs[0].shape
+    nvsb, nhsb = h >> 5, w >> 5
+
+    def _pad(plane):
+        hh, ww = plane.shape
+        P = jnp.full((hh + 6, ww + 6), DERING_VERY_LARGE,
+                     dtype=jnp.int32)
+        return P.at[3:3 + hh, 3:3 + ww].set(plane)
+
+    bufs0, dirs = dering_padded_jax(_pad(recs[0]), nhsb, nvsb, thr, 0, 0)
+    # flags: filtered-vs-unfiltered SSE on the luma source.
+    o = orig_y.reshape(nvsb, 32, nhsb, 32).transpose(0, 2, 1, 3)
+    r = recs[0].reshape(nvsb, 32, nhsb, 32).transpose(0, 2, 1, 3)
+    fe = ((o - bufs0).astype(jnp.float32) ** 2).sum((2, 3))
+    ue = ((o - r).astype(jnp.float32) ** 2).sum((2, 3))
+    flags = (fe < ue).astype(jnp.int32)
+    out = []
+    sel = jnp.where((flags > 0)[:, :, None, None], bufs0, r)
+    out.append(sel.transpose(0, 2, 1, 3).reshape(h, w))
+    for pli in range(1, len(recs)):
+        xd = xdecs[pli]
+        hh, ww = recs[pli].shape
+        n = 32 >> xd
+        bufs, _ = dering_padded_jax(_pad(recs[pli]), nhsb, nvsb, thr,
+                                    xd, 1, dirs)
+        rp = (recs[pli].reshape(nvsb, n, nhsb, n)
+              .transpose(0, 2, 1, 3))
+        selp = jnp.where((flags > 0)[:, :, None, None], bufs, rp)
+        out.append(selp.transpose(0, 2, 1, 3).reshape(hh, ww))
+    return out, flags
+
+
+def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
+                pvq_qms, use_dering, emit_recon):
+    """One P frame of the device encode: search -> level RDO ->
+    decoder-exact mixed OBMC -> residual symbols -> recon [-> dering].
+    The reconstruction is carried as the next reference."""
+    import jax.numpy as jnp
+
+    from ..ops.mc_jax import obmc_predict_jax
+    from ..search.me_jax import motion_search_dense_jax, pad_edge
+
+    ry, ru, rv = carry
+    cy, cu, cv = xs
+    hc, wc = h // 2, w // 2
+    grid = motion_search_dense_jax(cy, ry[16:16 + h + 128,
+                                         16:16 + w + 128], h, w)
+    g_res = (grid >> mv_res).astype(jnp.int32)
+    g = (g_res << mv_res).astype(jnp.int32)
+    # Candidate predictions for the level decision (encoder choice).
+    p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
+    p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
+    p_lv0c = obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5)
+    c64 = (_interp_stride4(g_res[::8, ::8] * 1)  # interp in res domain
+           << mv_res).astype(jnp.int32)
+    p_c64c = obmc_predict_jax([ry], PAD, h, w, c64, 5)
+    levels = _choose_levels(cy, [p_lv0c, p_lv1, p_lv2, p_c64c],
+                            quantizer)
+    # Decoder-exact final prediction: level-0 geometry reads the
+    # simulated decoded stride-4 lattice.
+    g4s = (_sim_stride4(g_res, levels) << mv_res).astype(jnp.int32)
+    p0 = obmc_predict_jax([ry], PAD, h, w, g4s, 5)
+    blend = jnp.where(levels == 3, 0, levels)
+    pred_y = _select_by_sb([p0, p_lv1, p_lv2], blend, 32)
+    c0 = obmc_predict_jax([ru], PAD, hc, wc, g4s >> 1, 4)
+    c1 = obmc_predict_jax([ru], PAD, hc, wc, (g[::2, ::2]) >> 1, 3)
+    c2 = obmc_predict_jax([ru], PAD, hc, wc, g >> 1, 2)
+    pred_u = _select_by_sb([c0, c1, c2], blend, 16)
+    v0 = obmc_predict_jax([rv], PAD, hc, wc, g4s >> 1, 4)
+    v1 = obmc_predict_jax([rv], PAD, hc, wc, (g[::2, ::2]) >> 1, 3)
+    v2 = obmc_predict_jax([rv], PAD, hc, wc, g >> 1, 2)
+    pred_v = _select_by_sb([v0, v1, v2], blend, 16)
+    ry_d, dc_y, qg_y, y_y = _plane_code(cy, pred_y, 1, 0, quantizer,
+                                        qms[1], qm_invs[1], pvq_qms[0])
+    ru_d, dc_u, qg_u, y_u = _plane_code(cu, pred_u, 0, 1, quantizer,
+                                        qms[0], qm_invs[0], pvq_qms[1])
+    rv_d, dc_v, qg_v, y_v = _plane_code(cv, pred_v, 0, 1, quantizer,
+                                        qms[0], qm_invs[0], pvq_qms[2])
+    rec_y = _inv(ry_d, 1)
+    rec_u = _inv(ru_d, 0)
+    rec_v = _inv(rv_d, 0)
+    if use_dering:
+        oy = (cy.astype(jnp.int32) - 128) << 4
+        (rec_y, rec_u, rec_v), dflags = _dering_select(
+            [rec_y, rec_u, rec_v], oy, None, quantizer, (0, 1, 1))
+    else:
+        dflags = jnp.zeros((h >> 5, w >> 5), dtype=jnp.int32)
+    r8y = jnp.clip(((rec_y + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
+    r8u = jnp.clip(((rec_u + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
+    r8v = jnp.clip(((rec_v + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
+    carry = (pad_edge(r8y, PAD), pad_edge(r8u, PAD), pad_edge(r8v, PAD))
+    check = (jnp.sum(r8y.astype(jnp.int32)) & 0xffffff) \
+        + (jnp.sum(r8u.astype(jnp.int32)) & 0xffffff) \
+        + (jnp.sum(r8v.astype(jnp.int32)) & 0xffffff)
+    outs = {
+        "grid": grid, "levels": levels, "dflags": dflags,
+        "dc": (dc_y, dc_u, dc_v), "qg": (qg_y, qg_u, qg_v),
+        "y": (y_y, y_u, y_v), "check": check,
+    }
+    if emit_recon:
+        outs["recon"] = (r8y, r8u, r8v)
+    return carry, outs
+
+
+def make_device_chunk_fn(h, w, quantizer, use_dering=True,
+                         emit_recon=False):
+    """Jit the chunked device encode for one frame geometry.  Returns
+    fn(ys (T,h,w) u8, us, vs, ref_y (h+160, w+160) u8, ref_u, ref_v)
+    -> (carry, outs) with every out stacked over T.  Runs (and must be
+    called) under jax.enable_x64 — the integer synthesis is specified
+    in int64."""
+    import jax
+
+    from .inter import _choose_mv_res
+
+    if h % 64 or w % 64:
+        raise ValueError("device encode needs 64-aligned frame dims")
+    qm, qm_inv = init_qm(QM8_HVS)
+    qms = tuple(np.asarray(qm[bs], dtype=np.int32) for bs in range(4))
+    qmis = tuple(np.asarray(qm_inv[bs], dtype=np.int32)
+                 for bs in range(4))
+    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False)
+                    for pli in range(3))
+    body = partial(_frame_body, h=h, w=w, quantizer=int(quantizer),
+                   mv_res=_choose_mv_res(quantizer), qms=qms,
+                   qm_invs=qmis, pvq_qms=pvq_qms,
+                   use_dering=bool(use_dering),
+                   emit_recon=bool(emit_recon))
+
+    def fn(ys, us, vs, ref_y, ref_u, ref_v):
+        carry0 = (ref_y, ref_u, ref_v)
+        return jax.lax.scan(body, carry0, (ys, us, vs))
+
+    with jax.enable_x64(True):
+        return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# host side: slim symbol pack
+# ---------------------------------------------------------------------------
+
+
+class _PackPlane:
+    """Minimal plane context for the native walk in device mode."""
+
+    __slots__ = ("pli", "xdec", "quantizer", "grid", "mcpred", "h", "w")
+
+
+def _pack_planes(info, quantizer, bs_luma=1):
+    h, w = info.frame_height, info.frame_width
+    grid = np.full((h // 4, w // 4), bs_luma, dtype=np.int8)
+    pcs = []
+    for pli in range(info.nplanes):
+        pc = _PackPlane()
+        pc.pli = pli
+        pc.xdec = info.xdec[pli]
+        pc.quantizer = quantizer
+        pc.grid = grid
+        pc.h = h >> info.ydec[pli]
+        pc.w = w >> pc.xdec
+        bs = max(bs_luma - pc.xdec, 0)
+        n = 4 << bs
+        ncoded = {0: 16, 1: 64, 2: 256, 3: 512}[bs]
+        predt = np.zeros((pc.h // n, pc.w // n, ncoded), dtype=np.int32)
+        pc.mcpred = {bs: (None, predt)}
+        pcs.append(pc)
+    return pcs
+
+
+def _device_pre(info, syms, bs_luma=1):
+    """Build the native walk's flattened Pre from the device symbol
+    tensors of one frame (plain-DC + rigged skip: the walk's block-skip
+    RDO may only take the recon-neutral all-zero branch)."""
+    from ..pvq.native_walk import Pre
+
+    pre = Pre()
+    pre.leaf_slot = []
+    nslots = 0
+    nbands = 0
+    total = 0
+    metas = []
+    for pli in range(info.nplanes):
+        xd = info.xdec[pli]
+        bs = max(bs_luma - xd, 0)
+        n = 4 << bs
+        ph = info.frame_height >> info.ydec[pli]
+        pw = info.frame_width >> xd
+        nby, nbx = ph // n, pw // n
+        nb = BAND_OFFSETS[bs][0]
+        clen = BAND_OFFSETS[bs][1 + nb] - 1
+        metas.append((pli, bs, nby, nbx, nslots, nbands, total))
+        sl = np.full((ph // 4, pw // 4), -1, dtype=np.int32)
+        step = n // 4
+        sl[::step, ::step] = (nslots + np.arange(nby * nbx,
+                                                 dtype=np.int32)
+                              ).reshape(nby, nbx)
+        pre.leaf_slot.append(sl)
+        nslots += nby * nbx
+        nbands += nby * nbx * nb
+        total += nby * nbx * clen
+    pre.nslots = nslots
+    pre.band_start = np.zeros(nslots, dtype=np.int32)
+    pre.dc0 = np.zeros(nslots, dtype=np.int32)
+    pre.offsets = np.zeros(nbands + 1, dtype=np.int32)
+    pre.qg = np.zeros(nbands, dtype=np.int32)
+    pre.itheta = np.zeros(nbands, dtype=np.int32)
+    pre.max_theta = np.zeros(nbands, dtype=np.int32)
+    pre.k = np.zeros(nbands, dtype=np.int32)
+    pre.noref = np.zeros(nbands, dtype=np.int32)
+    # Rigged: never cheaper to force-skip a nonzero residual (the
+    # walk's nbeff==0 branch remains, which is recon-neutral).
+    pre.skip_diff = np.full(nbands, 1e30, dtype=np.float64)
+    pre.y = np.zeros(total, dtype=np.int32)
+    pre.groups = []
+    for (pli, bs, nby, nbx, slot0, band0, off0) in metas:
+        nleaf = nby * nbx
+        nb = BAND_OFFSETS[bs][0]
+        offs = BAND_OFFSETS[bs][1:]
+        clen = offs[nb] - 1
+        dc, qg, yv = syms["dc"][pli], syms["qg"][pli], syms["y"][pli]
+        pre.dc0[slot0:slot0 + nleaf] = dc
+        pre.band_start[slot0:slot0 + nleaf] = \
+            band0 + nb * np.arange(nleaf, dtype=np.int32)
+        bb = slice(band0, band0 + nleaf * nb)
+        pre.qg[bb] = qg.reshape(-1)
+        pre.noref[bb] = (qg.reshape(-1) > 0).astype(np.int32)
+        pre.itheta[bb] = np.where(qg.reshape(-1) > 0, -1, 0)
+        lens = np.diff(np.asarray(offs[:nb + 1], dtype=np.int32))
+        for b in range(nb):
+            sel = slice(band0 + b, band0 + nleaf * nb, nb)
+            pre.k[sel] = icompute_k(int(lens[b]), True, qg[:, b])
+        pre.offsets[band0 + 1:band0 + nleaf * nb + 1] = \
+            off0 + np.cumsum(np.tile(lens, nleaf), dtype=np.int64)
+        pre.y[off0:off0 + nleaf * clen] = yv.reshape(-1)
+    return pre
+
+
+def pack_device_frame(info, cq, grid, levels, syms, dflags,
+                      use_dering=True):
+    """Range-code one device-encoded P frame into a standard dres-mode
+    packet (exact _code_inter_packet layout: per-plane quantizers, MV
+    mesh, coefficient walk, dering flags; single tile)."""
+    from ..entropy import make_encoder
+    from ..entropy.adapt import encode_cdf_adapt
+    from ..pvq import native_walk as _nw
+    from .inter import _MvCtx, _code_mesh
+    from .intra import _tile_states
+    from .tiles import pack_tiles
+
+    quantizer = codedquantizer_to_quantizer(cq)
+    nvsb = info.frame_height >> 5
+    nhsb = info.frame_width >> 5
+    bounds = [(0, nvsb)]
+    ec = make_encoder()
+    for _ in range(info.nplanes):
+        ec.encode_uint(cq, N_CODED_QUANTIZERS)
+    truth = np.asarray(grid, dtype=np.int64)
+    rids = np.zeros(truth.shape[:2], dtype=np.int32)
+    _code_mesh([ec], [_MvCtx()], bounds, info, 1, True, truth=truth,
+               truth_rids=rids, levels=np.asarray(levels, np.int32),
+               quantizer=quantizer)
+    states = _tile_states(info.nplanes, quantizer, False, 1,
+                          is_keyframe=False)
+    pcs = _pack_planes(info, quantizer)
+    pre = _device_pre(info, syms)
+    dummy_dc = np.zeros(pre.nslots, dtype=np.int32)
+    dummy_ac = np.zeros(pre.nslots, dtype=np.uint8)
+    dummy_bk = np.zeros(pre.nslots, dtype=np.uint8)
+    _nw.walk_enc(ec, states[0], pcs, pre, (0, nvsb), nhsb, False,
+                 dummy_dc, dummy_ac, dummy_bk, dres=True, plain_dc=True)
+    if use_dering:
+        fl = np.asarray(dflags, dtype=np.int32)
+        st = states[0]
+        for sby in range(nvsb):
+            for sbx in range(nhsb):
+                up = int(fl[sby - 1, sbx]) if sby > 0 else 0
+                left = int(fl[sby, sbx - 1]) if sbx > 0 else 0
+                encode_cdf_adapt(ec, int(fl[sby, sbx]),
+                                 st.clpf_cdf[(up << 1) + left],
+                                 st.clpf_increment)
+    return pack_tiles([ec.done()])
+
+
+# ---------------------------------------------------------------------------
+# session
+# ---------------------------------------------------------------------------
+
+
+class DeviceEncoderSession:
+    """Chunked device encoder: host keyframes seed a device-resident
+    reconstruction chain; P frames are computed on device and packed on
+    the host while the device runs the NEXT chunk (pipeline overlap via
+    jax async dispatch).
+
+    Packets interoperate with pipeline.inter.DecoderSession: pass
+    ftype and dres from the packet dicts."""
+
+    def __init__(self, info, quality, use_dering=True, chunk=8,
+                 keyframe_rate=None, emit_recon=False):
+        if info.bitdepth != 8:
+            raise ValueError("device encode: 8-bit only")
+        if tuple(info.xdec) != (0, 1, 1):
+            raise ValueError("device encode: 4:2:0 only")
+        if (info.frame_width != info.pic_width
+                or info.frame_height != info.pic_height):
+            raise ValueError("device encode: frame dims must be "
+                             "64-aligned (pad the input)")
+        self.info = info
+        self.quality = int(quality)
+        self.use_dering = bool(use_dering)
+        self.chunk = int(chunk)
+        self.keyframe_rate = keyframe_rate or info.keyframe_rate
+        self.emit_recon = bool(emit_recon)
+        self.quantizer = codedquantizer_to_quantizer(self.quality)
+        self._fn = make_device_chunk_fn(
+            info.frame_height, info.frame_width, self.quantizer,
+            use_dering=self.use_dering, emit_recon=self.emit_recon)
+
+    # -- internals -------------------------------------------------------
+
+    def _seed_carry(self, rec):
+        import jax
+        import jax.numpy as jnp
+
+        from .intra import pad_plane
+
+        with jax.enable_x64(True):
+            out = []
+            for pli in range(3):
+                p = pad_plane(rec[pli],
+                              self.info.frame_width >> self.info.xdec[pli],
+                              self.info.frame_height >> self.info.ydec[pli])
+                out.append(jnp.pad(jnp.asarray(p), PAD, mode="edge"))
+        return tuple(out)
+
+    def _encode_key(self, planes, idx):
+        from .intra import encode_keyframe
+
+        pkt, rec = encode_keyframe(
+            planes, self.info, self.quality, use_masking=False,
+            bs_luma=1, use_dering=self.use_dering, return_recon=True)
+        return {"data": pkt, "ftype": 0, "display_order": idx,
+                "recon": rec, "use_haar": False, "dres": False}, rec
+
+    def _run_chunk(self, frames):
+        import jax
+        import jax.numpy as jnp
+
+        ys = jnp.asarray(np.stack([f[0] for f in frames]))
+        us = jnp.asarray(np.stack([f[1] for f in frames]))
+        vs = jnp.asarray(np.stack([f[2] for f in frames]))
+        with jax.enable_x64(True):
+            carry, outs = self._fn(ys, us, vs, *self._carry)
+        self._carry = carry
+        return outs
+
+    def _pack_chunk(self, outs, n, idx0):
+        grid = np.asarray(outs["grid"])
+        levels = np.asarray(outs["levels"])
+        dflags = np.asarray(outs["dflags"])
+        dcs = [np.asarray(a) for a in outs["dc"]]
+        qgs = [np.asarray(a) for a in outs["qg"]]
+        yys = [np.asarray(a) for a in outs["y"]]
+        recs = ([tuple(np.asarray(a) for a in outs["recon"])]
+                if "recon" in outs else None)
+        pkts = []
+        for t in range(n):
+            syms = {"dc": [d[t] for d in dcs],
+                    "qg": [q[t] for q in qgs],
+                    "y": [yv[t] for yv in yys]}
+            data = pack_device_frame(self.info, self.quality, grid[t],
+                                     levels[t], syms, dflags[t],
+                                     self.use_dering)
+            d = {"data": data, "ftype": 3, "display_order": idx0 + t,
+                 "use_haar": False, "dres": True}
+            if recs is not None:
+                d["recon"] = tuple(np.asarray(outs["recon"][p])[t]
+                                   for p in range(3))
+            pkts.append(d)
+        return pkts
+
+    # -- public ----------------------------------------------------------
+
+    def encode_clip(self, frames):
+        """Encode a full clip (list of [y, u, v] uint8 planes, display
+        order).  Returns packet dicts in coding order.  Device chunks
+        are dispatched ahead: the device computes chunk N+1 while the
+        host packs chunk N."""
+        out = []
+        idx = 0
+        while idx < len(frames):
+            key_pkt, rec = self._encode_key(frames[idx], idx)
+            out.append(key_pkt)
+            self._carry = self._seed_carry(rec)
+            gop_end = min(idx + self.keyframe_rate, len(frames))
+            p0 = idx + 1
+            pending = None   # (outs, nframes, first_display_idx)
+            while p0 < gop_end or pending is not None:
+                nxt = None
+                if p0 < gop_end:
+                    p1 = min(p0 + self.chunk, gop_end)
+                    nxt = (self._run_chunk(frames[p0:p1]), p1 - p0, p0)
+                    p0 = p1
+                if pending is not None:
+                    out.extend(self._pack_chunk(*pending))
+                pending = nxt
+            idx = gop_end
+        return out

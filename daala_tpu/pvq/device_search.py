@@ -21,7 +21,7 @@ import numpy as np
 from .core import QM_INV_SCALE_1, QM_SCALE_1
 from .scan import BAND_OFFSETS, _FLAT
 
-__all__ = ["pvq_quantize_frame"]
+__all__ = ["pvq_quantize_frame", "pvq_symbols_frame"]
 
 
 def _pulse_alloc(absx, k):
@@ -74,6 +74,88 @@ def _band_quant(vec, q0, qm, qm_inv):
     out = jnp.floor(0.5 + x * (qm_inv.astype(jnp.float32)
                                * np.float32(QM_INV_SCALE_1)))
     return out.astype(jnp.int32), qg, k
+
+
+def _icompute_k_jax(n, qg):
+    """Integer k rule (isynth.icompute_k, noref) — the decoder derives
+    k from qg with this exact rule in the dres stream mode."""
+    slope = int(round(np.sqrt((n + 3) / 2.0) * 65536))
+    k = (qg.astype(jnp.int64) * slope - slope // 5 + (1 << 15)) >> 16
+    return jnp.where(qg <= 0, 0, jnp.maximum(1, k)).astype(jnp.int32)
+
+
+def _band_symbols(vec, q0, qm, qm_inv):
+    """Stream-valid fast-mode PVQ of one band across all blocks: float
+    gain measurement + proportional pulse fill (encoder choices), then
+    the INTEGER k rule and INTEGER synthesis (pvq/isynth.py) so the
+    reconstruction is the same int32s the dres-mode decoder computes.
+
+    vec: (B, n) int32 coding-order residual coeffs.
+    Returns (dequantized (B, n) int32, qg (B,) int32, y (B, n) int32
+    signed pulses)."""
+    from .isynth import isynthesis_noref_jax
+
+    xq = vec.astype(jnp.float32) * (qm.astype(jnp.float32)
+                                    * np.float32(QM_SCALE_1))
+    g = jnp.sqrt((xq * xq).sum(-1))
+    qg = jnp.round(g / q0).astype(jnp.int32)
+    k = _icompute_k_jax(vec.shape[-1], qg)
+    y = _pulse_alloc(jnp.abs(xq), k)
+    ys = (jnp.sign(vec.astype(jnp.float32)) * y).astype(jnp.int32)
+    # Park any pulses that landed on zero coefficients as positive.
+    ys = jnp.where((ys == 0) & (y > 0), y.astype(jnp.int32), ys)
+    out = isynthesis_noref_jax(ys, qg, int(q0), qm_inv)
+    return out, qg, ys
+
+
+def pvq_symbols_frame(d, bs: int, quantizer: int, qm_coding,
+                      qm_inv_coding, pvq_qm_q4):
+    """Stream-valid PVQ quantization of every block of a residual plane
+    (uniform block size 4 << bs, dres noref mode).
+
+    d: (h, w) int32 transform-domain residual; pvq_qm_q4: the plane's
+    per-band Q4 PVQ quant matrix (core.quant.interp_pvq_qm).  Returns
+    (recon residual plane int32, dc_idx (B,) int32, qg (B, nbands)
+    int32, y (B, clen) int32) with B = number of blocks in row-major
+    order — exactly the per-leaf arrays the native symbol walk packs
+    (pvq/native_walk.py walk_enc with plain-DC mode)."""
+    from .scan import qm_get_index
+
+    n = 4 << bs
+    h, w = d.shape[-2], d.shape[-1]
+    blocks = (d.reshape(*d.shape[:-2], h // n, n, w // n, n)
+              .swapaxes(-3, -2)
+              .reshape(-1, n * n))
+    vec = blocks[:, _FLAT[n]]                    # coding order
+    offs = BAND_OFFSETS[bs]
+    nb = offs[0]
+    clen = offs[1 + nb] - 1
+    out_vec = jnp.zeros_like(vec)
+    dc_quant = max(1, (int(quantizer)
+                       * int(pvq_qm_q4[qm_get_index(bs, 0)])) >> 4)
+    dc = vec[:, 0]
+    dc_idx = (jnp.sign(dc)
+              * ((jnp.abs(dc) + (dc_quant >> 1)) // dc_quant)
+              ).astype(jnp.int32)
+    out_vec = out_vec.at[:, 0].set(dc_idx * dc_quant)
+    qm = jnp.asarray(qm_coding, dtype=jnp.int32)
+    qmi = jnp.asarray(qm_inv_coding, dtype=jnp.int32)
+    qgs = []
+    ys = []
+    for b in range(nb):
+        lo, hi = offs[1 + b], offs[2 + b]
+        qb = max(1, (int(quantizer)
+                     * int(pvq_qm_q4[qm_get_index(bs, b + 1)])) >> 4)
+        deq, qg, ysgn = _band_symbols(vec[:, lo:hi], qb, qm[lo:hi],
+                                      qmi[lo:hi])
+        out_vec = out_vec.at[:, lo:hi].set(deq)
+        qgs.append(qg)
+        ys.append(ysgn)
+    out = blocks.at[:, _FLAT[n]].set(out_vec)
+    out = (out.reshape(*d.shape[:-2], h // n, w // n, n, n)
+           .swapaxes(-3, -2).reshape(d.shape))
+    return (out, dc_idx, jnp.stack(qgs, axis=-1),
+            jnp.concatenate(ys, axis=-1))
 
 
 def pvq_quantize_frame(d, bs: int, quantizer: int, qm_coding,

@@ -70,7 +70,7 @@ class _WalkCtx(ctypes.Structure):
         ("d_b_noref", c_void_p), ("d_b_k", c_void_p), ("d_b_q", c_void_p),
         ("d_y", c_void_p),
         ("n_leaves", c_int64), ("n_bands", c_int64), ("y_len", c_int64),
-        ("dres", c_int32),
+        ("dres", c_int32), ("plain_dc", c_int32),
     ]
 
 
@@ -372,12 +372,16 @@ def _fill_ctx(ctx, state, pcs, rows, nhsb, use_masking, keep):
 
 
 def walk_enc(ec, state, pcs, pre: Pre, rows, nhsb, use_masking,
-             out_dc, out_acskip, out_bskip, dres=False):
-    """One tile's encoder symbol pass (native)."""
+             out_dc, out_acskip, out_bskip, dres=False, plain_dc=False):
+    """One tile's encoder symbol pass (native).
+
+    plain_dc: pre.dc0 holds already-quantized DC residual indices (the
+    device-emitted symbol mode); the walk codes them verbatim."""
     lib = _load()
     keep = []
     ctx = _WalkCtx()
     ctx.dres = int(bool(dres))
+    ctx.plain_dc = int(bool(plain_dc))
     _fill_ctx(ctx, state, pcs, rows, nhsb, use_masking, keep)
     for pli in range(len(pcs)):
         ctx.leaf_slot[pli] = _vp(pre.leaf_slot[pli])

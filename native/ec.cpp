@@ -1755,6 +1755,11 @@ struct DtpuWalkCtx {
   // device-residual mode: bands are noref residuals with the integer
   // synthesis spec; the per-band ref is the zero vector.
   int32_t dres;
+  // plain-DC mode (device-emitted symbols): e_dc0 holds the already
+  // quantized DC RESIDUAL INDEX per leaf; the walk codes it verbatim
+  // instead of running the RDO deadzone quantizer (rdo_quant_c), so
+  // the DC decision replicates the device encode pipeline exactly.
+  int32_t plain_dc;
 };
 
 namespace {
@@ -1829,10 +1834,16 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
   dtpu_enc_checkpoint(e, chk);
   static thread_local AdaptSnap snap;
   snap_save(c, &snap);
-  double dc_rate = -std::log2((double)(skip_row[1] - skip_row[0])
-                              / skip_row[0]);
-  int dc0 = c->e_dc0[slot] - predt[0];
-  int out0 = rdo_quant_c(dc0, dc_quant, dc_rate, c->lambda);
+  int dc0, out0;
+  if (c->plain_dc) {
+    dc0 = 0;
+    out0 = c->e_dc0[slot];
+  } else {
+    double dc_rate = -std::log2((double)(skip_row[1] - skip_row[0])
+                                / skip_row[0]);
+    dc0 = c->e_dc0[slot] - predt[0];
+    out0 = rdo_quant_c(dc0, dc_quant, dc_rate, c->lambda);
+  }
   int tell0 = dtpu_enc_tell_frac(e);
   enc_cdf_adapt32(e, out0 != 0 ? 1 : 0, skip_row, nsym, c->skip_inc);
   // per-band coded-domain gains (need icgr per band)
@@ -1910,9 +1921,11 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
   tell -= (int)std::floor(.5 + 8 * skip_rate);
   int acskip = 0;
   if (nbeff == 0 || skip_diff <= c->lambda / 8 * tell) {
-    double dcr2 = -std::log2((double)(skip_row[3] - skip_row[2])
-                             / (skip_row[2] - skip_row[1]));
-    out0 = rdo_quant_c(dc0, dc_quant, dcr2, c->lambda);
+    if (!c->plain_dc) {
+      double dcr2 = -std::log2((double)(skip_row[3] - skip_row[2])
+                               / (skip_row[2] - skip_row[1]));
+      out0 = rdo_quant_c(dc0, dc_quant, dcr2, c->lambda);
+    }
     dtpu_enc_rollback(e, chk);
     snap_restore(c, &snap);
     enc_cdf_adapt32(e, 2 + (out0 != 0 ? 1 : 0), skip_row, nsym,

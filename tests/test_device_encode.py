@@ -1,0 +1,97 @@
+"""Device-side encode end to end: the device chunk emits stream-valid
+symbol tensors (dres mode, integer synthesis), the host packs them with
+the native walk, and the standard decoder reconstructs BIT-IDENTICALLY
+to the reconstruction the device carried as its reference — the
+encoder-check invariant (encode.c:3204-3243) across the host/device
+boundary."""
+
+import numpy as np
+import pytest
+
+from daala_tpu.core.state import FrameInfo
+
+
+def _clip(nframes=5, h=128, w=192, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + 64, w + 64), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h + 64, 0:w + 64]
+    base = ((base // 4) + (yy + 2 * xx) % 180).astype(np.uint8)
+    frames = []
+    for i in range(nframes):
+        y = base[2 * i:2 * i + h, 3 * i:3 * i + w]
+        u = y[::2, ::2] // 2 + 60
+        v = 220 - u
+        frames.append([y, u, v])
+    return frames
+
+
+def _info(h=128, w=192, kf=100):
+    return FrameInfo(pic_width=w, pic_height=h, nplanes=3,
+                     xdec=(0, 1, 1), ydec=(0, 1, 1), bitdepth=8,
+                     keyframe_rate=kf)
+
+
+def _native_or_skip():
+    from daala_tpu.pvq import native_walk
+
+    if not native_walk.available():
+        pytest.skip("native walk unavailable")
+
+
+def test_device_encode_decoder_exact():
+    """Decoder recon == device-carried recon for every packet."""
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+    from daala_tpu.pipeline.inter import DecoderSession
+
+    frames = _clip()
+    info = _info()
+    enc = DeviceEncoderSession(info, quality=30, chunk=2,
+                               emit_recon=True)
+    pkts = enc.encode_clip(frames)
+    assert len(pkts) == len(frames)
+    dec = DecoderSession(info)
+    for p in pkts:
+        rec = dec.decode_frame(p["data"], p["ftype"] == 0,
+                               ftype=p["ftype"], dres=p["dres"])
+        if "recon" in p:
+            for pl in range(3):
+                assert np.array_equal(np.asarray(rec[pl]),
+                                      np.asarray(p["recon"][pl])), \
+                    (p["display_order"], pl)
+
+
+def test_device_encode_quality_and_rate():
+    """The device-encoded stream is a real encode: better PSNR than the
+    input noise floor and a plausible rate."""
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+    from daala_tpu.pipeline.inter import DecoderSession
+
+    frames = _clip(4)
+    info = _info()
+    enc = DeviceEncoderSession(info, quality=28, chunk=4)
+    pkts = enc.encode_clip(frames)
+    dec = DecoderSession(info)
+    psnrs = []
+    for p, f in zip(pkts, frames):
+        rec = dec.decode_frame(p["data"], p["ftype"] == 0,
+                               ftype=p["ftype"], dres=p["dres"])
+        e = (np.asarray(rec[0], np.float64)
+             - np.asarray(f[0], np.float64))
+        psnrs.append(10 * np.log10(255.0 ** 2 / max((e * e).mean(),
+                                                    1e-9)))
+    assert min(psnrs) > 28.0, psnrs
+    total = sum(len(p["data"]) for p in pkts)
+    assert total < len(frames) * info.pic_width * info.pic_height
+
+
+def test_device_encode_keyframe_cadence():
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+
+    frames = _clip(6)
+    info = _info(kf=3)
+    enc = DeviceEncoderSession(info, quality=30, chunk=2)
+    pkts = enc.encode_clip(frames)
+    assert [p["ftype"] for p in pkts] == [0, 3, 3, 0, 3, 3]
