@@ -1,14 +1,19 @@
-"""Benchmark: 1080p INTER encode compute throughput on one chip.
+"""Benchmark: 1080p INTER encode device throughput on one chip.
 
-Measures the chunked device encode pipeline (pipeline/device_inter.py):
-dense hierarchical motion estimation, per-SB subdivision-level RDO,
-4-level OBMC prediction, lapped forward transforms, fast-mode PVQ
-gain/shape quantization, reconstruction and the directional dering
-filter — for all three 4:2:0 planes of a chunk of P frames, as ONE
-jitted lax.scan with the reconstructed reference carried on device.
-This is the per-chip compute path of the encoder (SURVEY.md section
-2.11 pipeline-parallel row); host entropy packing is excluded (it
-overlaps device compute in the pipelined design).
+Measures the STREAM-VALID chunked device encode pipeline
+(pipeline/device_encode.py): dense hierarchical motion estimation,
+per-SB mesh-level RDO, decoder-exact mixed OBMC prediction, lapped
+forward transforms, PVQ through the integer-synthesis spec emitting
+the actual stream symbols (dres mode), DC quantization, reconstruction
+and the directional dering filter with per-SB flags — for all three
+4:2:0 planes of a chunk of P frames, as ONE jitted lax.scan with the
+reconstructed reference carried on device.  The symbols this pipeline
+emits pack into packets the stock decoder reconstructs BIT-IDENTICALLY
+to the device's carried reference (tests/test_device_encode.py) — this
+is the real encoder's per-chip compute path, not a proxy.  Host entropy
+packing (0.14 s/f, native C++) is excluded: it overlaps device compute
+in the pipelined session (SURVEY.md section 2.11 pipeline-parallel
+row).
 
 Prints one JSON line: frames/s vs the 30 fps north-star target
 (BASELINE.md).  An on-device checksum scalar is fetched per run to
@@ -23,12 +28,15 @@ import time
 
 import numpy as np
 
+EXPECT_CK = 122487875
+
 
 def main():
+    import jax
     import jax.numpy as jnp
 
-    from daala_tpu.core.quant import QM8_HVS, init_qm
-    from daala_tpu.pipeline.device_inter import PAD, make_inter_chunk
+    from daala_tpu.pipeline.device_encode import PAD, \
+        make_device_chunk_fn
 
     h, w, t = 1088, 1920, 8
     rng = np.random.default_rng(0)
@@ -40,8 +48,7 @@ def main():
                    for i in range(t + 1)])
     us = ys[:, ::2, ::2] // 2 + 60
     vs = 220 - us
-    qm, qm_inv = init_qm(QM8_HVS)
-    fn = make_inter_chunk(h, w, 90, qm, qm_inv, dering=True)
+    fn = make_device_chunk_fn(h, w, 90, use_dering=True)
     ry = jnp.pad(jnp.asarray(ys[0]), PAD, mode="edge")
     ru = jnp.pad(jnp.asarray(us[0]), PAD, mode="edge")
     rv = jnp.pad(jnp.asarray(vs[0]), PAD, mode="edge")
@@ -49,24 +56,24 @@ def main():
     du = jnp.asarray(us[1:])
     dv = jnp.asarray(vs[1:])
 
-    outs = fn(dy, du, dv, ry, ru, rv)       # warm up / compile
-    ck = int(np.asarray(outs[4]).sum())
-
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        outs = fn(dy, du, dv, ry, ru, rv)
-        int(np.asarray(outs[4]).sum())      # scalar fetch = hard sync
-        times.append(time.perf_counter() - t0)
+    with jax.enable_x64(True):
+        _, outs = fn(dy, du, dv, ry, ru, rv)   # warm up / compile
+        ck = int(np.asarray(outs["check"]).sum())
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _, outs = fn(dy, du, dv, ry, ru, rv)
+            int(np.asarray(outs["check"]).sum())  # scalar = hard sync
+            times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
     fps = t / med
 
-    if ck != 882303:
-        print("checksum drift: %d (expected 882303)" % ck,
+    if ck != EXPECT_CK:
+        print("checksum drift: %d (expected %d)" % (ck, EXPECT_CK),
               file=sys.stderr)
 
     print(json.dumps({
-        "metric": "inter_1080p_device_pipeline_fps_1chip",
+        "metric": "inter_1080p_device_encode_fps_1chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),

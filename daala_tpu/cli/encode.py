@@ -62,6 +62,13 @@ def main(argv=None):
                     help="device-residual inter mode: noref integer-"
                          "synthesis residual bands (the TPU device "
                          "encode pipeline's stream mode)")
+    ap.add_argument("--device", action="store_true",
+                    help="device-side encode: the accelerator computes "
+                         "every encoder decision per GOP chunk and the "
+                         "host packs the symbol tensors (dres streams; "
+                         "8-bit 4:2:0)")
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="--device: frames per device dispatch")
     args = ap.parse_args(argv)
 
     with open(args.input, "rb") as f:
@@ -77,6 +84,29 @@ def main(argv=None):
         from ..pipeline.inter import FT_INTRA, EncoderSession
 
         bs = -1 if args.bs == "auto" else int(args.bs)
+        if args.device:
+            from ..pipeline.device_encode import DeviceEncoderSession
+
+            frames = []
+            for i, planes in enumerate(rd.frames()):
+                if args.limit and i >= args.limit:
+                    break
+                frames.append(planes)
+            sess = DeviceEncoderSession(
+                info, args.quality, chunk=args.chunk,
+                keyframe_rate=args.keyframe_rate)
+            t0 = time.time()
+            outs = sess.encode_clip(frames)
+            dt = time.time() - t0
+            packets = [FramePacket(
+                o["data"], keyframe=o["ftype"] == FT_INTRA,
+                ftype=o["ftype"], display_order=o["display_order"],
+                dres=bool(o.get("dres"))) for o in outs]
+            sys.stderr.write(
+                f"{len(packets)} frames in {dt:.2f}s "
+                f"({len(packets) / max(dt, 1e-9):.2f} fps, device)\n")
+            write_stream(args.output, info, packets)
+            return
         if args.jobs > 1:
             from ..dist.gop import encode_gops_parallel
 

@@ -510,10 +510,6 @@ class DeviceEncoderSession:
             raise ValueError("device encode: 8-bit only")
         if tuple(info.xdec) != (0, 1, 1):
             raise ValueError("device encode: 4:2:0 only")
-        if (info.frame_width != info.pic_width
-                or info.frame_height != info.pic_height):
-            raise ValueError("device encode: frame dims must be "
-                             "64-aligned (pad the input)")
         self.info = info
         self.quality = int(quality)
         self.use_dering = bool(use_dering)
@@ -555,9 +551,15 @@ class DeviceEncoderSession:
         import jax
         import jax.numpy as jnp
 
-        ys = jnp.asarray(np.stack([f[0] for f in frames]))
-        us = jnp.asarray(np.stack([f[1] for f in frames]))
-        vs = jnp.asarray(np.stack([f[2] for f in frames]))
+        from .intra import pad_plane
+
+        def _stack(pli):
+            w = self.info.frame_width >> self.info.xdec[pli]
+            h = self.info.frame_height >> self.info.ydec[pli]
+            return jnp.asarray(np.stack(
+                [pad_plane(f[pli], w, h) for f in frames]))
+
+        ys, us, vs = _stack(0), _stack(1), _stack(2)
         with jax.enable_x64(True):
             carry, outs = self._fn(ys, us, vs, *self._carry)
         self._carry = carry
@@ -583,8 +585,11 @@ class DeviceEncoderSession:
             d = {"data": data, "ftype": 3, "display_order": idx0 + t,
                  "use_haar": False, "dres": True}
             if recs is not None:
-                d["recon"] = tuple(np.asarray(outs["recon"][p])[t]
-                                   for p in range(3))
+                d["recon"] = tuple(
+                    np.asarray(outs["recon"][p])[t]
+                    [:self.info.pic_height >> self.info.ydec[p],
+                     :self.info.pic_width >> self.info.xdec[p]]
+                    for p in range(3))
             pkts.append(d)
         return pkts
 

@@ -154,8 +154,10 @@ def pvq_symbols_frame(d, bs: int, quantizer: int, qm_coding,
     out = blocks.at[:, _FLAT[n]].set(out_vec)
     out = (out.reshape(*d.shape[:-2], h // n, w // n, n, n)
            .swapaxes(-3, -2).reshape(d.shape))
-    return (out, dc_idx, jnp.stack(qgs, axis=-1),
-            jnp.concatenate(ys, axis=-1))
+    # Symbols travel the host link: int16 halves the transfer (gains
+    # bounded by coeff-range/quantizer, pulses by k — both < 2^15).
+    return (out, dc_idx, jnp.stack(qgs, axis=-1).astype(jnp.int16),
+            jnp.concatenate(ys, axis=-1).astype(jnp.int16))
 
 
 def pvq_quantize_frame(d, bs: int, quantizer: int, qm_coding,

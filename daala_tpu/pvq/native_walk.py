@@ -138,6 +138,44 @@ def _vp(a):
     return a.ctypes.data_as(c_void_p)
 
 
+def mesh_pass_native(ec, mvctx, wrk, truth, req, s, vspan, encoder,
+                     limit):
+    """Native twin of pipeline/inter.py _code_mesh_pass (single-ref).
+    Returns False when the lib is unavailable (caller falls back)."""
+    import os
+
+    lib = _load()
+    if not lib or os.environ.get("DTPU_PY_WALK"):
+        return False
+    if not getattr(lib, "_mesh_ready", False):
+        lib.dtpu_mesh_pass.argtypes = [
+            c_void_p, c_int32, c_void_p, c_void_p, c_void_p, c_int32,
+            c_int32, c_int32, c_int32, c_int32, c_void_p, c_int32,
+            c_void_p, c_int32]
+        lib.dtpu_mesh_pass.restype = c_int32
+        lib._mesh_ready = True
+    nvy, nvx = wrk.shape[:2]
+    assert wrk.dtype == np.int64 and wrk.flags["C_CONTIGUOUS"]
+    req = np.ascontiguousarray(req, dtype=np.int32)
+    if encoder:
+        truth = np.ascontiguousarray(truth, dtype=np.int64)
+    else:
+        truth = wrk
+    ex = np.array([mvctx.ex, mvctx.ey], dtype=np.int64)
+    cdf = mvctx.model.cdf
+    assert cdf.dtype == np.int32 and cdf.flags["C_CONTIGUOUS"]
+    v0, v1 = vspan
+    err = lib.dtpu_mesh_pass(
+        ec._h, int(bool(encoder)), _vp(wrk), _vp(truth), _vp(req),
+        nvy, nvx, int(v0), int(v1), int(s), _vp(cdf),
+        int(mvctx.model.increment), _vp(ex), int(limit))
+    if not encoder and hasattr(ec, "error"):
+        ec.error = ec.error or int(err)
+    mvctx.ex = int(ex[0])
+    mvctx.ey = int(ex[1])
+    return True
+
+
 def synth_batch(offsets, r0s, qms, qm_invs, ys, qgs, ithetas, norefs,
                 q0s, betas, is_keyframe, plis, isynth=False):
     """Batched PVQ band synthesis (both sides).  All arrays int32

@@ -3572,6 +3572,89 @@ extern "C" void dtpu_obmc_refine(
 
 extern "C" {
 
+/* One stride-s vertex pass of the adaptive MV mesh (single-ref) —
+   native twin of pipeline/inter.py _code_mesh_pass: median predictor
+   (left / up / up-right, numpy-median semantics incl. the truncated
+   2-candidate mean), generic-model magnitudes + sign bits.  wrk and
+   truth are (nvy, nvx, 2) int64 in the MV-resolution domain; ex is
+   [ex_dy, ex_dx] in/out.  Returns the decoder error flag. */
+int dtpu_mesh_pass(void* ec, int encoder, int64_t* wrk,
+                   const int64_t* truth, const int32_t* req,
+                   int nvy, int nvx, int v0, int v1, int s,
+                   int32_t* model_cdf, int model_inc, int64_t* ex,
+                   int limit) {
+  (void)nvy;
+  int S = 2 * s;
+  for (int vy = v0; vy < v1; vy += s) {
+    for (int vx = 0; vx < nvx; vx += s) {
+      if (s != 8) {
+        if ((vy - v0) % S == 0 && vx % S == 0) continue;
+        if (req[(int64_t)vy * nvx + vx] > s) continue;
+      }
+      int64_t cy[3], cx[3];
+      int nc = 0;
+      if (vx >= s) {
+        const int64_t* p = wrk + ((int64_t)vy * nvx + vx - s) * 2;
+        cy[nc] = p[0]; cx[nc] = p[1]; nc++;
+      }
+      if (vy - s >= v0) {
+        const int64_t* p = wrk + ((int64_t)(vy - s) * nvx + vx) * 2;
+        cy[nc] = p[0]; cx[nc] = p[1]; nc++;
+        if (vx + s < nvx) {
+          p = wrk + ((int64_t)(vy - s) * nvx + vx + s) * 2;
+          cy[nc] = p[0]; cx[nc] = p[1]; nc++;
+        } else if (vx >= s) {
+          p = wrk + ((int64_t)(vy - s) * nvx + vx - s) * 2;
+          cy[nc] = p[0]; cx[nc] = p[1]; nc++;
+        }
+      }
+      int64_t py = 0, px = 0;
+      if (nc == 1) { py = cy[0]; px = cx[0]; }
+      else if (nc == 2) { py = (cy[0] + cy[1]) / 2;
+                          px = (cx[0] + cx[1]) / 2; }
+      else if (nc == 3) {
+#define MED3(a, b, c) ((a) > (b) ? ((b) > (c) ? (b) : ((a) > (c) ? (c) \
+    : (a))) : ((a) > (c) ? (a) : ((b) > (c) ? (c) : (b))))
+        py = MED3(cy[0], cy[1], cy[2]);
+        px = MED3(cx[0], cx[1], cx[2]);
+#undef MED3
+      }
+      int64_t* w = wrk + ((int64_t)vy * nvx + vx) * 2;
+      if (encoder) {
+        Encoder* e = (Encoder*)ec;
+        const int64_t* t = truth + ((int64_t)vy * nvx + vx) * 2;
+        int64_t dy = t[0] - py, dx = t[1] - px;
+        ex[0] = generic_encode_c(e, model_cdf, model_inc,
+                                 (int)(dy < 0 ? -dy : dy), -1, ex[0], 2);
+        if (dy) enc_bits(e, dy < 0 ? 1u : 0u, 1);
+        ex[1] = generic_encode_c(e, model_cdf, model_inc,
+                                 (int)(dx < 0 ? -dx : dx), -1, ex[1], 2);
+        if (dx) enc_bits(e, dx < 0 ? 1u : 0u, 1);
+        w[0] = t[0]; w[1] = t[1];
+      } else {
+        Decoder* d = (Decoder*)ec;
+        int v;
+        ex[0] = generic_decode_c(d, model_cdf, model_inc, -1, ex[0], 2,
+                                 &v);
+        int64_t dy = v;
+        if (v && dtpu_dec_bits(ec, 1)) dy = -dy;
+        ex[1] = generic_decode_c(d, model_cdf, model_inc, -1, ex[1], 2,
+                                 &v);
+        int64_t dx = v;
+        if (v && dtpu_dec_bits(ec, 1)) dx = -dx;
+        int64_t wy = py + dy, wx = px + dx;
+        if (wy < -limit) wy = -limit;
+        if (wy > limit) wy = limit;
+        if (wx < -limit) wx = -limit;
+        if (wx > limit) wx = limit;
+        w[0] = wy; w[1] = wx;
+      }
+    }
+  }
+  if (!encoder) return ((Decoder*)ec)->error;
+  return 0;
+}
+
 int64_t dtpu_isqrt64(int64_t v) {
   int64_t x = 0, r = v, bit = (int64_t)1 << 62;
   for (int i = 0; i < 32; i++) {
