@@ -809,6 +809,13 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
     """Returns (out, noref, skip)."""
     h = getattr(dec, "_h", None)
     lib = _partition_lib() if h is not None else False
+
+    def _al(label):
+        # Sub-symbol bit-accounting label (keeps the block coords the
+        # caller set) — only live on the AccountingDecoder path.
+        a = getattr(dec, "acct", None)
+        if a is not None:
+            a._label = label
     nodesync = robust or is_keyframe
     theta = 0.0
     gr = 0.0
@@ -831,6 +838,7 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
                 ctypes.byref(_pid))
             pid = _pid.value
         else:
+            _al("pvq:pid")
             pid = decode_cdf_adapt(
                 dec, adapt.gaintheta_cdf[cdf_ctx][:8 + 7 * has_skip],
                 adapt.gaintheta_increment)
@@ -851,6 +859,7 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
                 h, _ptr(model.cdf), model.increment, -1,
                 int(adapt.exg[pli, bs, band]), 2)
         else:
+            _al("pvq:gain")
             v, _ = generic_decode(dec, model, -1,
                                   int(adapt.exg[pli, bs, band]), 2)
         qg = 1 + v
@@ -883,6 +892,7 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
                     -1 if nodesync else max_theta - 3,
                     int(adapt.ext[ei]), 2)
             else:
+                _al("pvq:theta")
                 v, _ = generic_decode(dec, adapt.param_model[2],
                                       -1 if nodesync else max_theta - 3,
                                       int(adapt.ext[ei]), 2)
@@ -911,10 +921,12 @@ def _decode_partition(dec: RangeDecoder, adapt: PvqAdapt, q0, n,
                 _ptr(adapt.pvq_adapt[2 * bs + (1 if noref else 0)]),
                 _ptr(y), n, int(k), int(bool(noref)), bs)
         else:
+            _al("pvq:codeword")
             y = _decode_codeword(dec, adapt, n, k, noref, bs)
     else:
         y = np.zeros(n, dtype=np.int64)
     if cfl["allow_flip"] and not noref:
+        _al("pvq:cfl-flip")
         flip = dec.decode_bits(1)
         if flip:
             # ref is a view into cfl["ref"]; negating the parent flips
@@ -1110,6 +1122,9 @@ def pvq_decode_block(dec: RangeDecoder, state, ref: np.ndarray, q0: int,
             bs, qm[off[i]:off[i + 1]], qm_inv[off[i]:off[i + 1]], dres)
         out[off[i]:off[i + 1]] = o
         if i == 0 and not skip_rest[0] and bs > 0:
+            a = getattr(dec, "acct", None)
+            if a is not None:
+                a._label = "pvq:skip-dir"
             skip_dir = decode_cdf_adapt(
                 dec,
                 adapt.skip_dir_cdf[(1 if pli != 0 else 0) + 2 * (bs - 1)],

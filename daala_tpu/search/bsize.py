@@ -320,7 +320,16 @@ def rdo_split_superblocks(coeffs: np.ndarray, quantizer: int,
         2: _tiles_to_nodes(dists[2], 2) + lam_p * rates[2],
         3: _tiles_to_nodes(dists[3], 4) + lam_p * rates[3],
     }
-    split_overhead = lam_p * 2.5
+    import os
+
+    # Side cost of one split decision, in perceptual-rate units: a
+    # split adds 3 Haar-DC level magnitudes, 3 skip symbols and (via
+    # the shared grid) 3 chroma blocks' fixed symbols — decoder bit
+    # accounting on 1/f texture vs the reference put the real cost at
+    # ~15-25 bits/split at low rate, where the old 2.5 made the
+    # splitter subdivide texture the reference codes as whole SBs
+    # (+0.1 dB at rate there; RD-neutral on flat/warp content).
+    split_overhead = lam_p * float(os.environ.get("DTPU_SPLIT_OV", "16"))
     # DP from 8x8 nodes up.
     take8 = cost[1] <= cost[0] + split_overhead
     best8 = np.where(take8, cost[1], cost[0] + split_overhead)

@@ -70,6 +70,10 @@ int main(int argc, char **argv) {
     daala_encode_ctl(enc, OD_SET_MV_LEVEL_MAX, &mv_lmax, sizeof(mv_lmax));
   }
   daala_encode_ctl(enc, OD_SET_B_FRAMES, &bframes, sizeof(bframes));
+  if (getenv("RDREF_NOMASK")) {
+    int m = 0;
+    daala_encode_ctl(enc, OD_SET_ACTIVITY_MASKING, &m, sizeof(m));
+  }
 
   /* Headers -> decoder setup. */
   daala_comment comment;
@@ -88,6 +92,39 @@ int main(int argc, char **argv) {
   }
   daala_dec_ctx *dec = daala_decode_create(&dinfo, setup);
   if (!dec) { fprintf(stderr, "dec create failed\n"); return 1; }
+#ifdef OD_ACCOUNTING
+  /* Per-label bit totals (1/8-bit units), matched against our own
+     analyzer's by_technique dump.  Enable with RDREF_ACCT=1 on a
+     -DOD_ACCOUNTING build (tools/refbench/build.sh acct). */
+  static double acct_bits[256];
+  static char acct_names[256][32];
+  static int acct_n = 0;
+  int acct_on = getenv("RDREF_ACCT") != NULL;
+  if (acct_on) {
+    int e = 1;
+    daala_decode_ctl(dec, OD_DECCTL_SET_ACCOUNTING_ENABLED, &e, sizeof(e));
+  }
+#define ACCT_DUMP() \
+  if (acct_on) { \
+    od_accounting *acct; \
+    if (daala_decode_ctl(dec, OD_DECCTL_GET_ACCOUNTING, &acct, \
+                         sizeof(acct)) == 0) { \
+      int si; \
+      for (si = 0; si < acct->nb_syms; si++) { \
+        int id = acct->syms[si].id; \
+        if (id < 256) { \
+          if (!acct_names[id][0] && acct->dict.str[id]) { \
+            strncpy(acct_names[id], acct->dict.str[id], 31); \
+            if (id >= acct_n) acct_n = id + 1; \
+          } \
+          acct_bits[id] += acct->syms[si].bits_q3 / 8.0; \
+        } \
+      } \
+    } \
+  }
+#else
+#define ACCT_DUMP()
+#endif
 
   long total_bytes = 0;
   double sy = 0, su = 0, sv = 0;
@@ -104,6 +141,7 @@ int main(int argc, char **argv) {
     if (dp.e_o_s) eos_seen = 1; \
     if (getenv("RDREF_DEBUG")) fprintf(stderr, "pkt %ld\n", dp.bytes); \
     if (daala_decode_packet_in(dec, &dp) >= 0) { \
+      ACCT_DUMP(); \
       od_img dimg; \
       if (daala_decode_img_out(dec, &dimg) > 0) { \
         int di = decoded; \
@@ -195,5 +233,20 @@ int main(int argc, char **argv) {
   printf("{\"frames\": %d, \"bytes\": %ld, \"psnr_y\": %.3f, "
          "\"psnr_cb\": %.3f, \"psnr_cr\": %.3f}\n",
          decoded, total_bytes, py, pu, pv);
+#ifdef OD_ACCOUNTING
+  if (acct_on) {
+    int id;
+    printf("{\"accounting_bits\": {");
+    int first = 1;
+    for (id = 0; id < acct_n; id++) {
+      if (acct_bits[id] > 0) {
+        printf("%s\"%s\": %.1f", first ? "" : ", ", acct_names[id],
+               acct_bits[id]);
+        first = 0;
+      }
+    }
+    printf("}}\n");
+  }
+#endif
   return decoded == nframes ? 0 : 2;
 }
