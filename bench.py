@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-EXPECT_CK = 122487875
+EXPECT_CK = 122487932
 
 
 def main():

@@ -172,7 +172,7 @@ def _choose_levels(cur, preds, quantizer):
         e = c32 - p.astype(jnp.int32)
         sses.append((e * e).reshape(nsby, 32, nsbx, 32).sum((1, 3)))
     sse = jnp.stack(sses).astype(jnp.float32)
-    lam = 5.0 * (max(1, quantizer) / 16.0) ** 2
+    lam = min(40.0 * (max(1, quantizer) / 16.0) ** 2, 15000.0)
     bits = np.array([1, 4, 16, 0.3], dtype=np.float32) * 7.0 + 1.6
     cost = sse + (lam * bits)[:, None, None]
     return jnp.argmin(cost, axis=0).astype(jnp.int32)

@@ -318,6 +318,9 @@ def _code_inter_block(ec, state, pc, md, bx, by, bsi, bs, use_masking,
         dcflag = int(out[0])
         skip = (skip_in >> 1) and not dcflag
         if dcflag:
+            a = getattr(ec, "acct", None)
+            if a is not None:
+                a._label = "dc"
             v, new_ex = generic_decode(ec, state.model_dc[pli], -1,
                                        int(state.ex_dc[pli, bs, 0]), 2)
             state.ex_dc[pli, bs, 0] = new_ex
@@ -591,8 +594,13 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         from ..search.me import refine_mesh_lattice
 
         refs8p = [pad_ref(r) for r in refs8]
+        # Snap to the frame MV resolution BEFORE the blend refinement
+        # so the lattice is optimized in the domain it is coded in.
+        res0 = _choose_mv_res(quantizer)
+        if res0:
+            sgrid = (np.asarray(sgrid) >> res0) << res0
         sgrid = refine_mesh_lattice(cur_y8, refs8p, 80, sgrid, srids,
-                                    quantizer)
+                                    quantizer, mv_res=res0)
         levels = choose_levels(cur_y8, refs8p, 80, sgrid, srids,
                                quantizer, bounds)
         grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,

@@ -201,13 +201,19 @@ def motion_search_multi(cur: np.ndarray, refs, blk_log: int,
 
 
 def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
-                        iters=1):
+                        iters=1, mv_res=0):
     """Blend-aware refinement of the 32 px OBMC vertex lattice
     (encoder-only; native C++).  Perturbs each stride-4 vertex of the
     dense grid to minimize the EXACT 4-block blend SAD plus a small
     rate anchor toward the neighbor median — the role of the
     reference's rate-aware DP refinement (mcenc.c:5216-6388) recast
-    against the blend objective.  Mutates `grid` in place."""
+    against the blend objective.  Mutates `grid` in place.
+
+    mv_res: the frame's coded MV resolution — the perturbation steps
+    scale to multiples of 1<<mv_res so the refinement optimizes the
+    lattice the decoder will actually see (refining at quarter-pel and
+    then rounding to full-pel both wastes the search and leaves the
+    mesh off its blend optimum at coarse quantizers)."""
     import ctypes
 
     from ..ops.mc import _mc_lib
@@ -228,7 +234,7 @@ def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
     refs = [np.ascontiguousarray(r, dtype=np.uint8) for r in refs_padded]
     arr = (ctypes.c_void_p * len(refs))(
         *[r.ctypes.data_as(ctypes.c_void_p).value for r in refs])
-    steps = np.asarray([8, 4, 2], dtype=np.int64)
+    steps = np.asarray([8, 4, 2], dtype=np.int64) << mv_res
     lam = 4.0 * max(1, quantizer) / 16.0
     cur_c = np.ascontiguousarray(cur)
     vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)

@@ -189,7 +189,17 @@ def choose_levels(cur, refs_padded, pad, dense_grid, dense_rids,
     err = (cur.astype(np.int64) - pred) ** 2
     sses.append(err.reshape(nsby, 32, nsbx, 32).sum(axis=(1, 3)))
     sse = np.stack(sses)                       # (4, nsby, nsbx)
-    lam = 5.0 * (max(1, quantizer) / 16.0) ** 2
+    import os
+
+    # Rate weight for the per-SB level decision.  Decoder bit
+    # accounting vs the reference showed the old 5.0 q^2 weight let MV
+    # bits reach 13% of the packet at high rate (reference: ~3%):
+    # 40 q^2, capped so coarse quantizers keep a useful mesh, is
+    # -8..-13% bytes at equal quality over the mid/high ladder and
+    # neutral at the low end (swept on the warp clip, 2026-08).
+    lam = (float(os.environ.get("DTPU_LEVEL_LAM", "40.0"))
+           * (max(1, quantizer) / 16.0) ** 2)
+    lam = min(lam, float(os.environ.get("DTPU_LEVEL_LAM_CAP", "15000")))
     bits = np.array([1, 4, 16, 0.3])[:, None, None] * 7.0 + 1.6
     cost = sse + lam * bits
     return np.argmin(cost, axis=0).astype(np.int32)
