@@ -72,6 +72,14 @@ def _unpack_dec(v: int, n: int):
 def _unpack_info(buf: bytes) -> FrameInfo:
     (w, h, npl, xdec, ydec, depth, tn, td, an, ad, kr) = struct.unpack(
         "<IIBBBBIIIIH", buf)
+    # Validate before anything downstream trusts these (the header
+    # codec's infodec.c:99-188 rejects malformed headers the same way).
+    if depth not in (8, 10, 12):
+        raise ValueError(f"invalid bitdepth {depth}")
+    if npl not in (1, 3):
+        raise ValueError(f"invalid plane count {npl}")
+    if not (0 < w <= 65536 and 0 < h <= 65536):
+        raise ValueError("invalid frame dimensions")
     return FrameInfo(
         pic_width=w, pic_height=h, nplanes=npl,
         xdec=_unpack_dec(xdec, npl), ydec=_unpack_dec(ydec, npl),
