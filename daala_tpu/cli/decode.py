@@ -54,7 +54,8 @@ def main(argv=None):
                                       not p.use_haar else 1,
                                       tile_workers=args.tile_jobs)
             planes = sess.decode_frame(p.data, p.keyframe, p.use_haar,
-                                       ftype=p.ftype, dres=p.dres)
+                                       ftype=p.ftype, dres=p.dres,
+                                       gray_ref=p.gray_ref)
             decoded.append((p.display_order, planes))
             sys.stderr.write(f"\rframe {i}")
         # Reorder coding order -> display order (B-frame reordering).

@@ -69,6 +69,10 @@ def main(argv=None):
                          "8-bit 4:2:0)")
     ap.add_argument("--chunk", type=int, default=8,
                     help="--device: frames per device dispatch")
+    ap.add_argument("--gray-gop", action="store_true",
+                    help="--device: open every GOP with a gray-"
+                         "reference P frame instead of a host keyframe "
+                         "(the entire encode runs on the device)")
     args = ap.parse_args(argv)
 
     with open(args.input, "rb") as f:
@@ -94,14 +98,16 @@ def main(argv=None):
                 frames.append(planes)
             sess = DeviceEncoderSession(
                 info, args.quality, chunk=args.chunk,
-                keyframe_rate=args.keyframe_rate)
+                keyframe_rate=args.keyframe_rate,
+                gray_start=args.gray_gop)
             t0 = time.time()
             outs = sess.encode_clip(frames)
             dt = time.time() - t0
             packets = [FramePacket(
                 o["data"], keyframe=o["ftype"] == FT_INTRA,
                 ftype=o["ftype"], display_order=o["display_order"],
-                dres=bool(o.get("dres"))) for o in outs]
+                dres=bool(o.get("dres")),
+                gray_ref=bool(o.get("gray_ref"))) for o in outs]
             sys.stderr.write(
                 f"{len(packets)} frames in {dt:.2f}s "
                 f"({len(packets) / max(dt, 1e-9):.2f} fps, device)\n")

@@ -64,7 +64,8 @@ def main(argv=None):
         buf = []
         for p in packets:
             planes = sess.decode_frame(p.data, p.keyframe, p.use_haar,
-                                       ftype=p.ftype)
+                                       ftype=p.ftype, dres=p.dres,
+                                       gray_ref=p.gray_ref)
             buf.append((p.display_order, planes))
         for _, planes in sorted(buf, key=lambda t: t[0]):
             due = t0 + (shown + 1) / fps

@@ -8,6 +8,8 @@ three logical headers in a simple self-contained container (".dtp"):
   then per frame: u8 flags | u32 length | packet bytes
 
 Frame flags: bit0 keyframe, bit1 use_haar(lossless), bits 2-3 bs_luma,
+bit6 dres (integer-synthesis residual), bit7 gray_ref (predict from the
+synthesized gray frame: a signaled random-access point),
 bits 4-5 ftype, bit6 dres (device-residual integer-synthesis mode).
 Packet classification helpers mirror daala_packet_isheader/iskeyframe
 (src/info.c:24-60).
@@ -41,6 +43,12 @@ class FramePacket:
     display_order: int = 0
     # Device-residual integer-synthesis inter mode (pipeline dres flag).
     dres: bool = False
+    # Predict from the synthesized gray reference instead of the
+    # decoded one (od_dec_init_dummy_frame semantics, decode.c:239,
+    # promoted to a signaled random-access point: a gray-ref P frame
+    # starts a GOP with no intra machinery — the all-device encode's
+    # keyframe substitute).
+    gray_ref: bool = False
 
 
 def packet_is_keyframe(flags: int) -> bool:
@@ -103,7 +111,8 @@ def write_stream(path: str, info: FrameInfo, packets: List[FramePacket],
         for p in packets:
             flags = (1 if p.keyframe else 0) | ((1 if p.use_haar else 0) << 1) \
                 | ((p.bs_luma & 3) << 2) | ((p.ftype & 3) << 4) \
-                | ((1 if p.dres else 0) << 6)
+                | ((1 if p.dres else 0) << 6) \
+                | ((1 if p.gray_ref else 0) << 7)
             f.write(struct.pack("<BII", flags, p.display_order,
                                 len(p.data)))
             f.write(p.data)
@@ -136,5 +145,6 @@ def read_stream(path: str) -> Tuple[FrameInfo, str, List[FramePacket]]:
                 ftype=(flags >> 4) & 3,
                 display_order=disp,
                 dres=bool(flags & 0x40),
+                gray_ref=bool(flags & 0x80),
             ))
         return info, comment, packets

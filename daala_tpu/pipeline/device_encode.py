@@ -505,7 +505,8 @@ class DeviceEncoderSession:
     ftype and dres from the packet dicts."""
 
     def __init__(self, info, quality, use_dering=True, chunk=8,
-                 keyframe_rate=None, emit_recon=False):
+                 keyframe_rate=None, emit_recon=False,
+                 gray_start=False):
         if info.bitdepth != 8:
             raise ValueError("device encode: 8-bit only")
         if tuple(info.xdec) != (0, 1, 1):
@@ -516,6 +517,10 @@ class DeviceEncoderSession:
         self.chunk = int(chunk)
         self.keyframe_rate = keyframe_rate or info.keyframe_rate
         self.emit_recon = bool(emit_recon)
+        # gray_start: no host keyframes at all — every GOP opens with a
+        # gray-reference P frame (container gray_ref flag), so the
+        # ENTIRE encode runs on the device.
+        self.gray_start = bool(gray_start)
         self.quantizer = codedquantizer_to_quantizer(self.quality)
         self._fn = make_device_chunk_fn(
             info.frame_height, info.frame_width, self.quantizer,
@@ -595,19 +600,38 @@ class DeviceEncoderSession:
 
     # -- public ----------------------------------------------------------
 
+    def _gray_carry(self):
+        import jax
+        import jax.numpy as jnp
+
+        with jax.enable_x64(True):
+            out = []
+            for pli in range(3):
+                w = self.info.frame_width >> self.info.xdec[pli]
+                h = self.info.frame_height >> self.info.ydec[pli]
+                out.append(jnp.full((h + 2 * PAD, w + 2 * PAD), 128,
+                                    dtype=jnp.uint8))
+        return tuple(out)
+
     def encode_clip(self, frames):
         """Encode a full clip (list of [y, u, v] uint8 planes, display
         order).  Returns packet dicts in coding order.  Device chunks
         are dispatched ahead: the device computes chunk N+1 while the
-        host packs chunk N."""
+        host packs chunk N.  With gray_start, GOPs open with a
+        gray-reference P frame and the whole encode runs on device."""
         out = []
         idx = 0
         while idx < len(frames):
-            key_pkt, rec = self._encode_key(frames[idx], idx)
-            out.append(key_pkt)
-            self._carry = self._seed_carry(rec)
             gop_end = min(idx + self.keyframe_rate, len(frames))
-            p0 = idx + 1
+            if self.gray_start:
+                self._carry = self._gray_carry()
+                p0 = idx
+            else:
+                key_pkt, rec = self._encode_key(frames[idx], idx)
+                out.append(key_pkt)
+                self._carry = self._seed_carry(rec)
+                p0 = idx + 1
+            first_p = p0 if self.gray_start else None
             pending = None   # (outs, nframes, first_display_idx)
             while p0 < gop_end or pending is not None:
                 nxt = None
@@ -616,7 +640,11 @@ class DeviceEncoderSession:
                     nxt = (self._run_chunk(frames[p0:p1]), p1 - p0, p0)
                     p0 = p1
                 if pending is not None:
-                    out.extend(self._pack_chunk(*pending))
+                    pkts = self._pack_chunk(*pending)
+                    if first_p is not None and pkts \
+                            and pkts[0]["display_order"] == first_p:
+                        pkts[0]["gray_ref"] = True
+                    out.extend(pkts)
                 pending = nxt
             idx = gop_end
         return out

@@ -986,9 +986,24 @@ class DecoderSession:
         self.ref_next = None
         self.ref_gold = None
 
+    def _gray_refs(self):
+        """Synthesized gray reference planes (od_dec_init_dummy_frame,
+        decode.c:239): used when a stream predicts with no decoded
+        reference, or when a packet signals gray_ref (the all-device
+        encode's random-access points)."""
+        from .intra import pad_plane
+
+        info = self.info
+        gray = 128 << (info.bitdepth - 8)
+        dtype = np.uint8 if info.bitdepth <= 8 else np.uint16
+        return [np.full((info.frame_height >> info.ydec[p],
+                         info.frame_width >> info.xdec[p]), gray,
+                        dtype=dtype) for p in range(info.nplanes)]
+
     def decode_frame(self, packet: bytes, keyframe: bool,
                      use_haar: bool = False, ftype: int = None,
-                     acct=None, dres: bool = False):
+                     acct=None, dres: bool = False,
+                     gray_ref: bool = False):
         """Single-packet decode (coding order).  ftype defaults to
         I/P by the keyframe flag for b_frames=0 streams."""
         from .intra import decode_keyframe
@@ -1010,6 +1025,18 @@ class DecoderSession:
                                   tile_workers=self.tile_workers,
                                   out_info=oi, acct=acct)
             self._rotate(rec, FT_INTRA)
+            return rec
+        if gray_ref or self.ref_prev is None:
+            # Gray random-access point, or a stream that predicts with
+            # no decoded reference (resilience).
+            refs = [self._gray_refs()]
+            rec = _code_inter_packet(
+                self.info, self.bs_luma, self.use_masking,
+                self.use_dering, 0, refs, packet, False,
+                tile_workers=self.tile_workers, out_info=oi, acct=acct,
+                dres=dres)
+            if ftype != FT_B:
+                self._rotate(rec, ftype)
             return rec
         if ftype == FT_B:
             # ref 0 = forward (future) anchor, ref 1 = past anchor —

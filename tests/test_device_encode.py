@@ -86,6 +86,52 @@ def test_device_encode_quality_and_rate():
     assert total < len(frames) * info.pic_width * info.pic_height
 
 
+def test_device_encode_gray_start_exact():
+    """gray_start: every frame (including GOP openers predicting from
+    the synthesized gray reference) is device-encoded; the decoder
+    reconstructs bit-identically across GOP restarts."""
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+    from daala_tpu.pipeline.inter import DecoderSession
+
+    frames = _clip(6)
+    info = _info(kf=3)
+    enc = DeviceEncoderSession(info, quality=30, chunk=2,
+                               emit_recon=True, gray_start=True)
+    pkts = enc.encode_clip(frames)
+    assert len(pkts) == len(frames)
+    assert [bool(p.get("gray_ref")) for p in pkts] == \
+        [True, False, False, True, False, False]
+    assert all(p["ftype"] == 3 for p in pkts)
+    dec = DecoderSession(info)
+    for p in pkts:
+        rec = dec.decode_frame(p["data"], False, ftype=p["ftype"],
+                               dres=p["dres"],
+                               gray_ref=bool(p.get("gray_ref")))
+        for pl in range(3):
+            assert np.array_equal(np.asarray(rec[pl]),
+                                  np.asarray(p["recon"][pl])), \
+                (p["display_order"], pl)
+
+
+def test_gray_ref_resilience():
+    """A stream that opens with a P frame (no decoded reference yet)
+    must decode against the synthesized gray frame, not crash."""
+    _native_or_skip()
+    from daala_tpu.pipeline.inter import DecoderSession, EncoderSession
+
+    info = _info()
+    frames = _clip(3)
+    enc = EncoderSession(info, quality=30)
+    outs = []
+    for f in frames:
+        outs += enc.push_frame(f)
+    dec = DecoderSession(info)
+    # Drop the keyframe: decode the P packets only.
+    for o in outs[1:]:
+        dec.decode_frame(o["data"], False, ftype=o["ftype"])
+
+
 def test_device_encode_keyframe_cadence():
     _native_or_skip()
     from daala_tpu.pipeline.device_encode import DeviceEncoderSession
