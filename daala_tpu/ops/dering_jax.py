@@ -104,12 +104,19 @@ def dering_padded_jax(P, nhsb: int, nvsb: int, q, xdec: int,
     bsize = 3 - xdec
     nb = n >> bsize
     b = FILT_BORDER
-    # (nvsb*nhsb, n+6, n+6) overlapping SB windows in one gather.
+    # (nvsb*nhsb, n+6, n+6) overlapping SB windows.  Slice-gather, NOT
+    # conv_general_dilated_patches: the float conv lowers to bf16
+    # multiplies on TPU and silently corrupts coefficient values above
+    # 2^8 — the decoder then reconstructs differently than the device
+    # (caught by the on-chip encoder-check run, 2026-08).
     k = n + 2 * b
-    patches = jax.lax.conv_general_dilated_patches(
-        P[None, None].astype(jnp.float32), (k, k), (n, n), "VALID")
-    padded = (patches.reshape(k * k, nvsb, nhsb)
-              .transpose(1, 2, 0).reshape(-1, k, k).astype(jnp.int32))
+    ys = (jnp.arange(nvsb, dtype=jnp.int32) * n)
+    xs = (jnp.arange(nhsb, dtype=jnp.int32) * n)
+    yy = jnp.repeat(ys, nhsb)
+    xx = jnp.tile(xs, nvsb)
+    padded = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(P, (y, x), (k, k)))(yy, xx)
+    padded = padded.astype(jnp.int32)
     N = nvsb * nhsb
     # q may be the PRE-COMPUTED integer threshold (exact host float64
     # q^0.84182, passed traced so the jit never specializes on the

@@ -345,8 +345,346 @@ def make_device_chunk_fn(h, w, quantizer, use_dering=True,
 
 
 # ---------------------------------------------------------------------------
+# device keyframe: wavefront Haar-DC + noref integer-synthesis bands
+# ---------------------------------------------------------------------------
+
+
+def _div_r0_jax(x, q):
+    import jax.numpy as jnp
+
+    a = jnp.abs(x)
+    return jnp.sign(x) * ((a + (q >> 1)) // q)
+
+
+def _tdiv5_jax(x):
+    import jax.numpy as jnp
+
+    return jnp.sign(x) * (jnp.abs(x) // 5)
+
+
+def _sb_dc_wavefront(S, dcq):
+    """SB-DC prediction/quantization as a slope-2 anti-diagonal
+    wavefront scan — the lax.scan form of the sequential raster in
+    _sb_dc_code (encode.c:1368-1421): each diagonal's superblocks read
+    only finished neighbors (left / up / up-left are >=1 diagonal back;
+    up-RIGHT is why the slope is 2).  S: (nvsb, nhsb) int32 raw tree
+    DCs.  Returns (quant indices, reconstructed DCs)."""
+    import jax
+    import jax.numpy as jnp
+
+    nvsb, nhsb = S.shape
+    ii = jnp.arange(nvsb, dtype=jnp.int32)
+    cols = jnp.arange(nhsb, dtype=jnp.int32)
+
+    def body(d2, carry):
+        R, Q = carry
+        jj = d2 - 2 * ii
+        valid = (jj >= 0) & (jj < nhsb)
+        jc = jnp.clip(jj, 0, nhsb - 1)
+        iu = jnp.maximum(ii - 1, 0)
+        left = R[ii, jnp.maximum(jc - 1, 0)]
+        up = R[iu, jc]
+        ul = R[iu, jnp.maximum(jc - 1, 0)]
+        ur = R[iu, jnp.minimum(jc + 1, nhsb - 1)]
+        has_l = jc > 0
+        has_u = ii > 0
+        has_ur = has_u & (jc < nhsb - 1)
+        pf = jnp.where(has_ur,
+                       (22 * left - 9 * ul + 15 * up + 4 * ur + 16) >> 5,
+                       (23 * left - 10 * ul + 19 * up + 16) >> 5)
+        pred = jnp.where(has_l & has_u, pf,
+                         jnp.where(has_u, up,
+                                   jnp.where(has_l, left, 0)))
+        q = _div_r0_jax(S[ii, jc] - pred, dcq).astype(jnp.int32)
+        rec = q * dcq + pred
+        onrow = (cols[None, :] == jc[:, None]) & valid[:, None]
+        R = jnp.where(onrow, rec[:, None], R)
+        Q = jnp.where(onrow, q[:, None], Q)
+        return (R, Q)
+
+    R0 = jnp.zeros_like(S)
+    Q0 = jnp.zeros_like(S)
+    R, Q = jax.lax.fori_loop(0, 2 * (nvsb - 1) + nhsb, body, (R0, Q0))
+    return Q, R
+
+
+def _haar_level_quant(x0, x1, x2, x3, hgrad, vgrad, q01, q3):
+    """One Haar-DC level, vectorized over all nodes: gradient-
+    compensated plain quantization of the 3 ACs + child reconstruction
+    (_haar_dc_level without the adaptive-rate RDO bump — an encoder
+    choice the device replicates exactly on both sides)."""
+    from ..ops.dct import _haar_kernel
+
+    def _q(v, q):
+        import jax.numpy as jnp
+
+        idx = jnp.sign(v) * (jnp.abs(v) // q)
+        return idx.astype(v.dtype), (idx * q).astype(v.dtype)
+
+    x1 = x1 - _tdiv5_jax(hgrad)
+    x2 = x2 - _tdiv5_jax(vgrad)
+    i1, x1 = _q(x1, q01)
+    i2, x2 = _q(x2, q01)
+    i3, x3 = _q(x3, q3)
+    x1 = x1 + _tdiv5_jax(hgrad)
+    x2 = x2 + _tdiv5_jax(vgrad)
+    c0, c1, c2, c3 = _haar_kernel(x0, x1, x2, x3)
+    return (i1, i2, i3), (c0, c1, c2, c3), x1, x2
+
+
+def _plane_key_dc(d, n, dcq, acq):
+    """Whole-plane keyframe DC coding on device: bottom-up Haar tree,
+    wavefront SB-DC, two vectorized Haar-AC levels.  d: transform
+    plane; n: block size (8 luma / 4 chroma); acq[level][i].
+    Returns (plane with reconstructed leaf DCs, sbdc idx, level-2 idx
+    (nvsb, nhsb, 3), level-1 idx (nvsb, nhsb, 4, 3))."""
+    import jax.numpy as jnp
+
+    from .device import haar_dc_tree_fwd
+
+    d = haar_dc_tree_fwd(d, n)
+    L = d[::n, ::n]
+    sb_idx, R = _sb_dc_wavefront(L[::4, ::4].astype(jnp.int32), dcq)
+    # Grads from reconstructed neighbor SB DCs (edge rows/cols: 0).
+    hg = jnp.zeros_like(R).at[:, 1:].set(R[:, :-1] - R[:, 1:])
+    vg = jnp.zeros_like(R).at[1:, :].set(R[:-1, :] - R[1:, :])
+    # Level "2": node = SB, children = 16px-equivalent (stride 2 in L).
+    x1 = L[0::4, 2::4].astype(jnp.int32)
+    x2 = L[2::4, 0::4].astype(jnp.int32)
+    x3 = L[2::4, 2::4].astype(jnp.int32)
+    iA, cA, hg2, vg2 = _haar_level_quant(R, x1, x2, x3, hg, vg,
+                                         acq[0][0], acq[0][1])
+    # Level "1": 4 child nodes per SB share the parent's grads.
+    idxB = []
+    leaf = jnp.zeros((L.shape[0], L.shape[1]), dtype=jnp.int32)
+    for ci, (oy, ox) in enumerate(((0, 0), (0, 2), (2, 0), (2, 2))):
+        x0 = cA[ci]
+        y1 = L[oy::4, ox + 1::4].astype(jnp.int32)
+        y2 = L[oy + 1::4, ox::4].astype(jnp.int32)
+        y3 = L[oy + 1::4, ox + 1::4].astype(jnp.int32)
+        iB, cB, _, _ = _haar_level_quant(x0, y1, y2, y3, hg2, vg2,
+                                         acq[1][0], acq[1][1])
+        idxB.append(jnp.stack(iB, axis=-1))
+        for di, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            leaf = leaf.at[oy + dy::4, ox + dx::4].set(cB[di])
+    d = d.at[::n, ::n].set(leaf.astype(d.dtype))
+    return (d, sb_idx, jnp.stack(iA, axis=-1),
+            jnp.stack(idxB, axis=-2))
+
+
+def _key_frame_planes(cy, cu, cv, quantizer, qms, qm_invs, pvq_qms,
+                      dc_quants, ac_quants, use_dering):
+    """Device keyframe encode (dres keyframe stream mode): per plane,
+    uniform lapped transform, Haar-DC (wavefront + levels), noref
+    integer-synthesis PVQ of the AC bands, reconstruction [+ dering].
+    Returns (recon uint8 planes, symbol dict)."""
+    import jax.numpy as jnp
+
+    from ..pvq.device_search import pvq_symbols_frame
+
+    outs = {"sbdc": [], "acA": [], "acB": [], "qg": [], "y": []}
+    recs = []
+    for pli, (cur, bs) in enumerate(((cy, 1), (cu, 0), (cv, 0))):
+        n = 4 << bs
+        c = (cur.astype(jnp.int32) - 128) << 4
+        d = _fwd_input(c, bs)
+        d, sb_idx, iA, iB = _plane_key_dc(d, n, dc_quants[pli],
+                                          ac_quants[pli])
+        dq, _, qg, y = pvq_symbols_frame(d, bs, quantizer,
+                                         qms[bs], qm_invs[bs],
+                                         pvq_qms[pli])
+        # pvq_symbols_frame quantizes the DC lattice too — restore the
+        # Haar-reconstructed DCs (the stream codes DC via the tree).
+        dq = dq.at[::n, ::n].set(d[::n, ::n])
+        recs.append(_inv(dq, bs))
+        outs["sbdc"].append(sb_idx)
+        outs["acA"].append(iA)
+        outs["acB"].append(iB)
+        outs["qg"].append(qg)
+        outs["y"].append(y)
+    if use_dering:
+        oy = (cy.astype(jnp.int32) - 128) << 4
+        recs, dflags = _dering_select(recs, oy, None, quantizer,
+                                      (0, 1, 1))
+    else:
+        dflags = jnp.zeros((cy.shape[0] >> 5, cy.shape[1] >> 5),
+                           dtype=jnp.int32)
+    outs["dflags"] = dflags
+    r8 = [jnp.clip(((r + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
+          for r in recs]
+    return r8, outs
+
+
+def make_device_key_fn(h, w, quality, use_dering=True):
+    """Jit the device keyframe encode.  quality is the session coded
+    quantizer; the keyframe boost (encode.c:3059) applies inside.
+    Returns (fn, cq): fn(y, u, v) -> (recon planes, symbols)."""
+    import jax
+
+    from ..pvq.scan import qm_get_index
+    from ..core.quant import DC_QM
+
+    cq = max(1, int(quality) - 3)
+    quantizer = codedquantizer_to_quantizer(cq)
+    qm, qm_inv = init_qm(QM8_HVS)
+    qms = tuple(np.asarray(qm[b], dtype=np.int32) for b in range(4))
+    qmis = tuple(np.asarray(qm_inv[b], dtype=np.int32)
+                 for b in range(4))
+    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False)
+                    for pli in range(3))
+    dc_quants = []
+    ac_quants = []
+    for pli in range(3):
+        xdec = 0 if pli == 0 else 1
+        dcq = max(1, quantizer
+                  * int(pvq_qms[pli][qm_get_index(3, 0)]) >> 4)
+        dc_quants.append(dcq)
+        # _haar_dc_level: level param 2 then 1, DC_QM[level - xdec].
+        ac_quants.append(tuple(
+            (max(1, (dcq * int(DC_QM[lv - xdec][0]) + 8) >> 4),
+             max(1, (dcq * int(DC_QM[lv - xdec][1]) + 8) >> 4))
+            for lv in (2, 1)))
+
+    def fn(y, u, v):
+        return _key_frame_planes(y, u, v, quantizer, qms, qmis,
+                                 pvq_qms, tuple(dc_quants),
+                                 tuple(ac_quants), bool(use_dering))
+
+    with jax.enable_x64(True):
+        return jax.jit(fn), cq
+
+
+# ---------------------------------------------------------------------------
 # host side: slim symbol pack
 # ---------------------------------------------------------------------------
+
+
+def _pack_key_leaf(ec, state, pli, bs, qg_row, y_row):
+    """Code one keyframe leaf's skip symbol + noref bands from device
+    tensors — pvq_encode_block's dres-keyframe syntax without the
+    search (zero bands <=> qg == 0; whole-block skip only when every
+    band is zero, which is recon-neutral)."""
+    from ..entropy.adapt import encode_cdf_adapt
+    from ..pvq.coding import _encode_partition
+
+    adapt = state.pvq
+    offs = BAND_OFFSETS[bs]
+    nb = offs[0]
+    off = offs[1:]
+    skip_cdf = state.skip_cdf[2 * bs + (1 if pli != 0 else 0)]
+    nsym = 4 + (1 if (pli == 0 and bs > 0) else 0)
+    zero = [int(qg_row[i]) == 0 for i in range(nb)]
+    skip_rest = 1 if all(zero[1:]) else 0
+    if zero[0] and skip_rest:
+        encode_cdf_adapt(ec, 2, skip_cdf[:nsym], state.skip_increment)
+        return
+    encode_cdf_adapt(ec, 0, skip_cdf[:nsym], state.skip_increment)
+    skip_dir = 0
+    if nb > 1:
+        for i in range(3):
+            if all(zero[j] for j in range(i + 1, nb, 3)):
+                skip_dir |= 1 << i
+    for i in range(nb):
+        if i == 0 or (not skip_rest
+                      and not (skip_dir & (1 << ((i - 1) % 3)))):
+            n = off[i + 1] - off[i]
+            qg = int(qg_row[i])
+            k = int(icompute_k(n, True, qg))
+            y = np.asarray(y_row[off[i] - 1:off[i + 1] - 1],
+                           dtype=np.int64)
+            _encode_partition(
+                ec, adapt, qg, -1, 0, y, n, k, pli, i, True,
+                (1 if pli != 0 else 0) * 4 * 9 + bs * 9 + i,
+                True, 1 if (i == 0 and i < nb - 1) else 0,
+                skip_rest, bs)
+        if i == 0 and not skip_rest and bs > 0:
+            encode_cdf_adapt(
+                ec, skip_dir,
+                adapt.skip_dir_cdf[(1 if pli != 0 else 0) + 2 * (bs - 1)],
+                adapt.skip_dir_increment)
+
+
+def _pack_key_sb(ec, state, pli, xdec, sby, sbx, syms):
+    """One superblock of one plane: SB DC, the split/Haar-level walk,
+    leaf bands — exactly _sb_dc_code + _code_recursive's symbol order
+    for the fixed bs_luma=1 grid."""
+    from ..entropy import generic_encode
+    from ..entropy.adapt import encode_cdf_adapt
+
+    v = int(syms["sbdc"][pli][sby, sbx])
+    new_ex = generic_encode(ec, state.model_dc[pli], abs(v), -1,
+                            int(state.ex_sb_dc[pli]), 2)
+    state.ex_sb_dc[pli] = new_ex
+    if v:
+        ec.encode_bits(int(v < 0), 1)
+
+    def haar(level, idx3):
+        for i in range(3):
+            q = int(idx3[i])
+            new_ex = generic_encode(ec, state.model_dc[pli], abs(q), -1,
+                                    int(state.ex_dc[pli, level, i]), 2)
+            state.ex_dc[pli, level, i] = new_ex
+            if q:
+                ec.encode_bits(int(q < 0), 1)
+
+    bs = max(1 - xdec, 0)   # leaf bs: luma 1, chroma 0
+    if pli == 0:
+        encode_cdf_adapt(ec, 4, state.skip_cdf[6][:5],
+                         state.skip_increment)
+    haar(2, syms["acA"][pli][sby, sbx])
+    for ci in range(4):
+        if pli == 0:
+            encode_cdf_adapt(ec, 4, state.skip_cdf[4][:5],
+                             state.skip_increment)
+        haar(1, syms["acB"][pli][sby, sbx, ci])
+        cby, cbx = 2 * sby + (ci >> 1), 2 * sbx + (ci & 1)
+        for li in range(4):
+            lby, lbx = 2 * cby + (li >> 1), 2 * cbx + (li & 1)
+            row = lby * (syms["nbx"][pli]) + lbx
+            _pack_key_leaf(ec, state, pli, bs,
+                           syms["qg"][pli][row], syms["y"][pli][row])
+
+
+def pack_device_keyframe(info, quality, syms, use_dering=True):
+    """Range-code one device-encoded keyframe (dres keyframe mode) into
+    the standard keyframe packet layout (encode_keyframe: QM header,
+    quantizers, per-SB DC tree + leaves, dering flags; single tile)."""
+    from ..entropy import make_encoder
+    from ..entropy.adapt import encode_cdf_adapt
+    from .intra import _tile_states
+    from .tiles import pack_tiles
+
+    cq = max(1, int(quality) - 3)
+    quantizer = codedquantizer_to_quantizer(cq)
+    nplanes = info.nplanes
+    nvsb = info.frame_height >> 5
+    nhsb = info.frame_width >> 5
+    state = _tile_states(nplanes, quantizer, False, 1)[0]
+    ec = make_encoder()
+    for pli in range(nplanes):
+        for v in state.pvq_qm_q4[pli]:
+            ec.encode_bits(int(v), 8)
+    for _ in range(nplanes):
+        ec.encode_uint(cq, N_CODED_QUANTIZERS)
+    syms = dict(syms)
+    # Leaf blocks per row: luma 8px blocks and 4:2:0 chroma 4px blocks
+    # both give frame_width >> 3.
+    syms["nbx"] = [info.frame_width >> 3] * nplanes
+    for sby in range(nvsb):
+        for sbx in range(nhsb):
+            for pli in range(nplanes):
+                _pack_key_sb(ec, state, pli, info.xdec[pli], sby, sbx,
+                             syms)
+    if use_dering:
+        fl = np.asarray(syms["dflags"], dtype=np.int32)
+        for sby in range(nvsb):
+            for sbx in range(nhsb):
+                up = int(fl[sby - 1, sbx]) if sby > 0 else 0
+                left = int(fl[sby, sbx - 1]) if sbx > 0 else 0
+                encode_cdf_adapt(ec, int(fl[sby, sbx]),
+                                 state.clpf_cdf[(up << 1) + left],
+                                 state.clpf_increment)
+    return pack_tiles([ec.done()])
 
 
 class _PackPlane:
@@ -506,7 +844,7 @@ class DeviceEncoderSession:
 
     def __init__(self, info, quality, use_dering=True, chunk=8,
                  keyframe_rate=None, emit_recon=False,
-                 gray_start=False):
+                 gray_start=False, key=None):
         if info.bitdepth != 8:
             raise ValueError("device encode: 8-bit only")
         if tuple(info.xdec) != (0, 1, 1):
@@ -521,6 +859,12 @@ class DeviceEncoderSession:
         # gray-reference P frame (container gray_ref flag), so the
         # ENTIRE encode runs on the device.
         self.gray_start = bool(gray_start)
+        # Device keyframes (dres keyframe mode: wavefront Haar-DC +
+        # noref integer-synthesis bands) — the default when not
+        # gray_start; set key="host" to use the full host intra
+        # encoder (H/V prediction + CfL, better RD, host compute).
+        self.key = key or ("gray" if gray_start else "device")
+        self._key_fn = None
         self.quantizer = codedquantizer_to_quantizer(self.quality)
         self._fn = make_device_chunk_fn(
             info.frame_height, info.frame_width, self.quantizer,
@@ -551,6 +895,48 @@ class DeviceEncoderSession:
             bs_luma=1, use_dering=self.use_dering, return_recon=True)
         return {"data": pkt, "ftype": 0, "display_order": idx,
                 "recon": rec, "use_haar": False, "dres": False}, rec
+
+    def _encode_key_device(self, planes, idx):
+        """Device keyframe: wavefront Haar-DC + noref isynth bands on
+        the accelerator; host packs the symbol tensors.  The recon
+        stays on device as the GOP's reference carry."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..search.me_jax import pad_edge
+        from .intra import pad_plane
+
+        if self._key_fn is None:
+            self._key_fn = make_device_key_fn(
+                self.info.frame_height, self.info.frame_width,
+                self.quality, use_dering=self.use_dering)[0]
+        padded = []
+        for pli in range(3):
+            w = self.info.frame_width >> self.info.xdec[pli]
+            h = self.info.frame_height >> self.info.ydec[pli]
+            padded.append(jnp.asarray(pad_plane(planes[pli], w, h)))
+        with jax.enable_x64(True):
+            r8, outs = self._key_fn(*padded)
+            self._carry = tuple(pad_edge(r, PAD) for r in r8)
+        syms = {
+            "sbdc": [np.asarray(a) for a in outs["sbdc"]],
+            "acA": [np.asarray(a) for a in outs["acA"]],
+            "acB": [np.asarray(a) for a in outs["acB"]],
+            "qg": [np.asarray(a) for a in outs["qg"]],
+            "y": [np.asarray(a) for a in outs["y"]],
+            "dflags": np.asarray(outs["dflags"]),
+        }
+        data = pack_device_keyframe(self.info, self.quality, syms,
+                                    self.use_dering)
+        d = {"data": data, "ftype": 0, "display_order": idx,
+             "use_haar": False, "dres": True}
+        if self.emit_recon:
+            d["recon"] = tuple(
+                np.asarray(r8[p])
+                [:self.info.pic_height >> self.info.ydec[p],
+                 :self.info.pic_width >> self.info.xdec[p]]
+                for p in range(3))
+        return d
 
     def _run_chunk(self, frames):
         import jax
@@ -623,15 +1009,18 @@ class DeviceEncoderSession:
         idx = 0
         while idx < len(frames):
             gop_end = min(idx + self.keyframe_rate, len(frames))
-            if self.gray_start:
+            if self.key == "gray":
                 self._carry = self._gray_carry()
                 p0 = idx
+            elif self.key == "device":
+                out.append(self._encode_key_device(frames[idx], idx))
+                p0 = idx + 1
             else:
                 key_pkt, rec = self._encode_key(frames[idx], idx)
                 out.append(key_pkt)
                 self._carry = self._seed_carry(rec)
                 p0 = idx + 1
-            first_p = p0 if self.gray_start else None
+            first_p = p0 if self.key == "gray" else None
             pending = None   # (outs, nframes, first_display_idx)
             while p0 < gop_end or pending is not None:
                 nxt = None

@@ -1023,7 +1023,7 @@ class DecoderSession:
                                   bs_luma=self.bs_luma,
                                   use_dering=self.use_dering,
                                   tile_workers=self.tile_workers,
-                                  out_info=oi, acct=acct)
+                                  out_info=oi, acct=acct, dres=dres)
             self._rotate(rec, FT_INTRA)
             return rec
         if gray_ref or self.ref_prev is None:

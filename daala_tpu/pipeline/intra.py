@@ -378,17 +378,24 @@ def _cfl_pred(luma_d: np.ndarray, pc: _PlaneCtx, bx, by, bsi,
 
 
 def _code_block(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi, bs,
-                use_masking, encoder: bool, skip_in=0, obs=None):
+                use_masking, encoder: bool, skip_in=0, obs=None,
+                dres=False):
     """Leaf coding: prediction + PVQ + writeback (od_block_encode
     encode.c:1066-1285 / od_block_decode decode.c:528-636).
 
-    bx/by are node coords at level bsi; bs is the plane block size."""
+    bx/by are node coords at level bsi; bs is the plane block size.
+
+    dres: device keyframe mode — bands are coded noref (no H/V intra
+    prediction, no CfL) through the integer synthesis spec, so the
+    reconstruction is reproducible bit-exactly on the device."""
     pli = pc.pli
     n = 4 << bs
     y0 = by << (2 + bsi - pc.xdec)
     x0 = bx << (2 + bsi - pc.xdec)
     d = pc.d
-    if pli == 0:
+    if dres:
+        pred = np.zeros((n, n), dtype=np.int32)
+    elif pli == 0:
         pred = _hv_intra_pred(pc, bx, by, bs)
     else:
         pred = _cfl_pred(luma_d, pc, bx, by, bsi, bs, obs)
@@ -402,13 +409,13 @@ def _code_block(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi, bs,
             np.asarray(d[y0:y0 + n, x0:x0 + n])).astype(np.int32)
         out, skip = pvq_encode_block(
             ec, state, predt, dblock, q0, pli, bs, beta, True, True,
-            qm, qm_inv)
+            qm, qm_inv, dres=dres)
         out[0] = dblock[0]
     else:
         _loc(ec, "pvq", pli, bs, x0, y0)
         out = pvq_decode_block(
             ec, state, predt, q0, pli, bs, beta, True, True, skip_in,
-            qm, qm_inv)
+            qm, qm_inv, dres=dres)
         out[0] = int(d[y0, x0])  # Haar-DC reconstructed DC
     block = coding_to_raster(out, n)
     block[0, 0] = out[0]
@@ -416,7 +423,8 @@ def _code_block(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi, bs,
 
 
 def _code_recursive(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi,
-                    use_masking, hgrad, vgrad, encoder: bool):
+                    use_masking, hgrad, vgrad, encoder: bool,
+                    dres=False):
     """Z-order walk with split signaling and Haar-DC levels
     (od_encode_recursive encode.c:1491-1676 / od_decode_recursive
     decode.c:767-870).  The split decisions live in pc.grid (encoder
@@ -442,10 +450,10 @@ def _code_recursive(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi,
         if is_leaf:
             if encoder:
                 _code_block(ec, state, pc, luma_d, bx, by, bsi, bsi,
-                            use_masking, True)
+                            use_masking, True, dres=dres)
             else:
                 _code_block(ec, state, pc, luma_d, bx, by, bsi, bsi,
-                            use_masking, False, skip)
+                            use_masking, False, skip, dres=dres)
             return
         # Split: encoder signals 4.
         if encoder:
@@ -458,20 +466,21 @@ def _code_recursive(ec, state, pc: _PlaneCtx, luma_d, bx, by, bsi,
             nsym = 4
             if encoder:
                 _code_block(ec, state, pc, luma_d, bx, by, bsi, bs,
-                            use_masking, True, obs=obs)
+                            use_masking, True, obs=obs, dres=dres)
             else:
                 skip = decode_cdf_adapt(
                     ec, state.skip_cdf[2 * bs + 1][:nsym],
                     state.skip_increment)
                 _code_block(ec, state, pc, luma_d, bx, by, bsi, bs,
-                            use_masking, False, skip, obs=obs)
+                            use_masking, False, skip, obs=obs, dres=dres)
             return
     hgrad, vgrad = _haar_dc_level(ec, state, pc, 2 * bx, 2 * by, bsi - 1,
                                   hgrad, vgrad, encoder)
     for dy in (0, 1):
         for dx in (0, 1):
             _code_recursive(ec, state, pc, luma_d, 2 * bx + dx, 2 * by + dy,
-                            bsi - 1, use_masking, hgrad, vgrad, encoder)
+                            bsi - 1, use_masking, hgrad, vgrad, encoder,
+                            dres)
 
 
 def _tile_d_rows(pcs, rows):
@@ -531,7 +540,7 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
                     use_masking: bool = False, bs_luma: int = 1,
                     use_dering: bool = True,
                     return_recon: bool = False, tiles: int = 1,
-                    tile_workers: int = 1):
+                    tile_workers: int = 1, dres: bool = False):
     """Encode one keyframe.  planes: list of uint8 arrays (pic size).
     quality: coded quantizer index (0 = lossless -> not supported in the
     PVQ path; use the wavelet coder).  Returns the frame packet, and the
@@ -586,7 +595,7 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
     # Per-tile symbol pass: native C++ walk when available (serial over
     # tiles — each tile keeps its own stream/adaptation), else the
     # Python pass, forked when tile_workers > 1.
-    if _use_native_walk(ecs):
+    if _use_native_walk(ecs) and not dres:
         from ..pvq import native_walk as _nw
 
         kp = _nw.KeyPlanes(pcs)
@@ -598,7 +607,7 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
         def _sb_job(ti):
             rows = bounds[ti]
             _code_frame(ecs[ti], states[ti], pcs, info, bs_luma,
-                        use_masking, True, rows)
+                        use_masking, True, rows, dres)
             return ecs[ti], states[ti], _tile_d_rows(pcs, rows)
 
         for ti, (ec_t, st_t, dr) in enumerate(
@@ -798,7 +807,8 @@ def _dering_pass(ec, state, pcs, orig, encoder, rows=None, etmp=None,
 def decode_keyframe(packet: bytes, info: FrameInfo,
                     use_masking: bool = False, bs_luma: int = 1,
                     use_dering: bool = True, acct=None,
-                    tile_workers: int = 1, out_info: dict = None):
+                    tile_workers: int = 1, out_info: dict = None,
+                    dres: bool = False):
     """Decode a keyframe packet; returns list of uint8 planes.
 
     Each tile's symbol stream is decoded with its own RangeDecoder and
@@ -847,7 +857,7 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
         pc.grid = grid
         pc.d = np.zeros((pc.h, pc.w), dtype=np.int64)
         pcs.append(pc)
-    if acct is None and _use_native_walk(ecs):
+    if acct is None and not dres and _use_native_walk(ecs):
         from ..pvq import native_walk as _nw
 
         kp = _nw.KeyPlanes(pcs)
@@ -859,7 +869,7 @@ def decode_keyframe(packet: bytes, info: FrameInfo,
         def _sb_job(ti):
             rows = bounds[ti]
             _code_frame(ecs[ti], states[ti], pcs, info, bs_luma,
-                        use_masking, False, rows)
+                        use_masking, False, rows, dres)
             return (ecs[ti], states[ti], _tile_d_rows(pcs, rows),
                     _tile_grid_rows(grid, rows))
 
@@ -910,7 +920,7 @@ def _smooth_pass(pcs, bs_luma):
 
 
 def _code_frame(ec, state, pcs, info, bs_luma, use_masking, encoder,
-                rows=None):
+                rows=None, dres=False):
     """Sequential symbol pass over SB rows [rows[0], rows[1]) — one tile.
     With rows=None, the whole frame is a single tile."""
     nhsb = pcs[0].nhsb
@@ -927,7 +937,8 @@ def _code_frame(ec, state, pcs, info, bs_luma, use_masking, encoder,
                                            encoder, row0)
                 luma_d = pcs[0].d if pli > 0 else None
                 _code_recursive(ec, state, pc, luma_d, sbx, sby, 3,
-                                use_masking, hgrad, vgrad, encoder)
+                                use_masking, hgrad, vgrad, encoder,
+                                dres)
 
 
 def _to_blocks(plane: np.ndarray, n: int) -> np.ndarray:

@@ -86,6 +86,47 @@ def test_device_encode_quality_and_rate():
     assert total < len(frames) * info.pic_width * info.pic_height
 
 
+def test_device_keyframe_exact():
+    """Device keyframes (wavefront Haar-DC + noref integer-synthesis
+    bands): decoder recon == device recon, and a following device P
+    chain stays exact off the device-carried keyframe reference."""
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+    from daala_tpu.pipeline.inter import DecoderSession
+
+    frames = _clip(3, h=64, w=64)
+    info = _info(h=64, w=64)
+    enc = DeviceEncoderSession(info, quality=30, chunk=2,
+                               emit_recon=True, key="device")
+    pkts = enc.encode_clip(frames)
+    assert pkts[0]["ftype"] == 0 and pkts[0]["dres"]
+    dec = DecoderSession(info)
+    for p in pkts:
+        rec = dec.decode_frame(p["data"], p["ftype"] == 0,
+                               ftype=p["ftype"], dres=p["dres"])
+        for pl in range(3):
+            assert np.array_equal(np.asarray(rec[pl]),
+                                  np.asarray(p["recon"][pl])), \
+                (p["display_order"], pl)
+
+
+def test_dres_keyframe_host_roundtrip():
+    """Host-side dres keyframe mode (the device keyframe's stream
+    format): encoder-check + bounded rate premium vs normal intra."""
+    from daala_tpu.pipeline.intra import decode_keyframe, \
+        encode_keyframe
+
+    f = _clip(1, h=64, w=64)[0]
+    info = _info(h=64, w=64)
+    pkt, rec = encode_keyframe(f, info, 30, return_recon=True,
+                               dres=True)
+    out = decode_keyframe(pkt, info, dres=True)
+    for pl in range(3):
+        assert np.array_equal(rec[pl], out[pl])
+    pkt_norm = encode_keyframe(f, info, 30)
+    assert len(pkt) < 1.4 * len(pkt_norm)
+
+
 def test_device_encode_gray_start_exact():
     """gray_start: every frame (including GOP openers predicting from
     the synthesized gray reference) is device-encoded; the decoder
