@@ -28,7 +28,7 @@ import time
 
 import numpy as np
 
-EXPECT_CK = 122481373
+EXPECT_CK = 122468782
 
 
 def main():

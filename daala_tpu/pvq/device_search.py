@@ -84,26 +84,68 @@ def _icompute_k_jax(n, qg):
     return jnp.where(qg <= 0, 0, jnp.maximum(1, k)).astype(jnp.int32)
 
 
-def _band_symbols(vec, q0, qm, qm_inv):
-    """Stream-valid fast-mode PVQ of one band across all blocks: float
-    gain measurement + proportional pulse fill (encoder choices), then
-    the INTEGER k rule and INTEGER synthesis (pvq/isynth.py) so the
-    reconstruction is the same int32s the dres-mode decoder computes.
+def _band_symbols(vec, q0, qm, qm_inv, rdo=True):
+    """Stream-valid device PVQ of one band across all blocks: float
+    gain/pulse search (encoder choices), then the INTEGER k rule and
+    INTEGER synthesis (pvq/isynth.py) so the reconstruction is the
+    same int32s the dres-mode decoder computes.
+
+    rdo: score the quantized gain over {qg-1, qg, qg+1} with the host
+    search's companded-domain cost (pvq_theta noref branch: 1.4
+    gain-weight distortion + analytic codeword rate at PVQ_LAMBDA) —
+    in particular the qg->0 candidate zeroes whole bands at coarse
+    quantizers, the biggest device-vs-host RD term.
 
     vec: (B, n) int32 coding-order residual coeffs.
     Returns (dequantized (B, n) int32, qg (B,) int32, y (B, n) int32
     signed pulses)."""
+    from .core import PVQ_LAMBDA
     from .isynth import isynthesis_noref_jax
 
+    n = vec.shape[-1]
     xq = vec.astype(jnp.float32) * (qm.astype(jnp.float32)
                                     * np.float32(QM_SCALE_1))
+    absx = jnp.abs(xq)
     g = jnp.sqrt((xq * xq).sum(-1))
-    qg = jnp.round(g / q0).astype(jnp.int32)
-    k = _icompute_k_jax(vec.shape[-1], qg)
-    y = _pulse_alloc(jnp.abs(xq), k)
+    cg = g / q0
+    qg0 = jnp.round(cg).astype(jnp.int32)
+    if not rdo:
+        qg = qg0
+        k = _icompute_k_jax(n, qg)
+        y = _pulse_alloc(absx, k)
+    else:
+        gw = np.float32(1.4)
+        lam = np.float32(PVQ_LAMBDA)
+        ratec = np.float32(np.log(2.0 * n))
+        best_cost = None
+        qg = qg0
+        y = None
+        for dqg in (0, -1, 1):
+            qgc = jnp.maximum(qg0 + dqg, 0)
+            kc = _icompute_k_jax(n, qgc)
+            yc = _pulse_alloc(absx, kc)
+            yy = (yc * yc).sum(-1)
+            xy = (absx * yc).sum(-1)
+            cos = xy / jnp.maximum(jnp.sqrt(yy) * g, 1e-9)
+            qgf = qgc.astype(jnp.float32)
+            dist = (gw * (qgf - cg) ** 2
+                    + qgf * cg * (2.0 - 2.0 * cos))
+            rate = jnp.where(
+                kc > 0,
+                n * jnp.log2(1.0 + ratec * kc.astype(jnp.float32) / n),
+                0.0)
+            cost = dist + lam * rate
+            if best_cost is None:
+                best_cost, qg, y = cost, qgc, yc
+            else:
+                pick = cost < best_cost
+                best_cost = jnp.where(pick, cost, best_cost)
+                qg = jnp.where(pick, qgc, qg)
+                y = jnp.where(pick[:, None], yc, y)
     ys = (jnp.sign(vec.astype(jnp.float32)) * y).astype(jnp.int32)
     # Park any pulses that landed on zero coefficients as positive.
     ys = jnp.where((ys == 0) & (y > 0), y.astype(jnp.int32), ys)
+    qg = qg.astype(jnp.int32)
     out = isynthesis_noref_jax(ys, qg, int(q0), qm_inv)
     return out, qg, ys
 
