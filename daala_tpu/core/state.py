@@ -136,3 +136,13 @@ class FrameInfo:
     @property
     def frame_height(self) -> int:
         return (self.pic_height + 63) & ~63
+
+    def granule_time(self, display_order: int) -> float:
+        """Presentation time in seconds of a frame's display index —
+        the daala_granule_time equivalent (state.c:1071-1098; our
+        container stores the display order directly, the granulepos
+        analogue, so no keyframe-shift unpacking is needed)."""
+        if display_order < 0:
+            return -1.0
+        return ((display_order + 1) * self.timebase_den
+                / max(1, self.timebase_num))

@@ -35,7 +35,8 @@ def dump_overlays(path, frame_idx, prefix):
     info, comment, packets = read_stream(path)
     sess = DecoderSession(info, bs_luma=-1, introspect=True)
     for i, p in enumerate(packets):
-        sess.decode_frame(p.data, p.keyframe, p.use_haar, ftype=p.ftype)
+        sess.decode_frame(p.data, p.keyframe, p.use_haar, ftype=p.ftype,
+                          dres=p.dres, gray_ref=p.gray_ref)
         if i == frame_idx:
             break
     oi = sess.last_info or {}
@@ -75,15 +76,23 @@ def main(argv=None):
     sess = DecoderSession(info, bs_luma=-1)
     for i, pk in enumerate(packets):
         sess.decode_frame(pk.data, pk.keyframe, pk.use_haar,
-                          ftype=pk.ftype,
+                          ftype=pk.ftype, dres=pk.dres,
+                          gray_ref=pk.gray_ref,
                           acct=acct if i == args.frame else None)
         if i == args.frame:
             break
     total = sum(fb for *_, fb in acct.records) / 8.0
+    # EC overhead meter (OD_MEASURE_EC_OVERHEAD, entenc.h:31): the gap
+    # between the packet's real size and the accounted fractional bits
+    # is the range coder's finite-precision + termination overhead.
+    packet_bits = 8 * len(p.data)
     report = {
         "frame": args.frame,
         "packet_bytes": len(p.data),
         "accounted_bits": round(total, 1),
+        "ec_overhead_bits": round(packet_bits - total, 1),
+        "ec_overhead_pct": round(100.0 * (packet_bits - total)
+                                 / max(total, 1e-9), 3),
         "by_technique": {k: round(v, 1)
                          for k, v in acct.by_technique().items()},
         "by_plane": {str(k): round(v, 1)
