@@ -300,21 +300,42 @@ def motion_search(cur: np.ndarray, ref: np.ndarray, blk_log: int,
     vy = vy.ravel()
     vx = vx.ravel()
 
-    # -- stage 1: coarse on 4x-down pyramid ------------------------------
+    # -- stage 1a: exhaustive coarse on the 8x-down pyramid ---------------
+    # Same +-4*coarse_range full-res coverage as the old quarter-res
+    # exhaustive sweep at ~1/10th the SAD work (169 x 4x4 + 25 x 8x8
+    # instead of 625 x 8x8 per vertex).
     cur4 = _downsample2(_downsample2(cur))
     ref4 = _downsample2(_downsample2(ref))
+    cur8 = _downsample2(cur4)
+    ref8 = _downsample2(ref4)
+    rad8 = (coarse_range + 1) // 2
+    pad8 = rad8 + 4
+    ref8p = pad_ref(ref8, pad8)
+    n8 = max(4, n >> 3)
+    blocks8, ys8, xs8 = _vertex_blocks(cur8, vy >> 3, vx >> 3, n8)
+    cands8 = np.array([(dy, dx)
+                       for dy in range(-rad8, rad8 + 1)
+                       for dx in range(-rad8, rad8 + 1)], dtype=np.int32)
+    # Zero-bias (rate proxy), per-pixel strength matched to the old
+    # quarter-res sweep: |c|_1/16px-units on 16-px SADs.
+    bias8 = (np.abs(cands8).sum(axis=1)
+             * (n8 * n8 // 16)).astype(np.int64)
+    sads8 = _block_sads(blocks8, ref8p, pad8, ys8, xs8, cands8) + bias8
+    best8 = cands8[np.argmin(sads8, axis=1)].astype(np.int64)
+
+    # -- stage 1b: +-2 refine at quarter res ------------------------------
     pad4 = coarse_range + 4
     ref4p = pad_ref(ref4, pad4)
     n4 = max(4, n >> 2)
     blocks4, ys4, xs4 = _vertex_blocks(cur4, vy >> 2, vx >> 2, n4)
-    cands = np.array([(dy, dx)
-                      for dy in range(-coarse_range, coarse_range + 1)
-                      for dx in range(-coarse_range, coarse_range + 1)],
-                     dtype=np.int32)
-    # Zero-bias: slight preference for small MVs (rate proxy).
-    bias = (np.abs(cands).sum(axis=1) * (n4 * n4 // 32)).astype(np.int64)
-    sads = _block_sads(blocks4, ref4p, pad4, ys4, xs4, cands) + bias
-    best = cands[np.argmin(sads, axis=1)] * 4            # full-res px
+    steps4 = np.array([(dy, dx) for dy in range(-2, 3)
+                       for dx in range(-2, 3)], dtype=np.int64)
+    base4 = best8 * 2
+    bias4 = (np.abs(base4[:, None, :] + steps4[None, :, :]).sum(-1)
+             * (n4 * n4 // 32)).astype(np.int64)
+    sads = subpel_sads(ref4p, pad4, blocks4, ys4, xs4, base4 * 8,
+                       steps4 * 8) + bias4
+    best = (base4 + steps4[np.argmin(sads, axis=1)]) * 4  # full-res px
 
     # -- stage 2: +-2 full-pel refine at full resolution -----------------
     # (|best| <= 4*coarse_range and |step| <= 2 stay well inside the

@@ -181,10 +181,41 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     n = 1 << blk_log
     nvy, nvx, ys, xs = _vertex_positions(h, w, blk_log)
 
-    # -- stage 1: coarse on 4x-down pyramid ------------------------------
+    # -- stage 1a: exhaustive coarse on the 8x-down pyramid ---------------
+    # (twin of me.motion_search stage 1a/1b: same coverage as the old
+    # quarter-res exhaustive sweep at ~1/10th the SAD work.)
     cur4 = _down2(_down2(cur))
     ref4 = _down2(_down2(ref))
-    pad4 = coarse_range + 4
+    cur8 = _down2(cur4)
+    ref8 = _down2(ref4)
+    rad8 = (coarse_range + 1) // 2
+    pad8 = rad8 + 4
+    ref8p = pad_edge(ref8, pad8)
+    n8 = max(4, n >> 3)
+    h8, w8 = h // 8, w // 8
+    vy8 = (np.repeat(np.arange(nvy) << blk_log, nvx) >> 3)
+    vx8 = (np.tile(np.arange(nvx) << blk_log, nvy) >> 3)
+    ys8 = np.clip(vy8 - n8 // 2, 0, h8 - n8)
+    xs8 = np.clip(vx8 - n8 // 2, 0, w8 - n8)
+    blocks8 = _gather_blocks(cur8, ys8, xs8, n8).astype(jnp.int32)
+    cands8 = np.array([(dy, dx)
+                       for dy in range(-rad8, rad8 + 1)
+                       for dx in range(-rad8, rad8 + 1)], dtype=np.int32)
+    bias8 = (np.abs(cands8).sum(axis=1)
+             * (n8 * n8 // 16)).astype(np.int32)
+    win8 = _gather_blocks(ref8p, ys8 + pad8 - rad8, xs8 + pad8 - rad8,
+                          n8 + 2 * rad8).astype(jnp.int32)
+    sads8 = _dense_sads_cl(win8.transpose(1, 2, 0),
+                           blocks8.transpose(1, 2, 0), n8, rad8) \
+        + jnp.asarray(bias8)[None, :]
+    best8 = jnp.asarray(cands8)[jnp.argmin(sads8, axis=1)]
+
+    # -- stage 1b: +-2 refine at quarter res ------------------------------
+    # Small numerous windows: banded one-hot gather (per-block slice
+    # fetches pay the ~1.3us/slice floor thousands of times).
+    from ..ops.mc_jax import _banded_windows
+
+    pad4 = coarse_range + 8
     ref4p = pad_edge(ref4, pad4)
     n4 = max(4, n >> 2)
     h4, w4 = h // 4, w // 4
@@ -193,18 +224,27 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     ys4 = np.clip(vy4 - n4 // 2, 0, h4 - n4)
     xs4 = np.clip(vx4 - n4 // 2, 0, w4 - n4)
     blocks4 = _gather_blocks(cur4, ys4, xs4, n4).astype(jnp.int32)
-    cands = np.array([(dy, dx)
-                      for dy in range(-coarse_range, coarse_range + 1)
-                      for dx in range(-coarse_range, coarse_range + 1)],
-                     dtype=np.int32)
-    bias = (np.abs(cands).sum(axis=1) * (n4 * n4 // 32)).astype(np.int32)
-    rad = coarse_range
-    win4 = _gather_blocks(ref4p, ys4 + pad4 - rad, xs4 + pad4 - rad,
-                          n4 + 2 * rad).astype(jnp.int32)
-    sads = _dense_sads_cl(win4.transpose(1, 2, 0),
-                          blocks4.transpose(1, 2, 0), n4, rad) \
-        + jnp.asarray(bias)[None, :]
-    best = jnp.asarray(cands)[jnp.argmin(sads, axis=1)] * 4  # full-res px
+    steps4 = np.array([(dy, dx) for dy in range(-2, 3)
+                       for dx in range(-2, 3)], dtype=np.int32)
+    base4 = (best8 * 2).astype(jnp.int32)
+    K4 = n4 + 4
+    span8 = 2 * rad8 * 2            # |base4| range
+    ys4_row = np.clip((np.arange(nvy) << blk_log >> 2) - n4 // 2, 0,
+                      h4 - n4)
+    row_base = [int(y + pad4 - 2 - span8 // 2) for y in ys4_row]
+    iy = (jnp.asarray(ys4 + pad4 - 2).reshape(nvy, nvx)
+          + base4[:, 0].reshape(nvy, nvx))
+    ix = (jnp.asarray(xs4 + pad4 - 2).reshape(nvy, nvx)
+          + base4[:, 1].reshape(nvy, nvx))
+    win4 = _banded_windows(ref4p, row_base, iy, ix, K4,
+                           K4 + span8 + 1).reshape(-1, K4, K4)
+    bias4 = (jnp.abs(base4[:, None, :]
+                     + jnp.asarray(steps4)[None, :, :]).sum(-1)
+             * (n4 * n4 // 32)).astype(jnp.int32)
+    sads4 = _window_sads_cl(win4.transpose(1, 2, 0),
+                            blocks4.transpose(1, 2, 0), steps4, n4, 2) \
+        + bias4
+    best = (base4 + jnp.asarray(steps4)[jnp.argmin(sads4, axis=1)]) * 4
 
     # -- stage 2: +-2 full-pel refine at full resolution -----------------
     b32 = _gather_blocks(cur, ys, xs, n).astype(jnp.int32)
