@@ -21,8 +21,9 @@ This module is the serialization spine of the codec:
 * `checkpoint()`/`rollback()` give O(1) trial-encode undo (entenc.c:680-706),
   used by every RDO decision in the encoder.
 
-This host implementation is the oracle for the vectorized device coder in
-`daala_tpu.entropy.device` and the fast native packer in `native/`.
+This host implementation is the oracle for the fast native packer in
+`native/ec.cpp` (the default spine; see entropy/native.py) and for the
+symbol walks that pack device-emitted symbol tensors.
 All arithmetic is exact unsigned integer math (Python ints, masked where the
 32-bit window semantics require wraparound).
 """
