@@ -40,8 +40,14 @@ def _ilog(x):
 def _dir_find8_jax(blocks):
     """blocks: (N, 8, 8) int32 coeff-domain.  Returns (dirs, var)."""
     x = (blocks >> 4).reshape(-1, 64).astype(jnp.int32)
-    one_hot = jnp.asarray(_ONE_HOT, dtype=jnp.int32)
-    partial = jnp.einsum("nk,dbk->ndb", x, one_hot)
+    # f32 MXU matmul: exact (one-hot weights, |x| <= 2^13 from 12-bit
+    # coeff>>4, row sums <= 64*2^13 = 2^19 < 2^24) and ~MXU-speed;
+    # the int32 einsum is emulated on TPU.
+    one_hot = jnp.asarray(_ONE_HOT.reshape(8 * 15, 64).T,
+                          dtype=jnp.float32)
+    partial = jnp.dot(x.astype(jnp.float32), one_hot,
+                      preferred_element_type=jnp.float32)
+    partial = partial.astype(jnp.int32).reshape(-1, 8, 15)
     p = partial
     nblk = x.shape[0]
     cost = jnp.zeros((nblk, 8), dtype=jnp.int32)

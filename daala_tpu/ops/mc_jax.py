@@ -63,7 +63,7 @@ def subpel_predict_blocks_jax(ref_padded, pad, ys, xs, mvs, n,
     return jnp.clip(out, 0, maxv).astype(dtype)
 
 
-def _banded_windows(p, row_base, iy, ix, K, Bh):
+def _banded_windows(p, row_base, iy, ix, K, Bh, G=8):
     """(R, C, K, K) windows via per-row bands and one-hot MXU
     selection — the fast form when windows are small and numerous
     (per-slice fetch overhead dominates below ~16x16).
@@ -71,34 +71,50 @@ def _banded_windows(p, row_base, iy, ix, K, Bh):
     p: (H, W) int plane; row_base: (R,) static band start rows;
     iy/ix: (R, C) absolute window starts with iy - row_base in
     [0, Bh - K).  Exact: one-hot matmuls pick single elements and
-    values <= 2^15 are exact in f32 accumulation."""
-    W = p.shape[1]
-    bands = jnp.stack([jax.lax.dynamic_slice(
-        p, (int(r), 0), (Bh, W)) for r in row_base]).astype(jnp.bfloat16)
-    ry = (iy - jnp.asarray(row_base, dtype=jnp.int32)[:, None])
-    kk = jnp.arange(K, dtype=jnp.int32)
+    values <= 2^15 are exact in f32 accumulation.
 
-    def row(carry, args):
-        band, ryr, ixr = args
+    Rows are processed G per scan step: the one-hot matmuls batch up
+    (better MXU utilization, ~2.4-6x faster on chip than one scan step
+    per row — tools/exp_kernels.py)."""
+    W = p.shape[1]
+    R = len(row_base)
+    Rp = ((R + G - 1) // G) * G
+    rb = list(row_base) + [row_base[-1]] * (Rp - R)
+    # f32 (not bf16): CPU XLA lacks batched bf16 dots and both are
+    # exact here (one-hot weights, values <= 2^15).
+    bands = jnp.stack([jax.lax.dynamic_slice(
+        p, (int(r), 0), (Bh, W)) for r in rb]).astype(jnp.float32)
+    ry = (iy - jnp.asarray(row_base, dtype=jnp.int32)[:, None])
+    pad_r = Rp - R
+    if pad_r:
+        ry = jnp.concatenate([ry, jnp.zeros((pad_r, ry.shape[1]),
+                                            ry.dtype)])
+        ix = jnp.concatenate([ix, jnp.zeros((pad_r, ix.shape[1]),
+                                            ix.dtype)])
+    C = ix.shape[1]
+    kk = jnp.arange(K, dtype=jnp.int32)
+    bands = bands.reshape(Rp // G, G, Bh, W)
+    ry = ry.reshape(Rp // G, G, C).astype(jnp.int32)
+    ixc = ix.reshape(Rp // G, G, C).astype(jnp.int32)
+
+    def step(carry, args):
+        band, ryr, ixr = args        # (G, Bh, W), (G, C), (G, C)
         wi = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0]
-        # Sx: (W, C*K) one-hot of column starts.
-        sx = (wi[:, None, None] == ixr[None, :, None]
-              + kk[None, None, :]).astype(jnp.bfloat16)
-        C = ixr.shape[0]
-        e1 = jnp.dot(band, sx.reshape(W, C * K),
-                     preferred_element_type=jnp.float32)
-        e1 = e1.reshape(Bh, C, K).transpose(1, 0, 2)   # (C, Bh, K)
+        sx = (wi[None, :, None] == (ixr[:, None, :, None]
+              + kk[None, None, None, :]).reshape(G, 1, C * K)
+              ).astype(jnp.float32)            # (G, W, C*K)
+        e1 = jnp.einsum("gbw,gwc->gbc", band, sx,
+                        preferred_element_type=jnp.float32)
+        e1 = e1.reshape(G, Bh, C, K)
         bi = jax.lax.broadcasted_iota(jnp.int32, (Bh, 1), 0)[:, 0]
-        sy = (bi[None, :, None] == ryr[:, None, None]
-              + kk[None, None, :]).astype(jnp.bfloat16)  # (C, Bh, K)
-        e2 = jnp.einsum("cbk,cbl->ckl", sy,
-                        e1.astype(jnp.bfloat16),
+        sy = (bi[None, None, :, None] == ryr[:, :, None, None]
+              + kk[None, None, None, :]).astype(jnp.float32)   # (G,C,Bh,K)
+        e2 = jnp.einsum("gcbk,gbcl->gckl", sy, e1,
                         preferred_element_type=jnp.float32)
         return carry, e2.astype(jnp.int32)
 
-    _, wins = jax.lax.scan(row, 0, (bands, ry.astype(jnp.int32),
-                                    ix.astype(jnp.int32)))
-    return wins
+    _, wins = jax.lax.scan(step, 0, (bands, ry, ixc))
+    return wins.reshape(Rp, C, K, K)[:R]
 
 
 def _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth):
@@ -130,10 +146,11 @@ def _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth):
         p = jnp.pad(refs[r], ((E, E), (E, E)), mode="edge")
         iy = ys + (mvy >> 3) + pad + E - TOP_APRON
         ix = xs + (mvx >> 3) + pad + E - TOP_APRON
-        if n <= 8:
-            # Small blocks: tens of thousands of tiny windows — the
-            # per-slice fetch overhead dominates, so fetch per-row
-            # bands and select with one-hot matmuls instead.
+        if n <= 16:
+            # Small blocks: thousands of small windows — the per-slice
+            # fetch overhead dominates, so fetch per-row bands and
+            # select with one-hot matmuls instead (~6x faster than
+            # vmapped dynamic_slice at n=16, tools/exp_kernels.py).
             row_base = [int(rr * n - n - 62 + pad + E)
                         for rr in range(nvy)]
             win = _banded_windows(

@@ -271,14 +271,19 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     p0 = obmc_predict_jax([ry], PAD, h, w, g4s, 5)
     blend = jnp.where(levels == 3, 0, levels)
     pred_y = _select_by_sb([p0, p_lv1, p_lv2], blend, 32)
-    c0 = obmc_predict_jax([ru], PAD, hc, wc, g4s >> 1, 4)
-    c1 = obmc_predict_jax([ru], PAD, hc, wc, (g[::2, ::2]) >> 1, 3)
-    c2 = obmc_predict_jax([ru], PAD, hc, wc, g >> 1, 2)
-    pred_u = _select_by_sb([c0, c1, c2], blend, 16)
-    v0 = obmc_predict_jax([rv], PAD, hc, wc, g4s >> 1, 4)
-    v1 = obmc_predict_jax([rv], PAD, hc, wc, (g[::2, ::2]) >> 1, 3)
-    v2 = obmc_predict_jax([rv], PAD, hc, wc, g >> 1, 2)
-    pred_v = _select_by_sb([v0, v1, v2], blend, 16)
+    # U and V ride one vmapped pass per level (same grid, same
+    # geometry: better lane utilization than two separate passes).
+    import jax as _jax
+
+    ruv = jnp.stack([ru, rv])
+    uv0 = _jax.vmap(lambda r: obmc_predict_jax(
+        [r], PAD, hc, wc, g4s >> 1, 4))(ruv)
+    uv1 = _jax.vmap(lambda r: obmc_predict_jax(
+        [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv)
+    uv2 = _jax.vmap(lambda r: obmc_predict_jax(
+        [r], PAD, hc, wc, g >> 1, 2))(ruv)
+    pred_u = _select_by_sb([uv0[0], uv1[0], uv2[0]], blend, 16)
+    pred_v = _select_by_sb([uv0[1], uv1[1], uv2[1]], blend, 16)
     ry_d, dc_y, qg_y, y_y = _plane_code(cy, pred_y, 1, 0, quantizer,
                                         qms[1], qm_invs[1], pvq_qms[0])
     ru_d, dc_u, qg_u, y_u = _plane_code(cu, pred_u, 0, 1, quantizer,
@@ -714,51 +719,75 @@ def _pack_planes(info, quantizer, bs_luma=1):
     return pcs
 
 
+_PRE_CACHE = {}
+
+
 def _device_pre(info, syms, bs_luma=1):
     """Build the native walk's flattened Pre from the device symbol
     tensors of one frame (plain-DC + rigged skip: the walk's block-skip
-    RDO may only take the recon-neutral all-zero branch)."""
+    RDO may only take the recon-neutral all-zero branch).
+
+    The geometry-constant index arrays (leaf_slot, band_start,
+    offsets, skip_diff) and the buffers are cached per frame geometry
+    and reused across frames — a frame's pack completes before the
+    next frame's Pre is built (DeviceEncoderSession packs serially)."""
     from ..pvq.native_walk import Pre
 
-    pre = Pre()
-    pre.leaf_slot = []
-    nslots = 0
-    nbands = 0
-    total = 0
-    metas = []
-    for pli in range(info.nplanes):
-        xd = info.xdec[pli]
-        bs = max(bs_luma - xd, 0)
-        n = 4 << bs
-        ph = info.frame_height >> info.ydec[pli]
-        pw = info.frame_width >> xd
-        nby, nbx = ph // n, pw // n
-        nb = BAND_OFFSETS[bs][0]
-        clen = BAND_OFFSETS[bs][1 + nb] - 1
-        metas.append((pli, bs, nby, nbx, nslots, nbands, total))
-        sl = np.full((ph // 4, pw // 4), -1, dtype=np.int32)
-        step = n // 4
-        sl[::step, ::step] = (nslots + np.arange(nby * nbx,
-                                                 dtype=np.int32)
-                              ).reshape(nby, nbx)
-        pre.leaf_slot.append(sl)
-        nslots += nby * nbx
-        nbands += nby * nbx * nb
-        total += nby * nbx * clen
-    pre.nslots = nslots
-    pre.band_start = np.zeros(nslots, dtype=np.int32)
-    pre.dc0 = np.zeros(nslots, dtype=np.int32)
-    pre.offsets = np.zeros(nbands + 1, dtype=np.int32)
-    pre.qg = np.zeros(nbands, dtype=np.int32)
-    pre.itheta = np.zeros(nbands, dtype=np.int32)
-    pre.max_theta = np.zeros(nbands, dtype=np.int32)
-    pre.k = np.zeros(nbands, dtype=np.int32)
-    pre.noref = np.zeros(nbands, dtype=np.int32)
-    # Rigged: never cheaper to force-skip a nonzero residual (the
-    # walk's nbeff==0 branch remains, which is recon-neutral).
-    pre.skip_diff = np.full(nbands, 1e30, dtype=np.float64)
-    pre.y = np.zeros(total, dtype=np.int32)
-    pre.groups = []
+    ck = (info.frame_height, info.frame_width, tuple(info.xdec),
+          tuple(info.ydec), info.nplanes, bs_luma)
+    cached = _PRE_CACHE.get(ck)
+    if cached is None:
+        pre = Pre()
+        pre.leaf_slot = []
+        nslots = 0
+        nbands = 0
+        total = 0
+        metas = []
+        for pli in range(info.nplanes):
+            xd = info.xdec[pli]
+            bs = max(bs_luma - xd, 0)
+            n = 4 << bs
+            ph = info.frame_height >> info.ydec[pli]
+            pw = info.frame_width >> xd
+            nby, nbx = ph // n, pw // n
+            nb = BAND_OFFSETS[bs][0]
+            clen = BAND_OFFSETS[bs][1 + nb] - 1
+            metas.append((pli, bs, nby, nbx, nslots, nbands, total))
+            sl = np.full((ph // 4, pw // 4), -1, dtype=np.int32)
+            step = n // 4
+            sl[::step, ::step] = (nslots + np.arange(nby * nbx,
+                                                     dtype=np.int32)
+                                  ).reshape(nby, nbx)
+            pre.leaf_slot.append(sl)
+            nslots += nby * nbx
+            nbands += nby * nbx * nb
+            total += nby * nbx * clen
+        pre.nslots = nslots
+        pre.band_start = np.zeros(nslots, dtype=np.int32)
+        pre.dc0 = np.zeros(nslots, dtype=np.int32)
+        pre.offsets = np.zeros(nbands + 1, dtype=np.int32)
+        pre.qg = np.zeros(nbands, dtype=np.int32)
+        pre.itheta = np.zeros(nbands, dtype=np.int32)
+        pre.max_theta = np.zeros(nbands, dtype=np.int32)
+        pre.k = np.zeros(nbands, dtype=np.int32)
+        pre.noref = np.zeros(nbands, dtype=np.int32)
+        # Rigged: never cheaper to force-skip a nonzero residual (the
+        # walk's nbeff==0 branch remains, which is recon-neutral).
+        pre.skip_diff = np.full(nbands, 1e30, dtype=np.float64)
+        pre.y = np.zeros(total, dtype=np.int32)
+        pre.groups = []
+        for (pli, bs, nby, nbx, slot0, band0, off0) in metas:
+            nleaf = nby * nbx
+            nb = BAND_OFFSETS[bs][0]
+            offs = BAND_OFFSETS[bs][1:]
+            lens = np.diff(np.asarray(offs[:nb + 1], dtype=np.int32))
+            pre.band_start[slot0:slot0 + nleaf] = \
+                band0 + nb * np.arange(nleaf, dtype=np.int32)
+            pre.offsets[band0 + 1:band0 + nleaf * nb + 1] = \
+                off0 + np.cumsum(np.tile(lens, nleaf), dtype=np.int64)
+        _PRE_CACHE[ck] = (pre, metas)
+        cached = _PRE_CACHE[ck]
+    pre, metas = cached
     for (pli, bs, nby, nbx, slot0, band0, off0) in metas:
         nleaf = nby * nbx
         nb = BAND_OFFSETS[bs][0]
@@ -766,66 +795,85 @@ def _device_pre(info, syms, bs_luma=1):
         clen = offs[nb] - 1
         dc, qg, yv = syms["dc"][pli], syms["qg"][pli], syms["y"][pli]
         pre.dc0[slot0:slot0 + nleaf] = dc
-        pre.band_start[slot0:slot0 + nleaf] = \
-            band0 + nb * np.arange(nleaf, dtype=np.int32)
         bb = slice(band0, band0 + nleaf * nb)
-        pre.qg[bb] = qg.reshape(-1)
-        pre.noref[bb] = (qg.reshape(-1) > 0).astype(np.int32)
-        pre.itheta[bb] = np.where(qg.reshape(-1) > 0, -1, 0)
+        qf = qg.reshape(-1)
+        pre.qg[bb] = qf
+        pre.noref[bb] = qf > 0
+        pre.itheta[bb] = np.where(qf > 0, -1, 0)
         lens = np.diff(np.asarray(offs[:nb + 1], dtype=np.int32))
         for b in range(nb):
             sel = slice(band0 + b, band0 + nleaf * nb, nb)
             pre.k[sel] = icompute_k(int(lens[b]), True, qg[:, b])
-        pre.offsets[band0 + 1:band0 + nleaf * nb + 1] = \
-            off0 + np.cumsum(np.tile(lens, nleaf), dtype=np.int64)
         pre.y[off0:off0 + nleaf * clen] = yv.reshape(-1)
     return pre
 
 
 def pack_device_frame(info, cq, grid, levels, syms, dflags,
-                      use_dering=True):
+                      use_dering=True, tiles=1, tile_workers=None):
     """Range-code one device-encoded P frame into a standard dres-mode
-    packet (exact _code_inter_packet layout: per-plane quantizers, MV
-    mesh, coefficient walk, dering flags; single tile)."""
+    packet (exact _code_inter_packet layout: per-plane quantizers in
+    tile 0, MV mesh, coefficient walk, dering flags — each tile's rows
+    in its own entropy stream).
+
+    tiles > 1 splits the SB rows into independent per-tile streams
+    (tiles.tile_rows), and tile_workers threads the native walks: the
+    C++ calls release the GIL, so the pack scales with host cores."""
     from ..entropy import make_encoder
     from ..entropy.adapt import encode_cdf_adapt
     from ..pvq import native_walk as _nw
     from .inter import _MvCtx, _code_mesh
     from .intra import _tile_states
-    from .tiles import pack_tiles
+    from .tiles import pack_tiles, tile_rows
 
     quantizer = codedquantizer_to_quantizer(cq)
     nvsb = info.frame_height >> 5
     nhsb = info.frame_width >> 5
-    bounds = [(0, nvsb)]
-    ec = make_encoder()
+    bounds = tile_rows(nvsb, tiles)
+    ecs = [make_encoder() for _ in bounds]
+    mvctxs = [_MvCtx() for _ in bounds]
     for _ in range(info.nplanes):
-        ec.encode_uint(cq, N_CODED_QUANTIZERS)
+        ecs[0].encode_uint(cq, N_CODED_QUANTIZERS)
     truth = np.asarray(grid, dtype=np.int64)
     rids = np.zeros(truth.shape[:2], dtype=np.int32)
-    _code_mesh([ec], [_MvCtx()], bounds, info, 1, True, truth=truth,
+    _code_mesh(ecs, mvctxs, bounds, info, 1, True, truth=truth,
                truth_rids=rids, levels=np.asarray(levels, np.int32),
                quantizer=quantizer)
-    states = _tile_states(info.nplanes, quantizer, False, 1,
+    states = _tile_states(info.nplanes, quantizer, False, len(bounds),
                           is_keyframe=False)
     pcs = _pack_planes(info, quantizer)
     pre = _device_pre(info, syms)
     dummy_dc = np.zeros(pre.nslots, dtype=np.int32)
     dummy_ac = np.zeros(pre.nslots, dtype=np.uint8)
     dummy_bk = np.zeros(pre.nslots, dtype=np.uint8)
-    _nw.walk_enc(ec, states[0], pcs, pre, (0, nvsb), nhsb, False,
-                 dummy_dc, dummy_ac, dummy_bk, dres=True, plain_dc=True)
-    if use_dering:
-        fl = np.asarray(dflags, dtype=np.int32)
-        st = states[0]
-        for sby in range(nvsb):
-            for sbx in range(nhsb):
-                up = int(fl[sby - 1, sbx]) if sby > 0 else 0
-                left = int(fl[sby, sbx - 1]) if sbx > 0 else 0
-                encode_cdf_adapt(ec, int(fl[sby, sbx]),
-                                 st.clpf_cdf[(up << 1) + left],
-                                 st.clpf_increment)
-    return pack_tiles([ec.done()])
+    fl = np.asarray(dflags, dtype=np.int32) if use_dering else None
+
+    def _tile_job(ti):
+        rows = bounds[ti]
+        _nw.walk_enc(ecs[ti], states[ti], pcs, pre, rows, nhsb, False,
+                     dummy_dc, dummy_ac, dummy_bk, dres=True,
+                     plain_dc=True)
+        if use_dering:
+            st = states[ti]
+            if not _nw.dering_flags_enc(ecs[ti], st, fl, nhsb, rows):
+                r0, r1 = rows
+                for sby in range(r0, r1):
+                    for sbx in range(nhsb):
+                        up = int(fl[sby - 1, sbx]) if sby > r0 else 0
+                        left = int(fl[sby, sbx - 1]) if sbx > 0 else 0
+                        encode_cdf_adapt(ecs[ti], int(fl[sby, sbx]),
+                                         st.clpf_cdf[(up << 1) + left],
+                                         st.clpf_increment)
+
+    nw = tile_workers if tile_workers else 1
+    if len(bounds) > 1 and nw > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(nw, len(bounds))) as ex:
+            list(ex.map(_tile_job, range(len(bounds))))
+    else:
+        for ti in range(len(bounds)):
+            _tile_job(ti)
+    return pack_tiles([ec.done() for ec in ecs])
 
 
 # ---------------------------------------------------------------------------
@@ -844,7 +892,8 @@ class DeviceEncoderSession:
 
     def __init__(self, info, quality, use_dering=True, chunk=8,
                  keyframe_rate=None, emit_recon=False,
-                 gray_start=False, key=None):
+                 gray_start=False, key=None, pack_tiles=None,
+                 pack_workers=None):
         if info.bitdepth != 8:
             raise ValueError("device encode: 8-bit only")
         if tuple(info.xdec) != (0, 1, 1):
@@ -853,6 +902,18 @@ class DeviceEncoderSession:
         self.quality = int(quality)
         self.use_dering = bool(use_dering)
         self.chunk = int(chunk)
+        # Host pack parallelism: split each P frame's stream into
+        # per-tile streams packed by a thread pool (the native walks
+        # release the GIL).  Default: one tile per available core (max
+        # 4) when the frame is tall enough to matter.
+        if pack_tiles is None:
+            import os as _os
+
+            nvsb = info.frame_height >> 5
+            pack_tiles = 1 if nvsb < 16 else min(
+                4, max(1, len(_os.sched_getaffinity(0))))
+        self.pack_tiles = int(pack_tiles)
+        self.pack_workers = int(pack_workers or self.pack_tiles)
         self.keyframe_rate = keyframe_rate or info.keyframe_rate
         self.emit_recon = bool(emit_recon)
         # gray_start: no host keyframes at all — every GOP opens with a
@@ -972,7 +1033,9 @@ class DeviceEncoderSession:
                     "y": [yv[t] for yv in yys]}
             data = pack_device_frame(self.info, self.quality, grid[t],
                                      levels[t], syms, dflags[t],
-                                     self.use_dering)
+                                     self.use_dering,
+                                     tiles=self.pack_tiles,
+                                     tile_workers=self.pack_workers)
             d = {"data": data, "ftype": 3, "display_order": idx0 + t,
                  "use_haar": False, "dres": True}
             if recs is not None:

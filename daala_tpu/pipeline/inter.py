@@ -87,6 +87,12 @@ def _code_levels(ec, mvctx, levels, rows, encoder):
 
     r0, r1 = rows
     nsbx = levels.shape[1]
+    if (encoder and getattr(ec, "acct", None) is None
+            and getattr(ec, "_h", None) is not None):
+        from ..pvq.native_walk import mesh_levels_enc
+
+        if mesh_levels_enc(ec, mvctx, levels, nsbx, rows):
+            return
     for r in range(r0, r1):
         for c in range(nsbx):
             if c > 0:

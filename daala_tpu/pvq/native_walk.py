@@ -439,6 +439,56 @@ def walk_enc(ec, state, pcs, pre: Pre, rows, nhsb, use_masking,
     lib.dtpu_inter_walk(ec._h, ctypes.byref(ctx), 1)
 
 
+def mesh_levels_enc(ec, mvctx, levels, nsbx, rows):
+    """Batched per-SB mesh level coding for one tile's rows (native
+    twin of pipeline/inter.py _code_levels, encoder side).  Returns
+    False when the lib is unavailable (caller falls back)."""
+    import os
+
+    lib = _load()
+    if not lib or os.environ.get("DTPU_PY_WALK"):
+        return False
+    if not getattr(lib, "_mesh_levels_ready", False):
+        lib.dtpu_mesh_levels_enc.argtypes = [
+            c_void_p, c_void_p, c_int32, c_void_p, c_int32, c_int32,
+            c_int32]
+        lib.dtpu_mesh_levels_enc.restype = None
+        lib._mesh_levels_ready = True
+    cdf = mvctx.level_cdf
+    assert cdf.dtype == np.int32 and cdf.flags["C_CONTIGUOUS"]
+    lv = np.ascontiguousarray(levels, dtype=np.int32)
+    r0, r1 = rows
+    lib.dtpu_mesh_levels_enc(ec._h, _vp(cdf),
+                             int(mvctx.level_increment), _vp(lv),
+                             int(nsbx), int(r0), int(r1))
+    return True
+
+
+def dering_flags_enc(ec, state, flags, nhsb, rows):
+    """Batched per-SB dering flag coding for one tile's rows (native
+    twin of the encode_cdf_adapt loop in pack_device_frame).  Returns
+    False when the lib is unavailable (caller falls back)."""
+    import os
+
+    lib = _load()
+    if not lib or os.environ.get("DTPU_PY_WALK"):
+        return False
+    if not getattr(lib, "_dering_flags_ready", False):
+        lib.dtpu_dering_flags_enc.argtypes = [
+            c_void_p, c_void_p, c_int32, c_void_p, c_int32, c_int32,
+            c_int32]
+        lib.dtpu_dering_flags_enc.restype = None
+        lib._dering_flags_ready = True
+    cdf = state.clpf_cdf
+    assert cdf.dtype == np.int32 and cdf.flags["C_CONTIGUOUS"]
+    fl = np.ascontiguousarray(flags, dtype=np.int32)
+    r0, r1 = rows
+    lib.dtpu_dering_flags_enc(ec._h, _vp(cdf),
+                              int(state.clpf_increment), _vp(fl),
+                              int(nhsb), int(r0), int(r1))
+    return True
+
+
 def walk_dec(ec, state, pcs, rows, nhsb, use_masking, dres=False):
     """One tile's decoder symbol pass (native).  Returns dict with the
     appended leaf/band arrays, trimmed to the real counts."""

@@ -291,8 +291,10 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
 
     # -- stage 5: global-motion candidate --------------------------------
     gmv = jnp.median(grid.reshape(-1, 2), axis=0).astype(jnp.int32)
-    s_cur2 = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
-                             grid.reshape(-1, 2), n, bitdepth)
+    # SAD of the stage-4 result is already known per vertex: the
+    # element-wise select of med/cur SADs (saves one full interp+SAD
+    # evaluation — bit-identical to re-evaluating).
+    s_cur2 = jnp.where(keep_med.reshape(-1), s_med, s_cur)
     s_glob = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
                              jnp.broadcast_to(gmv, (len(ys), 2)), n,
                              bitdepth)

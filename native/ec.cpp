@@ -1390,6 +1390,45 @@ int dtpu_decode_generic(void* h, int32_t* model_cdf, int model_inc,
   return x;
 }
 
+// Batched per-SB mesh subdivision level coding for one tile's rows
+// (pipeline/inter.py _code_levels; context = left, else up, cut at
+// the tile top).  cdf: (4, 4) int32; enc side only — the decode side
+// stays in Python (decode output feeds per-SB control flow anyway).
+void dtpu_mesh_levels_enc(void* h, int32_t* level_cdf, int inc,
+                          const int32_t* levels, int nsbx, int row0,
+                          int row1) {
+  Encoder* e = (Encoder*)h;
+  for (int r = row0; r < row1; r++) {
+    for (int c = 0; c < nsbx; c++) {
+      int ctx = 0;
+      if (c > 0) {
+        ctx = levels[(int64_t)r * nsbx + c - 1];
+      } else if (r > row0) {
+        ctx = levels[(int64_t)(r - 1) * nsbx + c];
+      }
+      enc_cdf_adapt32(e, levels[(int64_t)r * nsbx + c],
+                      level_cdf + 4 * ctx, 4, inc);
+    }
+  }
+}
+
+// Batched per-SB dering flag coding for one tile's rows (the Python
+// per-symbol loop costs ~10 ms/frame at 1080p).  Context = (up, left)
+// neighbor flags, cut at the tile top (intra.py _dering_pass).
+void dtpu_dering_flags_enc(void* h, int32_t* clpf_cdf, int inc,
+                           const int32_t* flags, int nhsb, int row0,
+                           int row1) {
+  Encoder* e = (Encoder*)h;
+  for (int sby = row0; sby < row1; sby++) {
+    for (int sbx = 0; sbx < nhsb; sbx++) {
+      int up = sby > row0 ? flags[(int64_t)(sby - 1) * nhsb + sbx] : 0;
+      int left = sbx > 0 ? flags[(int64_t)sby * nhsb + sbx - 1] : 0;
+      int32_t* cdf = clpf_cdf + 2 * ((up << 1) + left);
+      enc_cdf_adapt32(e, flags[(int64_t)sby * nhsb + sbx], cdf, 2, inc);
+    }
+  }
+}
+
 void dtpu_decode_codeword(void* h, int32_t* k1_cdf_row, int k1_inc,
                           int64_t* pvq_adapt_row, int64_t* y, int n,
                           int k, int noref, int bs) {
@@ -1764,45 +1803,95 @@ struct DtpuWalkCtx {
 
 namespace {
 
-// Adaptation snapshot for the whole-block skip rollback
-// (_snapshot_block_state: PvqAdapt + skip_cdf).
-struct AdaptSnap {
-  int32_t skip_cdf[8 * 5];
-  int32_t gaintheta_cdf[72 * 16];
-  int32_t skip_dir_cdf[6 * 7];
+// Scoped adaptation snapshot for the whole-block skip rollback
+// (_snapshot_block_state: PvqAdapt + skip_cdf).  Saves ONLY the CDF
+// rows and expectation cells the trial region of one leaf can mutate
+// (~1-2 KB) instead of the whole adaptation context (~9 KB) — the
+// per-leaf memcpy was the dominant cost of the symbol walks at 1080p.
+// Row selection facts this relies on:
+//  * enc_cdf_adapt32 mutates exactly the row it is handed;
+//  * generic_encode_c mutates exactly row min(log_ex(ex), 11) of the
+//    model it is handed, with ex read from the cell BEFORE the call
+//    updates it — so the row is computable at snapshot time;
+//  * each band's exg/ext cell is private to that band, so later bands
+//    never shift an earlier band's row choice;
+//  * dtpu_encode_partition touches (gaintheta row, pm01 row, exg,
+//    pm2 row, ext, one k1 row, one pvq_adapt row) and nothing else.
+struct ScopedSnap {
+  int32_t skip_row[5];
+  int32_t skip_dir_row[7];
   int32_t k1_cdf[4 * 16];
-  int64_t pvq_adapt[8 * 4];
-  int64_t exg[4 * 4 * 9];
-  int64_t ext[36];
-  int32_t pm_cdf[3][12 * 16];
+  int32_t gt_rows[9][16];
+  int32_t pm01_rows[9][16];
+  int32_t pm2_rows[9][16];
+  int32_t* pm01_ptr[9];
+  int32_t* pm2_ptr[9];
+  int64_t exg[9], ext[9];
+  int64_t pvq_adapt[2][4];
+  int nb, pli, bs;
 };
 
 template <typename CTX>
-inline void snap_save(const CTX* c, AdaptSnap* s) {
-  memcpy(s->skip_cdf, c->skip_cdf, sizeof(s->skip_cdf));
-  memcpy(s->gaintheta_cdf, c->gaintheta_cdf, sizeof(s->gaintheta_cdf));
-  memcpy(s->skip_dir_cdf, c->skip_dir_cdf, sizeof(s->skip_dir_cdf));
+inline void scoped_save(CTX* c, ScopedSnap* s, int pli, int bs, int nb,
+                        const int* noref) {
+  s->nb = nb;
+  s->pli = pli;
+  s->bs = bs;
+  memcpy(s->skip_row, c->skip_cdf + 5 * (2 * bs + (pli ? 1 : 0)),
+         sizeof(s->skip_row));
+  if (bs > 0) {
+    memcpy(s->skip_dir_row,
+           c->skip_dir_cdf + 7 * ((pli ? 1 : 0) + 2 * (bs - 1)),
+           sizeof(s->skip_dir_row));
+  }
   memcpy(s->k1_cdf, c->k1_cdf, sizeof(s->k1_cdf));
-  memcpy(s->pvq_adapt, c->pvq_adapt, sizeof(s->pvq_adapt));
-  memcpy(s->exg, c->exg, sizeof(s->exg));
-  memcpy(s->ext, c->ext, sizeof(s->ext));
-  memcpy(s->pm_cdf[0], c->pm_cdf0, sizeof(s->pm_cdf[0]));
-  memcpy(s->pm_cdf[1], c->pm_cdf1, sizeof(s->pm_cdf[1]));
-  memcpy(s->pm_cdf[2], c->pm_cdf2, sizeof(s->pm_cdf[2]));
+  memcpy(s->pvq_adapt[0], c->pvq_adapt + 4 * (2 * bs),
+         sizeof(s->pvq_adapt[0]));
+  memcpy(s->pvq_adapt[1], c->pvq_adapt + 4 * (2 * bs + 1),
+         sizeof(s->pvq_adapt[1]));
+  int base_ctx = (pli ? 1 : 0) * 4 * 9 + bs * 9;
+  for (int i = 0; i < nb; i++) {
+    memcpy(s->gt_rows[i], c->gaintheta_cdf + 16 * (base_ctx + i),
+           sizeof(s->gt_rows[i]));
+    int64_t eg = c->exg[((int64_t)pli * 4 + bs) * 9 + i];
+    int64_t et = c->ext[bs * 9 + i];
+    s->exg[i] = eg;
+    s->ext[i] = et;
+    int lg_g = log_ex_c(eg);
+    int32_t* pm01 = (noref[i] ? c->pm_cdf0 : c->pm_cdf1)
+        + 16 * (lg_g < 11 ? lg_g : 11);
+    s->pm01_ptr[i] = pm01;
+    memcpy(s->pm01_rows[i], pm01, sizeof(s->pm01_rows[i]));
+    int lg_t = log_ex_c(et);
+    int32_t* pm2 = c->pm_cdf2 + 16 * (lg_t < 11 ? lg_t : 11);
+    s->pm2_ptr[i] = pm2;
+    memcpy(s->pm2_rows[i], pm2, sizeof(s->pm2_rows[i]));
+  }
 }
 
 template <typename CTX>
-inline void snap_restore(CTX* c, const AdaptSnap* s) {
-  memcpy(c->skip_cdf, s->skip_cdf, sizeof(s->skip_cdf));
-  memcpy(c->gaintheta_cdf, s->gaintheta_cdf, sizeof(s->gaintheta_cdf));
-  memcpy(c->skip_dir_cdf, s->skip_dir_cdf, sizeof(s->skip_dir_cdf));
+inline void scoped_restore(CTX* c, const ScopedSnap* s) {
+  int pli = s->pli, bs = s->bs;
+  memcpy(c->skip_cdf + 5 * (2 * bs + (pli ? 1 : 0)), s->skip_row,
+         sizeof(s->skip_row));
+  if (bs > 0) {
+    memcpy(c->skip_dir_cdf + 7 * ((pli ? 1 : 0) + 2 * (bs - 1)),
+           s->skip_dir_row, sizeof(s->skip_dir_row));
+  }
   memcpy(c->k1_cdf, s->k1_cdf, sizeof(s->k1_cdf));
-  memcpy(c->pvq_adapt, s->pvq_adapt, sizeof(s->pvq_adapt));
-  memcpy(c->exg, s->exg, sizeof(s->exg));
-  memcpy(c->ext, s->ext, sizeof(s->ext));
-  memcpy(c->pm_cdf0, s->pm_cdf[0], sizeof(s->pm_cdf[0]));
-  memcpy(c->pm_cdf1, s->pm_cdf[1], sizeof(s->pm_cdf[1]));
-  memcpy(c->pm_cdf2, s->pm_cdf[2], sizeof(s->pm_cdf[2]));
+  memcpy(c->pvq_adapt + 4 * (2 * bs), s->pvq_adapt[0],
+         sizeof(s->pvq_adapt[0]));
+  memcpy(c->pvq_adapt + 4 * (2 * bs + 1), s->pvq_adapt[1],
+         sizeof(s->pvq_adapt[1]));
+  int base_ctx = (pli ? 1 : 0) * 4 * 9 + bs * 9;
+  for (int i = 0; i < s->nb; i++) {
+    memcpy(c->gaintheta_cdf + 16 * (base_ctx + i), s->gt_rows[i],
+           sizeof(s->gt_rows[i]));
+    c->exg[((int64_t)pli * 4 + bs) * 9 + i] = s->exg[i];
+    c->ext[bs * 9 + i] = s->ext[i];
+    memcpy(s->pm01_ptr[i], s->pm01_rows[i], sizeof(s->pm01_rows[i]));
+    memcpy(s->pm2_ptr[i], s->pm2_rows[i], sizeof(s->pm2_rows[i]));
+  }
 }
 
 int32_t* pm_of(DtpuWalkCtx* c, int i) {
@@ -1829,11 +1918,6 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
   int q0 = c->q0;
   int dc_quant = q0 * pvq_qm[qm_idx(bs, 0)] >> 4;
   if (dc_quant < 1) dc_quant = 1;
-  // checkpoint (EC + adaptation)
-  int64_t chk[7];
-  dtpu_enc_checkpoint(e, chk);
-  static thread_local AdaptSnap snap;
-  snap_save(c, &snap);
   int dc0, out0;
   if (c->plain_dc) {
     dc0 = 0;
@@ -1844,10 +1928,11 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
     dc0 = c->e_dc0[slot] - predt[0];
     out0 = rdo_quant_c(dc0, dc_quant, dc_rate, c->lambda);
   }
-  int tell0 = dtpu_enc_tell_frac(e);
-  enc_cdf_adapt32(e, out0 != 0 ? 1 : 0, skip_row, nsym, c->skip_inc);
-  // per-band coded-domain gains (need icgr per band)
+  // per-band coded-domain gains (need icgr per band) — pure
+  // computation, hoisted above the trial region so nbeff is known
+  // before any symbol is coded.
   int qgc[9];
+  int noref_arr[9];
   double beta = band_beta(c->use_masking, pli);
   for (int i = 0; i < nb; i++) {
     int lo = BOFFS[bs][i];
@@ -1855,6 +1940,7 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
     int q = q0 * pvq_qm[qm_idx(bs, i + 1)] >> 4;
     if (q < 1) q = 1;
     int bqg = c->b_qg[s0 + i];
+    noref_arr[i] = c->b_noref[s0 + i];
     if (c->b_noref[s0 + i]) {
       qgc[i] = bqg - 1;
     } else if (c->dres) {
@@ -1887,50 +1973,80 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
   if (c->b_itheta[s0] == 0 && qgc[0] == 0 && skip_rest) nbeff = 0;
   double skip_diff = 0;
   for (int i = 0; i < nb; i++) skip_diff += c->b_skip_diff[s0 + i];
-  for (int i = 0; i < nbeff; i++) {
-    if (i == 0 || (!skip_rest && !(skip_dir & (1 << ((i - 1) % 3))))) {
-      int lo = BOFFS[bs][i];
-      int bn = BOFFS[bs][i + 1] - lo;
-      int noref = c->b_noref[s0 + i];
-      int k = c->b_k[s0 + i];
-      int cdf_ctx = (pli ? 1 : 0) * 4 * 9 + bs * 9 + i;
-      int code_skip = (i == 0 && i < nbeff - 1) ? 1 : 0;
-      int64_t y64[128];
-      const int32_t* yb = c->b_y + c->b_yoff[s0 + i];
-      for (int t = 0; t < bn; t++) y64[t] = yb[t];
-      dtpu_encode_partition(
-          e, c->gaintheta_cdf + 16 * cdf_ctx, 8 + 7 * code_skip,
-          c->gt_inc, pm_of(c, noref ? 0 : 1), c->pm_inc,
-          c->exg + ((int64_t)pli * 4 + bs) * 9 + i,
-          c->ext + bs * 9 + i, c->pm_cdf2,
-          c->k1_cdf + 16 * (2 * (bn == 15) + (noref ? 0 : 1)), c->k1_inc,
-          c->pvq_adapt + 4 * (2 * bs + (noref ? 1 : 0)), y64, bn, k,
-          qgc[i], c->b_itheta[s0 + i], c->b_max_theta[s0 + i],
-          /*nodesync=*/1, /*is_keyframe=*/0, code_skip, skip_rest, bs);
-    }
-    if (i == 0 && !skip_rest && bs > 0) {
-      enc_cdf_adapt32(e, skip_dir,
-                      c->skip_dir_cdf + 7 * ((pli ? 1 : 0) + 2 * (bs - 1)),
-                      7, c->sd_inc);
-    }
-  }
-  int tell = dtpu_enc_tell_frac(e) - tell0;
-  int sf = 2 + (out0 != 0 ? 1 : 0);
-  double skip_rate = -std::log2((double)(skip_row[sf] - skip_row[sf - 1])
-                                / skip_row[nsym - 1]);
-  tell -= (int)std::floor(.5 + 8 * skip_rate);
   int acskip = 0;
-  if (nbeff == 0 || skip_diff <= c->lambda / 8 * tell) {
+  if (nbeff == 0) {
+    // All bands skip: the acskip branch below is taken
+    // unconditionally, so code only the final skip symbol — no EC
+    // checkpoint, no adaptation snapshot.  Bit-identical to the trial
+    // path: with nbeff == 0 the trial codes exactly one skip symbol
+    // and rolls it back; the !plain_dc DC re-quantization reads the
+    // skip_row AS UPDATED by that trial symbol, replicated here on a
+    // local copy.
     if (!c->plain_dc) {
-      double dcr2 = -std::log2((double)(skip_row[3] - skip_row[2])
-                               / (skip_row[2] - skip_row[1]));
+      int32_t tmp5[5];
+      memcpy(tmp5, skip_row, sizeof(int32_t) * nsym);
+      adapt_cdf32(tmp5, nsym, out0 != 0 ? 1 : 0, c->skip_inc);
+      double dcr2 = -std::log2((double)(tmp5[3] - tmp5[2])
+                               / (tmp5[2] - tmp5[1]));
       out0 = rdo_quant_c(dc0, dc_quant, dcr2, c->lambda);
     }
-    dtpu_enc_rollback(e, chk);
-    snap_restore(c, &snap);
     enc_cdf_adapt32(e, 2 + (out0 != 0 ? 1 : 0), skip_row, nsym,
                     c->skip_inc);
     acskip = 1;
+  } else {
+    // checkpoint (EC + scoped adaptation rows)
+    int64_t chk[7];
+    dtpu_enc_checkpoint(e, chk);
+    ScopedSnap snap;
+    scoped_save(c, &snap, pli, bs, nb, noref_arr);
+    int tell0 = dtpu_enc_tell_frac(e);
+    enc_cdf_adapt32(e, out0 != 0 ? 1 : 0, skip_row, nsym, c->skip_inc);
+    for (int i = 0; i < nbeff; i++) {
+      if (i == 0 || (!skip_rest && !(skip_dir & (1 << ((i - 1) % 3))))) {
+        int lo = BOFFS[bs][i];
+        int bn = BOFFS[bs][i + 1] - lo;
+        int noref = c->b_noref[s0 + i];
+        int k = c->b_k[s0 + i];
+        int cdf_ctx = (pli ? 1 : 0) * 4 * 9 + bs * 9 + i;
+        int code_skip = (i == 0 && i < nbeff - 1) ? 1 : 0;
+        int64_t y64[128];
+        const int32_t* yb = c->b_y + c->b_yoff[s0 + i];
+        for (int t = 0; t < bn; t++) y64[t] = yb[t];
+        dtpu_encode_partition(
+            e, c->gaintheta_cdf + 16 * cdf_ctx, 8 + 7 * code_skip,
+            c->gt_inc, pm_of(c, noref ? 0 : 1), c->pm_inc,
+            c->exg + ((int64_t)pli * 4 + bs) * 9 + i,
+            c->ext + bs * 9 + i, c->pm_cdf2,
+            c->k1_cdf + 16 * (2 * (bn == 15) + (noref ? 0 : 1)),
+            c->k1_inc,
+            c->pvq_adapt + 4 * (2 * bs + (noref ? 1 : 0)), y64, bn, k,
+            qgc[i], c->b_itheta[s0 + i], c->b_max_theta[s0 + i],
+            /*nodesync=*/1, /*is_keyframe=*/0, code_skip, skip_rest, bs);
+      }
+      if (i == 0 && !skip_rest && bs > 0) {
+        enc_cdf_adapt32(e, skip_dir,
+                        c->skip_dir_cdf
+                            + 7 * ((pli ? 1 : 0) + 2 * (bs - 1)),
+                        7, c->sd_inc);
+      }
+    }
+    int tell = dtpu_enc_tell_frac(e) - tell0;
+    int sf = 2 + (out0 != 0 ? 1 : 0);
+    double skip_rate = -std::log2(
+        (double)(skip_row[sf] - skip_row[sf - 1]) / skip_row[nsym - 1]);
+    tell -= (int)std::floor(.5 + 8 * skip_rate);
+    if (skip_diff <= c->lambda / 8 * tell) {
+      if (!c->plain_dc) {
+        double dcr2 = -std::log2((double)(skip_row[3] - skip_row[2])
+                                 / (skip_row[2] - skip_row[1]));
+        out0 = rdo_quant_c(dc0, dc_quant, dcr2, c->lambda);
+      }
+      dtpu_enc_rollback(e, chk);
+      scoped_restore(c, &snap);
+      enc_cdf_adapt32(e, 2 + (out0 != 0 ? 1 : 0), skip_row, nsym,
+                      c->skip_inc);
+      acskip = 1;
+    }
   }
   if (out0) {
     int64_t* exdc = c->ex_dc + ((int64_t)pli * 4 + bs) * 3;
@@ -2967,14 +3083,9 @@ void key_leaf(void* ec, DtpuKeyCtx* c, int pli, int bs, int bsi, int bx,
       synth_band_one(ref + lo, qmb + lo, qmib + lo, yv + lo, bn,
                      qgs[i], its[i], nrs[i], q, beta, 1, pli, out + lo);
     }
-    int64_t chk[7];
-    dtpu_enc_checkpoint(ec, chk);
-    static thread_local AdaptSnap snap;
-    snap_save(c, &snap);
-    int tell0 = dtpu_enc_tell_frac(ec);
-    // keyframe: out[0] = 0 before the skip symbol.
-    enc_cdf_adapt32((Encoder*)ec, 0, skip_row, nsym, c->skip_inc);
-    // skip_rest / skip_dir (skip_theta_value = -1 for keyframes).
+    // skip_rest / skip_dir (skip_theta_value = -1 for keyframes) —
+    // pure computation, hoisted above the trial region so nbeff is
+    // known before any symbol is coded.
     int skip_rest = 1;
     for (int i = 1; i < nb; i++) {
       if (its[i] != -1 || qgc[i]) skip_rest = 0;
@@ -2991,6 +3102,21 @@ void key_leaf(void* ec, DtpuKeyCtx* c, int pli, int bs, int bsi, int bx,
     }
     int nbeff = nb;
     if (its[0] == -1 && qgc[0] == 0 && skip_rest) nbeff = 0;
+    if (nbeff == 0) {
+      // All bands skip: the acskip branch is taken unconditionally —
+      // code only the final skip symbol (no checkpoint/snapshot).
+      enc_cdf_adapt32((Encoder*)ec, 2, skip_row, nsym, c->skip_inc);
+      acskip = 1;
+      goto key_enc_done;
+    }
+    {
+    int64_t chk[7];
+    dtpu_enc_checkpoint(ec, chk);
+    ScopedSnap snap;
+    scoped_save(c, &snap, pli, bs, nb, nrs);
+    int tell0 = dtpu_enc_tell_frac(ec);
+    // keyframe: out[0] = 0 before the skip symbol.
+    enc_cdf_adapt32((Encoder*)ec, 0, skip_row, nsym, c->skip_inc);
     int cfl_encoded = 0;
     for (int i = 0; i < nbeff; i++) {
       if (i == 0
@@ -3027,12 +3153,14 @@ void key_leaf(void* ec, DtpuKeyCtx* c, int pli, int bs, int bsi, int bx,
     double skip_rate = -std::log2((double)(skip_row[2] - skip_row[1])
                                   / skip_row[nsym - 1]);
     tell -= (int)std::floor(.5 + 8 * skip_rate);
-    if (nbeff == 0 || skip_diff <= c->lambda / 8 * tell) {
+    if (skip_diff <= c->lambda / 8 * tell) {
       dtpu_enc_rollback(ec, chk);
-      snap_restore(c, &snap);
+      scoped_restore(c, &snap);
       enc_cdf_adapt32((Encoder*)ec, 2, skip_row, nsym, c->skip_inc);
       acskip = 1;
     }
+    }
+  key_enc_done:;
   } else {
     int out0flag = sk & 1;
     (void)out0flag;  // keyframe DC comes from the Haar tree

@@ -61,6 +61,31 @@ def test_device_encode_decoder_exact():
                     (p["display_order"], pl)
 
 
+def test_device_encode_tiled_pack_exact():
+    """Tiled + threaded host pack (per-tile entropy streams) decodes
+    bit-identically to the device-carried recon."""
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+    from daala_tpu.pipeline.inter import DecoderSession
+
+    frames = _clip()
+    info = _info()
+    enc = DeviceEncoderSession(info, quality=30, chunk=2,
+                               emit_recon=True, pack_tiles=2,
+                               pack_workers=2)
+    pkts = enc.encode_clip(frames)
+    assert len(pkts) == len(frames)
+    dec = DecoderSession(info)
+    for p in pkts:
+        rec = dec.decode_frame(p["data"], p["ftype"] == 0,
+                               ftype=p["ftype"], dres=p["dres"])
+        if "recon" in p:
+            for pl in range(3):
+                assert np.array_equal(np.asarray(rec[pl]),
+                                      np.asarray(p["recon"][pl])), \
+                    (p["display_order"], pl)
+
+
 def test_device_encode_quality_and_rate():
     """The device-encoded stream is a real encode: better PSNR than the
     input noise floor and a plausible rate."""

@@ -19,12 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def _sync(out):
+    """Fetch ONE scalar (device-side slice first): np.asarray(full)
+    would time the tunnel transfer, not the kernel (round-1 trap)."""
     import jax
     import numpy as _np
 
     leaves = jax.tree_util.tree_leaves(out)
     x = leaves[0]
-    return _np.asarray(x).ravel()[0]
+    return int(_np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x))
 
 
 def timeit(fn, args, n=3, name=""):
@@ -179,6 +181,82 @@ def main():
                 ok = "OK" if np.array_equal(a, b) else "MISMATCH"
                 timeit(f_ch, (p, iy, ix),
                        name=f"lv1 fetch banded chunk G={G} [{ok}]")
+
+        if "interp" in exps:
+            # int32 vs f32 arithmetic for the 6-tap subpel interp:
+            # all intermediates are exact in f32 (|hacc| <= 26584,
+            # sum|taps| <= 208 -> |vacc| + bias < 2^24).
+            from daala_tpu.ops.mc import SUBPEL_FILTERS
+
+            N = 33017          # lv2 vertex count at 1080p
+            K = 21
+            n = 8
+            win = jnp.asarray(rng.integers(0, 256, (K, K, N),
+                                           dtype=np.int32))
+            fy = jnp.asarray(rng.integers(0, 8, N, dtype=np.int64)
+                             .astype(np.int32))
+            fx = jnp.asarray(rng.integers(0, 8, N, dtype=np.int64)
+                             .astype(np.int32))
+            filt = np.asarray(SUBPEL_FILTERS, dtype=np.int32)
+
+            def interp_i32(w, fyv, fxv):
+                f = jnp.asarray(filt)
+                fh = f[fxv]
+                hacc = jnp.zeros((n + 5, n, N), dtype=jnp.int32)
+                sub = w[: n + 5]
+                for k in range(6):
+                    hacc = hacc + sub[:, k:k + n] * fh[:, k][None, None]
+                hacc = hacc - (128 << 7)
+                fv = f[fyv]
+                vacc = jnp.zeros((n, n, N), dtype=jnp.int32)
+                for k in range(6):
+                    vacc = vacc + hacc[k:k + n] * fv[:, k][None, None]
+                return (vacc + (1 << 13) + (128 << 14)) >> 14
+
+            def interp_f32(w, fyv, fxv):
+                f = jnp.asarray(filt.astype(np.float32))
+                wf = w.astype(jnp.float32)
+                fh = f[fxv]
+                hacc = jnp.zeros((n + 5, n, N), dtype=jnp.float32)
+                sub = wf[: n + 5]
+                for k in range(6):
+                    hacc = hacc + sub[:, k:k + n] * fh[:, k][None, None]
+                hacc = hacc - float(128 << 7)
+                fv = f[fyv]
+                vacc = jnp.zeros((n, n, N), dtype=jnp.float32)
+                for k in range(6):
+                    vacc = vacc + hacc[k:k + n] * fv[:, k][None, None]
+                out = vacc + float((1 << 13) + (128 << 14))
+                return jnp.floor(out * (1.0 / (1 << 14))).astype(
+                    jnp.int32)
+
+            fi = jax.jit(interp_i32)
+            ff = jax.jit(interp_f32)
+            a = np.asarray(fi(win, fy, fx))
+            b = np.asarray(ff(win, fy, fx))
+            ok = "OK" if np.array_equal(a, b) else "MISMATCH"
+            timeit(fi, (win, fy, fx), name="interp 8px int32")
+            timeit(ff, (win, fy, fx), name=f"interp 8px f32 [{ok}]")
+
+            # raw elementwise MAC chain comparison
+            big = jnp.asarray(rng.integers(0, 255, (1088, 1920),
+                                           dtype=np.int32))
+
+            def mac_i32(x):
+                acc = x
+                for k in range(12):
+                    acc = acc + x * (k + 3)
+                return acc
+
+            def mac_f32(x):
+                xf = x.astype(jnp.float32)
+                acc = xf
+                for k in range(12):
+                    acc = acc + xf * float(k + 3)
+                return acc.astype(jnp.int32)
+
+            timeit(jax.jit(mac_i32), (big,), name="12-MAC chain int32")
+            timeit(jax.jit(mac_f32), (big,), name="12-MAC chain f32")
 
         if "chroma" in exps:
             hc, wc = h // 2, w // 2

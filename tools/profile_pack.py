@@ -77,6 +77,12 @@ def main():
     quantizer = codedquantizer_to_quantizer(cq)
     t("pack_device_frame total", lambda: pack_device_frame(
         info, cq, grid, levels, syms, dflags, True))
+    t("pack 2 tiles x 2 workers", lambda: pack_device_frame(
+        info, cq, grid, levels, syms, dflags, True, tiles=2,
+        tile_workers=2))
+    t("pack 4 tiles x 2 workers", lambda: pack_device_frame(
+        info, cq, grid, levels, syms, dflags, True, tiles=4,
+        tile_workers=2))
 
     # components
     def mesh():

@@ -1,0 +1,119 @@
+"""XLA op-level profile of one device-encode stage on the real chip.
+
+Captures a jax.profiler trace of the requested stage and prints the
+top HLO ops by device self-time, so optimization targets the real
+bottleneck ops instead of stage-level guesses.
+
+    python tools/profile_xla.py --stage me32   # me32|me8|obmc2|frame
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="me32")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from daala_tpu.pipeline.device_encode import PAD
+    from daala_tpu.search.me_jax import (
+        motion_search_jax, _refine_midpoints_jax, _upsample_grid,
+        motion_search_dense_jax, pad_edge)
+    from daala_tpu.ops.mc_jax import obmc_predict_jax
+
+    h, w = 1088, 1920
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (h + 16, w + 16), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h + 16, 0:w + 16]
+    base = ((base // 4) + (yy + 2 * xx) % 180).astype(np.uint8)
+    cy = jnp.asarray(base[:h, :w])
+    ry = jnp.asarray(np.pad(base[2:2 + h, 4:4 + w], PAD, mode="edge"))
+
+    with jax.enable_x64(True):
+        if args.stage == "me32":
+            fn = jax.jit(lambda c, r: motion_search_jax(
+                c, r[64:64 + h, 64:64 + w], r[16:16 + h + 128,
+                                              16:16 + w + 128], h, w, 5))
+            fa = (cy, ry)
+        elif args.stage == "me8":
+            cfn = jax.jit(lambda c, r: motion_search_jax(
+                c, r[64:64 + h, 64:64 + w], r[16:16 + h + 128,
+                                              16:16 + w + 128], h, w, 5))
+            g32 = cfn(cy, ry)
+            g16 = jax.jit(lambda c, r, g: _refine_midpoints_jax(
+                c, r[16:16 + h + 128, 16:16 + w + 128],
+                _upsample_grid(g), 4, h, w))(cy, ry, g32)
+            fn = jax.jit(lambda c, r, g: _refine_midpoints_jax(
+                c, r[16:16 + h + 128, 16:16 + w + 128],
+                _upsample_grid(g), 3, h, w))
+            fa = (cy, ry, g16)
+        elif args.stage == "obmc2":
+            nvy, nvx = (h >> 3) + 1, (w >> 3) + 1
+            g = jnp.asarray(rng.integers(-58 * 4, 58 * 4,
+                                         (nvy, nvx, 2), dtype=np.int64)
+                            .astype(np.int32) * 2)
+            fn = jax.jit(lambda r, gg: obmc_predict_jax(
+                [r], PAD, h, w, gg, 3))
+            fa = (ry, g)
+        else:
+            raise SystemExit(f"unknown stage {args.stage}")
+
+        def sync(o):
+            le = jax.tree_util.tree_leaves(o)
+            x = le[0]
+            return int(np.asarray(x.ravel()[0] if hasattr(x, "ravel")
+                                  else x))
+
+        sync(fn(*fa))          # compile
+        tdir = "/tmp/jaxtrace"
+        os.system(f"rm -rf {tdir}")
+        jax.profiler.start_trace(tdir)
+        for _ in range(3):
+            sync(fn(*fa))
+        jax.profiler.stop_trace()
+
+    xp = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
+    if not xp:
+        raise SystemExit("no xplane captured")
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        [xp[0]], "framework_op_stats", {})
+    import csv
+    import io
+    rows = list(csv.DictReader(io.StringIO(
+        data.decode() if isinstance(data, bytes) else data)))
+    key_t = None
+    for cand in ("total_self_time_in_us", "self_time_us",
+                 "Total self-time (us)", "avg_self_time_us"):
+        if rows and cand in rows[0]:
+            key_t = cand
+            break
+    if key_t is None:
+        print("columns:", list(rows[0].keys()) if rows else "none")
+        raise SystemExit(1)
+    dev = [r for r in rows if r.get("host_or_device", "Device")
+           .lower().startswith("d")]
+    dev.sort(key=lambda r: -float(r[key_t]))
+    tot = sum(float(r[key_t]) for r in dev)
+    print(f"total device self-time: {tot / 1000:.2f} ms  "
+          f"({len(dev)} op types)")
+    for r in dev[:args.top]:
+        name = r.get("operation", r.get("op_name", "?"))[:72]
+        print(f"{float(r[key_t]) / 1000:9.3f} ms  "
+              f"{float(r.get('occurrences', 0)):6.0f}x  {name}")
+
+
+if __name__ == "__main__":
+    main()
