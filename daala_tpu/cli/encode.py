@@ -42,6 +42,28 @@ def main(argv=None):
                          "0..3 (fixed 4x4..32x32)")
     ap.add_argument("--masking", action="store_true",
                     help="enable activity masking")
+    ap.add_argument("-z", "--complexity", type=int, default=7,
+                    help="speed/quality trade 0..10 "
+                         "(OD_SET_COMPLEXITY; higher = slower/better)")
+    ap.add_argument("--satd", type=int, default=-1, choices=(-1, 0, 1),
+                    help="SATD subpel metric stage: -1 by complexity "
+                         "(>=8), 0 off, 1 on (OD_SET_MC_SATD)")
+    ap.add_argument("--qm", type=int, default=1, choices=(0, 1),
+                    help="quant-matrix select: 0 flat, 1 HVS "
+                         "(OD_SET_QM)")
+    ap.add_argument("--no-dering", action="store_true",
+                    help="disable the directional dering filter "
+                         "(OD_SET_DERING 0)")
+    ap.add_argument("--mv-res-min", type=int, default=0,
+                    choices=(0, 1, 2),
+                    help="coarsest-allowed MV precision: 0=1/8 1=1/4 "
+                         "2=1/2 pel (OD_SET_MV_RES_MIN)")
+    ap.add_argument("--mv-level-min", type=int, default=0,
+                    help="min mesh subdivision level 0..3 "
+                         "(OD_SET_MV_LEVEL_MIN)")
+    ap.add_argument("--mv-level-max", type=int, default=3,
+                    help="max mesh subdivision level 0..3 "
+                         "(OD_SET_MV_LEVEL_MAX)")
     ap.add_argument("-b", "--b-frames", type=int, default=0,
                     help="number of B-frames between anchors (0-4)")
     ap.add_argument("--limit", type=int, default=0,
@@ -134,13 +156,21 @@ def main(argv=None):
                 f"{args.jobs} workers)\n")
             write_stream(args.output, info, packets)
             return
-        sess = EncoderSession(info, args.quality,
-                              use_masking=args.masking, bs_luma=bs,
-                              keyframe_rate=args.keyframe_rate,
-                              b_frames=args.b_frames, tiles=args.tiles,
-                              tile_workers=args.tile_jobs,
-                              bitrate=args.bitrate * 1000,
-                              dres=args.dres)
+        from ..core.config import EncoderConfig
+
+        cfg = EncoderConfig.from_env(
+            quality=args.quality, complexity=args.complexity,
+            mc_use_satd=args.satd, qm=args.qm,
+            use_dering=not args.no_dering,
+            mv_res_min=args.mv_res_min,
+            mv_level_min=args.mv_level_min,
+            mv_level_max=args.mv_level_max,
+            use_masking=args.masking, bs_luma=bs,
+            keyframe_rate=args.keyframe_rate,
+            b_frames=args.b_frames, tiles=args.tiles,
+            tile_workers=args.tile_jobs,
+            bitrate=args.bitrate * 1000, dres=args.dres)
+        sess = EncoderSession(info, config=cfg)
         packets = []
         t0 = time.time()
 

@@ -50,9 +50,13 @@ _QM_ANCHORS = [
 ]
 
 
-def interp_pvq_qm(q: int, pli: int, use_masking: bool) -> np.ndarray:
+def interp_pvq_qm(q: int, pli: int, use_masking: bool,
+                  flat: bool = False) -> np.ndarray:
     """Per-band Q4 weights interpolated by quantizer
-    (od_interp_qm, encode.c:2761-2799)."""
+    (od_interp_qm, encode.c:2761-2799).  flat: the OD_QM8_Q4_FLAT
+    base (all 16) selected by the OD_SET_QM ctl."""
+    if flat:
+        return np.full(QM_SIZE, 16, dtype=np.int32)
     base = (LUMA_QM_Q4 if pli == 0 else CHROMA_QM_Q4)[int(use_masking)]
     (q1, s1), (q2, s2) = _QM_ANCHORS[min(pli, 2)]
     q1 <<= 4
@@ -128,6 +132,12 @@ class FrameInfo:
     timebase_den: int = 1
     pixel_aspect_num: int = 1
     pixel_aspect_den: int = 1
+    # QM select (OD_SET_QM, daalaenc.h): 0 = flat band weights, 1 =
+    # HVS.  Stream-level — carried in the container's setup header so
+    # the inter-frame band weights (derived, not signaled) agree on
+    # both sides; keyframes additionally signal the interpolated
+    # weights verbatim (encode.c:3052-3058 parity).
+    qm: int = 1
 
     @property
     def frame_width(self) -> int:

@@ -107,7 +107,15 @@ def write_stream(path: str, info: FrameInfo, packets: List[FramePacket],
         cb = comment.encode()
         f.write(struct.pack("<H", len(cb)))
         f.write(cb)
-        f.write(struct.pack("<H", 0))  # setup header (reserved)
+        # Setup header: stream-level coding config (the third logical
+        # header, infoenc.c:32-118).  v1 payload: u8 qm select.  An
+        # empty setup header (older streams) means qm=1 (HVS).
+        if getattr(info, "qm", 1) != 1:
+            sb = struct.pack("<B", info.qm & 0xff)
+            f.write(struct.pack("<H", len(sb)))
+            f.write(sb)
+        else:
+            f.write(struct.pack("<H", 0))
         for p in packets:
             flags = (1 if p.keyframe else 0) | ((1 if p.use_haar else 0) << 1) \
                 | ((p.bs_luma & 3) << 2) | ((p.ftype & 3) << 4) \
@@ -130,7 +138,12 @@ def read_stream(path: str) -> Tuple[FrameInfo, str, List[FramePacket]]:
         (clen,) = struct.unpack("<H", f.read(2))
         comment = f.read(clen).decode()
         (slen,) = struct.unpack("<H", f.read(2))
-        f.read(slen)
+        setup = f.read(slen)
+        if len(setup) >= 1:
+            qm = setup[0]
+            if qm not in (0, 1):
+                raise ValueError(f"invalid qm select {qm}")
+            info.qm = qm
         packets = []
         while True:
             hdr = f.read(9)

@@ -223,7 +223,8 @@ def _choose_mv_res(quantizer):
 
 
 def _code_mesh(ecs, mvctxs, bounds, info, nrefs, encoder,
-               truth=None, truth_rids=None, levels=None, quantizer=0):
+               truth=None, truth_rids=None, levels=None, quantizer=0,
+               mv_res=None):
     """Full adaptive-mesh coding: per-tile level symbols, then the
     three stride passes with the deterministic fill between them.
     The whole mesh is coded at a per-frame MV resolution (2 raw bits
@@ -239,7 +240,7 @@ def _code_mesh(ecs, mvctxs, bounds, info, nrefs, encoder,
     nvx = (info.frame_width >> MV_FINE_LOG) + 1
     nsby = info.frame_height >> 5
     if encoder:
-        res = _choose_mv_res(quantizer)
+        res = _choose_mv_res(quantizer) if mv_res is None else mv_res
         ecs[0].encode_bits(res, 2)
         truth = np.asarray(truth) >> res
     else:
@@ -558,7 +559,7 @@ def _frame_quality(cq, ftype, b_frames):
 def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                        refs, planes_or_packet, encoder, tiles=1,
                        tile_workers=1, out_info=None, acct=None,
-                       dres=False):
+                       dres=False, search=None):
     """Shared P/B frame coder.  refs: list of padded reference plane
     lists (1 = single-ref P, 2 = multi-ref P or B).
 
@@ -595,20 +596,25 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         cur_y8 = (cur_y >> ext).astype(np.uint8) if ext else cur_y
         refs8 = [(r[0] >> ext).astype(np.uint8) if ext else r[0]
                  for r in refs]
+        sp = search or {}
         sgrid, srids = motion_search_multi(
-            cur_y8, refs8, MV_FINE_LOG, dense=True)
+            cur_y8, refs8, MV_FINE_LOG, dense=True,
+            use_satd=sp.get("use_satd", False))
         from ..search.me import refine_mesh_lattice
 
         refs8p = [pad_ref(r) for r in refs8]
         # Snap to the frame MV resolution BEFORE the blend refinement
         # so the lattice is optimized in the domain it is coded in.
-        res0 = _choose_mv_res(quantizer)
+        res0 = max(_choose_mv_res(quantizer), sp.get("mv_res_min", 0))
         if res0:
             sgrid = (np.asarray(sgrid) >> res0) << res0
-        sgrid = refine_mesh_lattice(cur_y8, refs8p, 80, sgrid, srids,
-                                    quantizer, mv_res=res0)
+        if sp.get("refine_iters", 1) > 0:
+            sgrid = refine_mesh_lattice(cur_y8, refs8p, 80, sgrid,
+                                        srids, quantizer, mv_res=res0,
+                                        iters=sp["refine_iters"])
         levels = choose_levels(cur_y8, refs8p, 80, sgrid, srids,
-                               quantizer, bounds)
+                               quantizer, bounds,
+                               level_mask=sp.get("level_mask"))
         grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,
                                         True, truth=sgrid,
                                         truth_rids=srids, levels=levels,
@@ -635,7 +641,8 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,
                                         False)
     states = _tile_states(nplanes, quantizer, use_masking, len(bounds),
-                          is_keyframe=False)
+                          is_keyframe=False,
+                          qm_flat=getattr(info, "qm", 1) == 0)
     state = states[0]
     # OBMC predict per plane (luma first: the splitter needs the
     # residual).
@@ -786,12 +793,41 @@ class EncoderSession:
     cadence and B-frame reordering (daala_enc_ctx equivalent:
     encode.c:2808-2995, 3146-3175)."""
 
-    def __init__(self, info: FrameInfo, quality: int,
+    def __init__(self, info: FrameInfo, quality: int = None,
                  use_masking: bool = False, bs_luma: int = 1,
                  use_dering: bool = True, keyframe_rate: int = None,
                  b_frames: int = 0, tiles: int = 1,
                  tile_workers: int = 1, bitrate: int = 0,
-                 dres: bool = False):
+                 dres: bool = False, config=None):
+        # config: a core.config.EncoderConfig carrying the full ctl
+        # surface (complexity ladder, SATD, QM select, MV res/level
+        # bounds).  The legacy kwargs remain as a convenience shim;
+        # when config is given it wins wholesale.
+        if config is not None:
+            quality = config.quality
+            use_masking = config.use_masking
+            bs_luma = config.bs_luma
+            use_dering = config.use_dering
+            keyframe_rate = keyframe_rate or config.keyframe_rate
+            b_frames = config.b_frames
+            tiles = config.tiles
+            tile_workers = config.tile_workers
+            bitrate = config.bitrate
+            dres = config.dres
+            info.qm = config.qm
+        else:
+            from ..core.config import EncoderConfig
+
+            config = EncoderConfig(quality=int(quality),
+                                   use_masking=use_masking,
+                                   qm=getattr(info, "qm", 1))
+        self.config = config
+        from ..search.mesh import level_mask_from_ctl
+
+        self.search = config.search_params()
+        self.search["level_mask"] = level_mask_from_ctl(
+            config.mv_level_min, config.mv_level_max)
+        self.search["mv_res_min"] = config.mv_res_min
         # dres: code inter frames in device-residual mode (noref
         # integer-synthesis residual bands) — the stream mode the TPU
         # device encode pipeline emits (pipeline/device_inter.py).
@@ -937,8 +973,14 @@ class EncoderSession:
         pkt, rec = _code_inter_packet(
             self.info, self.bs_luma, self.use_masking, self.use_dering,
             cq, refs, planes, True, tiles=self.tiles,
-            tile_workers=self.tile_workers, dres=self.dres)
+            tile_workers=self.tile_workers, dres=self.dres,
+            search=self.search)
         self._rotate_refs(rec, ftype)
+        from ..core.logging import OD_LOG_INFO, od_log
+
+        od_log("encoder", OD_LOG_INFO,
+               "frame %d type %d: %d bytes (cq %d)", idx, ftype,
+               len(pkt), cq)
         return {"data": pkt, "ftype": ftype, "display_order": idx,
                 "recon": rec, "use_haar": False, "dres": self.dres}
 
@@ -953,7 +995,7 @@ class EncoderSession:
                     self.info, self.bs_luma, self.use_masking,
                     self.use_dering, cq, refs, planes, True,
                     tiles=self.tiles, tile_workers=self.tile_workers,
-                    dres=self.dres)
+                    dres=self.dres, search=self.search)
                 out.append({"data": pkt, "ftype": FT_B,
                             "display_order": idx, "recon": rec,
                             "use_haar": False, "dres": self.dres})

@@ -523,15 +523,18 @@ def _merge_grid_rows(grid, rows, gr):
 
 
 def _tile_states(nplanes, quantizer, use_masking, ntiles,
-                 is_keyframe=True):
+                 is_keyframe=True, qm_flat=False):
     """One fresh AdaptState per tile — tiles never share adaptation, so
-    their symbol streams are fully independent."""
+    their symbol streams are fully independent.  qm_flat: flat band
+    weights (OD_SET_QM 0; FrameInfo.qm carries the select so the
+    derived inter-frame weights agree on both sides)."""
     states = []
     for _ in range(ntiles):
         st = AdaptState.reset(nplanes, is_keyframe)
         st.qm, st.qm_inv = init_qm(QM8_HVS)
         for pli in range(nplanes):
-            st.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli, use_masking)
+            st.pvq_qm_q4[pli] = interp_pvq_qm(quantizer, pli,
+                                              use_masking, flat=qm_flat)
         states.append(st)
     return states
 
@@ -559,7 +562,8 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
     quantizer = codedquantizer_to_quantizer(cq)
     nplanes = info.nplanes
     bounds = tile_rows(info.frame_height >> 5, tiles)
-    states = _tile_states(nplanes, quantizer, use_masking, len(bounds))
+    states = _tile_states(nplanes, quantizer, use_masking, len(bounds),
+                          qm_flat=getattr(info, "qm", 1) == 0)
     ecs = [make_encoder() for _ in bounds]
     # Frame header fields (tile 0 only).
     for pli in range(nplanes):

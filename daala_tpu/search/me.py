@@ -162,16 +162,41 @@ def motion_search_dense(cur: np.ndarray, ref: np.ndarray) -> np.ndarray:
     return g
 
 
+def _satd_subpel_stage(blocks, refp8, ys, xs, mv, steps=(1,)):
+    """Optional SATD-metric subpel polish (od_mv_subpel_refine's SATD
+    stage, mcenc.c:6325-6388 + gate :6527-6545): re-rank +-step
+    eighth-pel moves of every vertex MV by batched Hadamard SATD
+    (ops/satd.py) instead of SAD.  Encoder choice only — the stream
+    stays valid for any MV field."""
+    from ..ops.mc import subpel_predict_blocks
+    from ..ops.satd import satd
+
+    n = blocks.shape[-1]
+    for step in steps:
+        c8 = np.array([(0, 0), (-step, 0), (step, 0), (0, -step),
+                       (0, step)], dtype=np.int64)
+        scores = np.stack(
+            [satd(blocks, subpel_predict_blocks(refp8, 64, ys, xs,
+                                                mv + c, n))
+             for c in c8], axis=1)
+        mv = np.clip(mv + c8[np.argmin(scores, axis=1)], -60 * 8, 60 * 8)
+    return mv
+
+
 def motion_search_multi(cur: np.ndarray, refs, blk_log: int,
-                        ref_bias: int = None, dense: bool = False):
+                        ref_bias: int = None, dense: bool = False,
+                        use_satd: bool = False):
     """Per-vertex multi-reference search (the multiref capability of
     od_mv_est_init_mvs, mcenc.c:6480-6494, recast as independent
     batched searches + a per-vertex argmin).
 
     refs: list of (h, w) reference planes (e.g. [PREV, GOLD] for P,
-    [PREV, NEXT] for B).  Returns (grid (nvy+1, nvx+1, 2),
+    [PREV, NEXT] for B).  use_satd adds the Hadamard-SATD subpel
+    polish stage and scores the ref selection by SATD (complexity >= 8
+    / OD_SET_MC_SATD).  Returns (grid (nvy+1, nvx+1, 2),
     ref_ids (nvy+1, nvx+1))."""
     from ..ops.mc import pad_ref, subpel_predict_blocks
+    from ..ops.satd import satd
 
     n = 1 << blk_log
     if dense:
@@ -179,20 +204,33 @@ def motion_search_multi(cur: np.ndarray, refs, blk_log: int,
         grids = [motion_search_dense(cur, r) for r in refs]
     else:
         grids = [motion_search(cur, r, blk_log) for r in refs]
-    if len(refs) == 1:
-        return grids[0], np.zeros(grids[0].shape[:2], dtype=np.int32)
     h, w = cur.shape
     nvy = (h >> blk_log) + 1
     nvx = (w >> blk_log) + 1
-    vy, vx = np.meshgrid(np.arange(nvy) << blk_log,
-                         np.arange(nvx) << blk_log, indexing="ij")
-    blocks, ys, xs = _vertex_blocks(cur, vy.ravel(), vx.ravel(), n)
+    if use_satd:
+        vy, vx = np.meshgrid(np.arange(nvy) << blk_log,
+                             np.arange(nvx) << blk_log, indexing="ij")
+        blocks, ys, xs = _vertex_blocks(cur, vy.ravel(), vx.ravel(), n)
+        for ri, r in enumerate(refs):
+            mv = _satd_subpel_stage(blocks, pad_ref(r, 64), ys, xs,
+                                    grids[ri].reshape(-1, 2).copy())
+            grids[ri] = mv.reshape(nvy, nvx, 2)
+    if len(refs) == 1:
+        return grids[0], np.zeros(grids[0].shape[:2], dtype=np.int32)
+    if not use_satd:
+        vy, vx = np.meshgrid(np.arange(nvy) << blk_log,
+                             np.arange(nvx) << blk_log, indexing="ij")
+        blocks, ys, xs = _vertex_blocks(cur, vy.ravel(), vx.ravel(), n)
     if ref_bias is None:
         ref_bias = n * n // 16  # slight preference for reference 0
     sads = []
     for ri, (r, g) in enumerate(zip(refs, grids)):
-        s = subpel_sads(pad_ref(r, 64), 64, blocks, ys, xs,
-                        g.reshape(-1, 2), _ZERO2)[:, 0]
+        if use_satd:
+            s = satd(blocks, subpel_predict_blocks(
+                pad_ref(r, 64), 64, ys, xs, g.reshape(-1, 2), n))
+        else:
+            s = subpel_sads(pad_ref(r, 64), 64, blocks, ys, xs,
+                            g.reshape(-1, 2), _ZERO2)[:, 0]
         sads.append(s + (ref_bias if ri > 0 else 0))
     ref_ids = np.argmin(np.stack(sads), axis=0).astype(np.int32)
     flat = np.stack([g.reshape(-1, 2) for g in grids])

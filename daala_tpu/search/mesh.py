@@ -155,8 +155,20 @@ def level_counts(levels):
     return np.choose(np.asarray(levels), [4, 16, 64, 1])
 
 
+#: ctl mesh-level index (0 coarse .. 3 fine, OD_SET_MV_LEVEL_MIN/MAX
+#: daalaenc.h) -> internal level code (3 = 64 px coarse lattice,
+#: 0/1/2 = 32/16/8 px).
+CTL_LEVEL_TO_INTERNAL = (3, 0, 1, 2)
+
+
+def level_mask_from_ctl(mv_level_min: int, mv_level_max: int):
+    """Allowed internal levels for the user's MV-level bounds."""
+    allow = set(CTL_LEVEL_TO_INTERNAL[mv_level_min:mv_level_max + 1])
+    return tuple(lv in allow for lv in range(4))
+
+
 def choose_levels(cur, refs_padded, pad, dense_grid, dense_rids,
-                  quantizer, bounds):
+                  quantizer, bounds, level_mask=None):
     """Encoder-side per-SB subdivision level RDO.
 
     Builds the three uniform-level candidate meshes (coarse lattices
@@ -164,7 +176,9 @@ def choose_levels(cur, refs_padded, pad, dense_grid, dense_rids,
     OBMC predictor for each, and picks per SB
     argmin(SSE + lambda * bits) where bits is the nominal coded-vertex
     count at that level.  cur: (h, w) uint8 luma; refs_padded: list of
-    padded reference planes."""
+    padded reference planes.  level_mask: optional 4-bool tuple of
+    permitted internal levels (mv_level_min/max ctl,
+    level_mask_from_ctl)."""
     from ..ops.mc import obmc_predict
 
     h, w = cur.shape
@@ -202,6 +216,9 @@ def choose_levels(cur, refs_padded, pad, dense_grid, dense_rids,
     lam = min(lam, float(os.environ.get("DTPU_LEVEL_LAM_CAP", "15000")))
     bits = np.array([1, 4, 16, 0.3])[:, None, None] * 7.0 + 1.6
     cost = sse + lam * bits
+    if level_mask is not None and not all(level_mask):
+        dis = np.array([0 if m else np.inf for m in level_mask])
+        cost = cost + dis[:, None, None]
     return np.argmin(cost, axis=0).astype(np.int32)
 
 
