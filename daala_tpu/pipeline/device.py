@@ -34,6 +34,8 @@ __all__ = [
     "inverse_transform_frame",
     "encode_step",
     "sharded_encode_step",
+    "sharded_gop_stream_encode",
+    "pack_gop_sharded",
     "make_mesh",
 ]
 
@@ -303,3 +305,110 @@ def sharded_encode_step(mesh, frames, bs: int, quantizer: int, qm, qm_inv):
         )
     )
     return fn(frames)
+
+
+def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
+                              use_dering=True):
+    """Multi-chip STREAM-VALID encode: the full device P-frame body
+    (dense ME, mesh-level RDO, decoder-exact OBMC, integer-synthesis
+    PVQ symbols, dering flags — pipeline/device_encode._frame_body)
+    sharded one gray-start GOP chain per device across BOTH mesh axes.
+
+    Gray-reference GOPs are fully independent (no cross-GOP state —
+    the --gray-gop random-access points), so this is the data-parallel
+    production path of SURVEY.md section 2.11: every chip encodes its
+    GOPs' frames and returns the same symbol tensors the single-chip
+    pipeline emits; the host packs each GOP's packets independently and
+    byte-identically (tests/test_multichip_stream.py asserts equality
+    with the single-device DeviceEncoderSession).
+
+    ys/us/vs: (NG, T, h, w) / chroma halves, uint8; NG must be a
+    multiple of the mesh device count.  Must run under
+    jax.enable_x64(True) (integer synthesis).  Returns the per-frame
+    symbol pytree with leading dims (NG, T, ...)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..core.quant import QM8_HVS, init_qm
+    from ..core.state import interp_pvq_qm
+    from .device_encode import PAD, _frame_body
+    from .inter import _choose_mv_res
+
+    h, w = int(ys.shape[2]), int(ys.shape[3])
+    qm, qm_inv = init_qm(QM8_HVS)
+    qms = tuple(np.asarray(qm[b], dtype=np.int32) for b in range(4))
+    qmis = tuple(np.asarray(qm_inv[b], dtype=np.int32)
+                 for b in range(4))
+    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False)
+                    for pli in range(3))
+    body = partial(_frame_body, h=h, w=w, quantizer=int(quantizer),
+                   mv_res=_choose_mv_res(quantizer), qms=qms,
+                   qm_invs=qmis, pvq_qms=pvq_qms,
+                   use_dering=bool(use_dering), emit_recon=False)
+    axes = ("gop", "tile")
+
+    def member(y, u, v):
+        def one_gop(yy, uu, vv):
+            gray = jnp.full((h + 2 * PAD, w + 2 * PAD), 128, jnp.uint8)
+            grayc = jnp.full((h // 2 + 2 * PAD, w // 2 + 2 * PAD), 128,
+                             jnp.uint8)
+            # The gray seed is a replicated constant; the carried recon
+            # varies per device — mark the seed varying so scan's carry
+            # types match.
+            try:
+                gray, grayc = jax.lax.pcast((gray, grayc),
+                                            to="varying", axes=axes)
+            except (AttributeError, TypeError):
+                gray, grayc = jax.lax.pvary((gray, grayc), axes)
+            _, outs = jax.lax.scan(lambda c, x: body(c, x),
+                                   (gray, grayc, grayc), (yy, uu, vv))
+            return outs
+
+        return jax.vmap(one_gop)(y, u, v)
+
+    spec = P(axes)
+    fn = shard_map(
+        member, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=jax.tree.map(lambda _: spec, _gop_out_structure()))
+    return jax.jit(fn)(ys, us, vs)
+
+
+def _gop_out_structure():
+    """Pytree skeleton of _frame_body's outs dict (emit_recon=False)
+    for out_specs construction."""
+    return {"grid": 0, "levels": 0, "dflags": 0,
+            "dc": (0, 0, 0), "qg": (0, 0, 0), "y": (0, 0, 0),
+            "check": 0}
+
+
+def pack_gop_sharded(info, quality, outs, use_dering=True):
+    """Pack the symbol tensors of sharded_gop_stream_encode into
+    packet dict lists, one list per GOP — each GOP's first frame is a
+    signaled gray-reference random-access point (container gray_ref
+    flag), exactly the single-device gray-start layout."""
+    from .device_encode import pack_device_frame
+
+    host = jax.tree.map(np.asarray, outs)
+    ng, t = host["levels"].shape[:2]
+    gops = []
+    for g in range(ng):
+        pkts = []
+        for i in range(t):
+            syms = {"dc": [d[g][i] for d in host["dc"]],
+                    "qg": [q[g][i] for q in host["qg"]],
+                    "y": [yv[g][i] for yv in host["y"]]}
+            data = pack_device_frame(
+                info, int(quality), host["grid"][g][i],
+                host["levels"][g][i], syms, host["dflags"][g][i],
+                use_dering)
+            pkts.append({"data": data, "ftype": 3,
+                         "display_order": g * t + i,
+                         "use_haar": False, "dres": True,
+                         "gray_ref": i == 0})
+        gops.append(pkts)
+    return gops
