@@ -120,6 +120,7 @@ def main(argv=None):
                 frames.append(planes)
             sess = DeviceEncoderSession(
                 info, args.quality, chunk=args.chunk,
+                use_dering=not args.no_dering,
                 keyframe_rate=args.keyframe_rate,
                 gray_start=args.gray_gop)
             t0 = time.time()
