@@ -144,12 +144,23 @@ def main(argv=None):
                 if args.limit and i >= args.limit:
                     break
                 frames.append(planes)
+            from ..core.config import EncoderConfig
+
+            jcfg = EncoderConfig.from_env(
+                quality=args.quality, complexity=args.complexity,
+                mc_use_satd=args.satd, qm=args.qm,
+                use_dering=not args.no_dering,
+                mv_res_min=args.mv_res_min,
+                mv_level_min=args.mv_level_min,
+                mv_level_max=args.mv_level_max,
+                use_masking=args.masking, bs_luma=bs,
+                b_frames=args.b_frames, tiles=args.tiles)
+            info.qm = args.qm
             t0 = time.time()
             packets = encode_gops_parallel(
                 frames, info, args.quality,
                 gop_len=min(args.keyframe_rate, 16),
-                workers=args.jobs, use_masking=args.masking,
-                bs_luma=bs, b_frames=args.b_frames, tiles=args.tiles)
+                workers=args.jobs, config=jcfg)
             dt = time.time() - t0
             sys.stderr.write(
                 f"{len(packets)} frames in {dt:.2f}s "

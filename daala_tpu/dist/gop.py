@@ -73,10 +73,13 @@ def encode_gops_parallel(frames: List, info: FrameInfo, quality: int,
         nplanes=info.nplanes, xdec=info.xdec, ydec=info.ydec,
         bitdepth=info.bitdepth, keyframe_rate=info.keyframe_rate,
         timebase_num=info.timebase_num, timebase_den=info.timebase_den,
+        qm=getattr(info, "qm", 1),
     )
     from ..pipeline.inter import GOLDEN_INTERVAL
 
-    b = session_kwargs.get("b_frames", 0)
+    cfg = session_kwargs.get("config")
+    b = (cfg.b_frames if cfg is not None
+         else session_kwargs.get("b_frames", 0))
     jobs = []
     phase = 0
     for (s, e) in split_gops(len(frames), gop_len):
@@ -92,7 +95,8 @@ def encode_gops_parallel(frames: List, info: FrameInfo, quality: int,
         ctx = mp.get_context("fork")
         with ctx.Pool(workers) as pool:
             results = pool.map(_encode_gop, jobs)
-    bs_luma = session_kwargs.get("bs_luma", 1)
+    bs_luma = (cfg.bs_luma if cfg is not None
+               else session_kwargs.get("bs_luma", 1))
     packets = []
     for gop_pkts in results:
         for p in gop_pkts:
