@@ -67,6 +67,35 @@ def main():
             fn = jax.jit(lambda r, gg: obmc_predict_jax(
                 [r], PAD, h, w, gg, 3))
             fa = (ry, g)
+        elif args.stage == "frame":
+            # The FULL fused P-frame body (what bench.py scans over):
+            # op-level attribution of the 136 ms frame.
+            from functools import partial
+
+            from daala_tpu.core.quant import QM8_HVS, init_qm
+            from daala_tpu.core.state import interp_pvq_qm
+            from daala_tpu.pipeline.device_encode import _frame_body
+
+            quantizer = 90
+            qm, qm_inv = init_qm(QM8_HVS)
+            qms = tuple(np.asarray(qm[b], dtype=np.int32)
+                        for b in range(4))
+            qmis = tuple(np.asarray(qm_inv[b], dtype=np.int32)
+                         for b in range(4))
+            pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False)
+                            for pli in range(3))
+            body = partial(_frame_body, h=h, w=w, quantizer=quantizer,
+                           mv_res=1, qms=qms, qm_invs=qmis,
+                           pvq_qms=pvq_qms, use_dering=True,
+                           emit_recon=False)
+            cu = jnp.asarray(np.ascontiguousarray(
+                base[:h // 2, :w // 2] // 2 + 60))
+            cv = 220 - cu
+            ru = pad_edge(cu, PAD)
+            rv = pad_edge(cv, PAD)
+            fn = jax.jit(lambda a, b_, c, d, e, f:
+                         body((d, e, f), (a, b_, c))[1]["check"])
+            fa = (cy, cu, cv, ry, ru, rv)
         else:
             raise SystemExit(f"unknown stage {args.stage}")
 
