@@ -111,6 +111,7 @@ def main(argv=None):
 
         bs = -1 if args.bs == "auto" else int(args.bs)
         if args.device:
+            from ..core.config import EncoderConfig
             from ..pipeline.device_encode import DeviceEncoderSession
 
             frames = []
@@ -118,11 +119,12 @@ def main(argv=None):
                 if args.limit and i >= args.limit:
                     break
                 frames.append(planes)
-            sess = DeviceEncoderSession(
-                info, args.quality, chunk=args.chunk,
-                use_dering=not args.no_dering,
-                keyframe_rate=args.keyframe_rate,
-                gray_start=args.gray_gop)
+            dcfg = EncoderConfig.from_env(
+                quality=args.quality, complexity=args.complexity,
+                qm=args.qm, use_dering=not args.no_dering,
+                keyframe_rate=args.keyframe_rate, chunk=args.chunk,
+                gray_gop=args.gray_gop, device=True)
+            sess = DeviceEncoderSession(info, config=dcfg)
             t0 = time.time()
             outs = sess.encode_clip(frames)
             dt = time.time() - t0

@@ -47,8 +47,8 @@ class EncoderConfig:
     mc_use_satd: int = -1      # [ctl OD_SET_MC_SATD] -1 = by complexity
     mc_use_chroma: bool = True  # [ctl OD_SET_MC_USE_CHROMA]
     mv_res_min: int = 0        # [ctl OD_SET_MV_RES_MIN] 0=1/8 1=1/4 2=1/2
-    mv_level_min: int = 0      # [ctl OD_SET_MV_LEVEL_MIN] 0..3
-    mv_level_max: int = 3      # [ctl OD_SET_MV_LEVEL_MAX] 0..3
+    mv_level_min: int = 0      # [ctl OD_SET_MV_LEVEL_MIN] 0..4
+    mv_level_max: int = 3      # [ctl OD_SET_MV_LEVEL_MAX] 0..4
 
     # -- tools / perceptual ----------------------------------------------
     use_masking: bool = False  # [ctl OD_SET_ACTIVITY_MASKING]
@@ -78,9 +78,17 @@ class EncoderConfig:
             raise ValueError("qm must be 0 (flat) or 1 (HVS)")
         if not 0 <= self.mv_res_min <= 2:
             raise ValueError("mv_res_min must be 0..2")
-        if not (0 <= self.mv_level_min <= self.mv_level_max <= 3):
-            raise ValueError("need 0 <= mv_level_min <= mv_level_max "
-                             "<= 3")
+        # Reference contract (daalaenc.h:199-215): levels 0..4 are
+        # accepted and MV_LEVEL_MIN > MAX clamps to MAX instead of
+        # erroring.  The TPU mesh has 4 internal levels, so reference
+        # level 4 maps onto the finest internal level 3.
+        if not (0 <= self.mv_level_min <= 4
+                and 0 <= self.mv_level_max <= 4):
+            raise ValueError("mv_level_min/max must be 0..4")
+        self.mv_level_min = min(self.mv_level_min, 3)
+        self.mv_level_max = min(self.mv_level_max, 3)
+        if self.mv_level_min > self.mv_level_max:
+            self.mv_level_min = self.mv_level_max
         if not -1 <= self.bs_luma <= 3:
             raise ValueError("bs_luma must be -1 (auto) or 0..3")
         if self.mc_use_satd not in (-1, 0, 1):
@@ -139,7 +147,8 @@ CTL_NAMES = {
     "OD_SET_ACTIVITY_MASKING": "use_masking",
     "OD_SET_QM": "qm",
     "OD_SET_DERING": "use_dering",
-    "OD_SET_MC_USE_CHROMA": "mc_use_chroma",
+    "OD_SET_MC_CHROMA": "mc_use_chroma",       # daalaenc.h:192
+    "OD_SET_MC_USE_CHROMA": "mc_use_chroma",   # legacy alias
     "OD_SET_MV_RES_MIN": "mv_res_min",
     "OD_SET_MV_LEVEL_MIN": "mv_level_min",
     "OD_SET_MV_LEVEL_MAX": "mv_level_max",

@@ -116,13 +116,14 @@ def dering_padded_jax(P, nhsb: int, nvsb: int, q, xdec: int,
     # 2^8 — the decoder then reconstructs differently than the device
     # (caught by the on-chip encoder-check run, 2026-08).
     k = n + 2 * b
-    ys = (jnp.arange(nvsb, dtype=jnp.int32) * n)
-    xs = (jnp.arange(nhsb, dtype=jnp.int32) * n)
-    yy = jnp.repeat(ys, nhsb)
-    xx = jnp.tile(xs, nvsb)
-    padded = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(P, (y, x), (k, k)))(yy, xx)
-    padded = padded.astype(jnp.int32)
+    # STATIC SB lattice: separable static slicing (row bands + column
+    # slices) instead of a per-SB dynamic-slice loop (~10 ms/frame at
+    # 1080p on a real chip, measured tools/parse_xplane.py).
+    from .mc_jax import _static_windows
+
+    padded = _static_windows(P, [sb * n for sb in range(nvsb)],
+                             [sb * n for sb in range(nhsb)], k)
+    padded = padded.reshape(-1, k, k).astype(jnp.int32)
     N = nvsb * nhsb
     # q may be the PRE-COMPUTED integer threshold (exact host float64
     # q^0.84182, passed traced so the jit never specializes on the

@@ -117,6 +117,23 @@ def _banded_windows(p, row_base, iy, ix, K, Bh, G=8):
     return wins.reshape(Rp, C, K, K)[:R]
 
 
+def _static_windows(plane, row_ys, col_xs, k):
+    """(R, C, k, k) possibly-overlapping windows at STATIC positions
+    via separable static slicing: R row bands then C column slices —
+    R + C static slices total instead of R*C dynamic-slice loop
+    iterations (~1.8 us each on a real chip; the static form is ~free).
+    row_ys / col_xs are host ints (e.g. a clipped SB lattice)."""
+    import jax.numpy as _jnp
+
+    bands = _jnp.stack([
+        jax.lax.slice(plane, (int(y), 0), (int(y) + k, plane.shape[1]))
+        for y in row_ys])                      # (R, k, W)
+    return _jnp.stack([
+        jax.lax.slice(bands, (0, 0, int(x)), (bands.shape[0], k,
+                                              int(x) + k))
+        for x in col_xs], axis=1)              # (R, C, k, k)
+
+
 def _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth):
     """Interpolated (2n, 2n) patch around every mesh vertex at the
     vertex's MV — each patch serves the 4 adjacent blocks' corner
@@ -146,21 +163,15 @@ def _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth):
         p = jnp.pad(refs[r], ((E, E), (E, E)), mode="edge")
         iy = ys + (mvy >> 3) + pad + E - TOP_APRON
         ix = xs + (mvx >> 3) + pad + E - TOP_APRON
-        if n <= 16:
-            # Small blocks: thousands of small windows — the per-slice
-            # fetch overhead dominates, so fetch per-row bands and
-            # select with one-hot matmuls instead (~6x faster than
-            # vmapped dynamic_slice at n=16, tools/exp_kernels.py).
-            row_base = [int(rr * n - n - 62 + pad + E)
-                        for rr in range(nvy)]
-            win = _banded_windows(
-                p, row_base, iy.reshape(nvy, nvx),
-                ix.reshape(nvy, nvx), K, K + 121)
-            win = win.reshape(-1, K, K)
-        else:
-            win = jax.vmap(
-                lambda y, x: jax.lax.dynamic_slice(p, (y, x), (K, K))
-            )(iy, ix).astype(jnp.int32)
+        # Banded one-hot fetch at every size: the vmapped dynamic_slice
+        # loop costs ~1.8 us/window on a real chip (2135 windows of a
+        # 32 px lattice = ~3 ms/frame per pass), the banded form ~0.3.
+        row_base = [int(rr * n - n - 62 + pad + E)
+                    for rr in range(nvy)]
+        win = _banded_windows(
+            p, row_base, iy.reshape(nvy, nvx),
+            ix.reshape(nvy, nvx), K, K + 121)
+        win = win.reshape(-1, K, K)
         fh = filters[(mvx & 7).astype(jnp.int32)]
         hacc = jnp.zeros((win.shape[0], K, 2 * n), dtype=jnp.int32)
         for k in range(6):

@@ -359,11 +359,18 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
             # The gray seed is a replicated constant; the carried recon
             # varies per device — mark the seed varying so scan's carry
             # types match.
-            try:
-                gray, grayc = jax.lax.pcast((gray, grayc),
-                                            to="varying", axes=axes)
-            except (AttributeError, TypeError):
-                gray, grayc = jax.lax.pvary((gray, grayc), axes)
+            _pcast = getattr(jax.lax, "pcast", None)
+            _pvary = getattr(jax.lax, "pvary", None)
+            if _pcast is not None:
+                try:
+                    gray, grayc = _pcast((gray, grayc), to="varying",
+                                         axes=axes)
+                except TypeError:
+                    if _pvary is not None:
+                        gray, grayc = _pvary((gray, grayc), axes)
+            elif _pvary is not None:
+                gray, grayc = _pvary((gray, grayc), axes)
+            # else: this JAX generation has no varying types to satisfy.
             _, outs = jax.lax.scan(lambda c, x: body(c, x),
                                    (gray, grayc, grayc), (yy, uu, vv))
             return outs

@@ -153,11 +153,17 @@ def _sim_stride4(g_res, levels):
 
 
 def _select_by_sb(preds, levels, sb):
+    """Per-SB select between candidate planes.  Elementwise nested
+    where, NOT take_along_axis: the gather form costs ~25 ms/frame at
+    1080p on a v5e chip (measured, tools/parse_xplane.py) while the
+    select fuses into one vector pass."""
     import jax.numpy as jnp
 
     lv_px = jnp.repeat(jnp.repeat(levels, sb, 0), sb, 1)
-    stack = jnp.stack(preds)
-    return jnp.take_along_axis(stack, lv_px[None], axis=0)[0]
+    out = preds[-1]
+    for i in range(len(preds) - 2, -1, -1):
+        out = jnp.where(lv_px == i, preds[i], out)
+    return out
 
 
 def _choose_levels(cur, preds, quantizer):
@@ -317,7 +323,7 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
 
 
 def make_device_chunk_fn(h, w, quantizer, use_dering=True,
-                         emit_recon=False):
+                         emit_recon=False, qm_flat=False):
     """Jit the chunked device encode for one frame geometry.  Returns
     fn(ys (T,h,w) u8, us, vs, ref_y (h+160, w+160) u8, ref_u, ref_v)
     -> (carry, outs) with every out stacked over T.  Runs (and must be
@@ -325,15 +331,16 @@ def make_device_chunk_fn(h, w, quantizer, use_dering=True,
     in int64."""
     import jax
 
+    from ..core.quant import QM8_FLAT
     from .inter import _choose_mv_res
 
     if h % 64 or w % 64:
         raise ValueError("device encode needs 64-aligned frame dims")
-    qm, qm_inv = init_qm(QM8_HVS)
+    qm, qm_inv = init_qm(QM8_FLAT if qm_flat else QM8_HVS)
     qms = tuple(np.asarray(qm[bs], dtype=np.int32) for bs in range(4))
     qmis = tuple(np.asarray(qm_inv[bs], dtype=np.int32)
                  for bs in range(4))
-    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False)
+    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False, flat=qm_flat)
                     for pli in range(3))
     body = partial(_frame_body, h=h, w=w, quantizer=int(quantizer),
                    mv_res=_choose_mv_res(quantizer), qms=qms,
@@ -520,22 +527,22 @@ def _key_frame_planes(cy, cu, cv, quantizer, qms, qm_invs, pvq_qms,
     return r8, outs
 
 
-def make_device_key_fn(h, w, quality, use_dering=True):
+def make_device_key_fn(h, w, quality, use_dering=True, qm_flat=False):
     """Jit the device keyframe encode.  quality is the session coded
     quantizer; the keyframe boost (encode.c:3059) applies inside.
     Returns (fn, cq): fn(y, u, v) -> (recon planes, symbols)."""
     import jax
 
     from ..pvq.scan import qm_get_index
-    from ..core.quant import DC_QM
+    from ..core.quant import DC_QM, QM8_FLAT
 
     cq = max(1, int(quality) - 3)
     quantizer = codedquantizer_to_quantizer(cq)
-    qm, qm_inv = init_qm(QM8_HVS)
+    qm, qm_inv = init_qm(QM8_FLAT if qm_flat else QM8_HVS)
     qms = tuple(np.asarray(qm[b], dtype=np.int32) for b in range(4))
     qmis = tuple(np.asarray(qm_inv[b], dtype=np.int32)
                  for b in range(4))
-    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False)
+    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False, flat=qm_flat)
                     for pli in range(3))
     dc_quants = []
     ac_quants = []
@@ -664,7 +671,8 @@ def pack_device_keyframe(info, quality, syms, use_dering=True):
     nplanes = info.nplanes
     nvsb = info.frame_height >> 5
     nhsb = info.frame_width >> 5
-    state = _tile_states(nplanes, quantizer, False, 1)[0]
+    state = _tile_states(nplanes, quantizer, False, 1,
+                         qm_flat=getattr(info, "qm", 1) == 0)[0]
     ec = make_encoder()
     for pli in range(nplanes):
         for v in state.pvq_qm_q4[pli]:
@@ -839,7 +847,8 @@ def pack_device_frame(info, cq, grid, levels, syms, dflags,
                truth_rids=rids, levels=np.asarray(levels, np.int32),
                quantizer=quantizer)
     states = _tile_states(info.nplanes, quantizer, False, len(bounds),
-                          is_keyframe=False)
+                          is_keyframe=False,
+                          qm_flat=getattr(info, "qm", 1) == 0)
     pcs = _pack_planes(info, quantizer)
     pre = _device_pre(info, syms)
     dummy_dc = np.zeros(pre.nslots, dtype=np.int32)
@@ -890,10 +899,29 @@ class DeviceEncoderSession:
     Packets interoperate with pipeline.inter.DecoderSession: pass
     ftype and dres from the packet dicts."""
 
-    def __init__(self, info, quality, use_dering=True, chunk=8,
+    def __init__(self, info, quality=None, use_dering=True, chunk=8,
                  keyframe_rate=None, emit_recon=False,
                  gray_start=False, key=None, pack_tiles=None,
-                 pack_workers=None):
+                 pack_workers=None, config=None):
+        # config: a core.config.EncoderConfig — the same unified object
+        # EncoderSession consumes.  Device-relevant fields (quality,
+        # use_dering, qm, chunk, gray_gop, keyframe_rate) are honored;
+        # fields the device mode cannot express (b_frames, masking,
+        # adaptive bs, mv bounds) must be at their device values or the
+        # config is rejected, so nothing is silently ignored.
+        if config is not None:
+            if config.b_frames:
+                raise ValueError("device encode: b_frames=0 only")
+            if config.use_masking:
+                raise ValueError("device encode: masking unsupported")
+            quality = config.quality if quality is None else quality
+            use_dering = config.use_dering
+            chunk = config.chunk
+            gray_start = gray_start or config.gray_gop
+            keyframe_rate = keyframe_rate or config.keyframe_rate
+            info.qm = config.qm
+        if quality is None:
+            raise ValueError("quality or config required")
         if info.bitdepth != 8:
             raise ValueError("device encode: 8-bit only")
         if tuple(info.xdec) != (0, 1, 1):
@@ -927,9 +955,11 @@ class DeviceEncoderSession:
         self.key = key or ("gray" if gray_start else "device")
         self._key_fn = None
         self.quantizer = codedquantizer_to_quantizer(self.quality)
+        self._qm_flat = getattr(info, "qm", 1) == 0
         self._fn = make_device_chunk_fn(
             info.frame_height, info.frame_width, self.quantizer,
-            use_dering=self.use_dering, emit_recon=self.emit_recon)
+            use_dering=self.use_dering, emit_recon=self.emit_recon,
+            qm_flat=self._qm_flat)
 
     # -- internals -------------------------------------------------------
 
@@ -970,7 +1000,8 @@ class DeviceEncoderSession:
         if self._key_fn is None:
             self._key_fn = make_device_key_fn(
                 self.info.frame_height, self.info.frame_width,
-                self.quality, use_dering=self.use_dering)[0]
+                self.quality, use_dering=self.use_dering,
+                qm_flat=self._qm_flat)[0]
         padded = []
         for pli in range(3):
             w = self.info.frame_width >> self.info.xdec[pli]

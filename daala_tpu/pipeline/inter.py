@@ -598,7 +598,8 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
                  for r in refs]
         sp = search or {}
         sgrid, srids = motion_search_multi(
-            cur_y8, refs8, MV_FINE_LOG, dense=True,
+            cur_y8, refs8, MV_FINE_LOG,
+            dense=sp.get("dense_me", True),
             use_satd=sp.get("use_satd", False))
         from ..search.me import refine_mesh_lattice
 
@@ -618,7 +619,7 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         grid, rids, levels = _code_mesh(ecs, mvctxs, bounds, info, nrefs,
                                         True, truth=sgrid,
                                         truth_rids=srids, levels=levels,
-                                        quantizer=quantizer)
+                                        quantizer=quantizer, mv_res=res0)
     else:
         planes = None
         streams = unpack_tiles(planes_or_packet)
@@ -666,10 +667,22 @@ def _code_inter_packet(info, bs_luma, use_masking, use_dering, cq,
         cur_y = pad_plane(planes[0], info.frame_width,
                           info.frame_height)
         if bs_luma < 0:
-            bgrid = rdo_split_superblocks(
-                to_coeff(cur_y, False, info.bitdepth), quantizer,
-                state.qm, state.qm_inv,
-                pred=to_coeff(mcs[0], False, info.bitdepth))
+            sp = search or {}
+            if sp.get("rdo_bsize", True):
+                bgrid = rdo_split_superblocks(
+                    to_coeff(cur_y, False, info.bitdepth), quantizer,
+                    state.qm, state.qm_inv,
+                    pred=to_coeff(mcs[0], False, info.bitdepth))
+            else:
+                # Open-loop psycho-visual splitter on the prediction
+                # residual (block_size_enc.c complexity<2 gate).
+                from ..search.bsize import split_superblocks
+
+                ext = info.bitdepth - 8
+                res = (cur_y.astype(np.int32)
+                       - mcs[0].astype(np.int32)) >> ext
+                bgrid = split_superblocks(cur_y, quantizer,
+                                          residual=res)
         else:
             bgrid = uniform_grid(info.frame_height, info.frame_width,
                                  bs_luma)
@@ -957,7 +970,8 @@ class EncoderSession:
                 planes, self.info, self.quality,
                 use_masking=self.use_masking, bs_luma=self.bs_luma,
                 use_dering=self.use_dering, return_recon=True,
-                tiles=self.tiles, tile_workers=self.tile_workers)
+                tiles=self.tiles, tile_workers=self.tile_workers,
+                rdo_bsize=self.search.get("rdo_bsize", True))
             self._rotate_refs(rec, FT_INTRA)
             return {"data": pkt, "ftype": FT_INTRA, "display_order": idx,
                     "recon": rec, "use_haar": False}

@@ -543,7 +543,8 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
                     use_masking: bool = False, bs_luma: int = 1,
                     use_dering: bool = True,
                     return_recon: bool = False, tiles: int = 1,
-                    tile_workers: int = 1, dres: bool = False):
+                    tile_workers: int = 1, dres: bool = False,
+                    rdo_bsize: bool = True):
     """Encode one keyframe.  planes: list of uint8 arrays (pic size).
     quality: coded quantizer index (0 = lossless -> not supported in the
     PVQ path; use the wavelet coder).  Returns the frame packet, and the
@@ -578,7 +579,14 @@ def encode_keyframe(planes, info: FrameInfo, quality: int,
 
     bd = info.bitdepth
     pad_y = pad_plane(planes[0], info.frame_width, info.frame_height)
-    if bs_luma < 0:  # auto
+    if bs_luma < 0 and not rdo_bsize:
+        # Open-loop psycho-visual splitter (block_size_enc.c
+        # complexity<2 gate): input-variance statistics only.
+        from ..search.bsize import split_superblocks
+
+        grid = split_superblocks((pad_y >> (bd - 8)).astype(np.uint8)
+                                 if bd > 8 else pad_y, quantizer)
+    elif bs_luma < 0:  # auto (RDO trial encode)
         grid = rdo_split_superblocks(
             to_coeff(pad_y, False, bd), quantizer, states[0].qm,
             states[0].qm_inv)

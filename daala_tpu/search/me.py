@@ -264,7 +264,7 @@ def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
         lib.dtpu_obmc_refine.argtypes = [
             p, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
             p, ctypes.c_int, ctypes.c_int, p, p, p, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_double]
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int]
         lib._refine_ready = True
     h, w = cur.shape
     g4 = np.ascontiguousarray(grid[::4, ::4], dtype=np.int64)
@@ -276,22 +276,22 @@ def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
 
     steps = np.asarray([8, 4, 2], dtype=np.int64) << mv_res
     # Coarse quantizers: the residual is too expensive to fix what the
-    # prediction misses, so spend more search (3 Gauss-Seidel sweeps)
-    # and trust the blend objective over the rate anchor (+0.24 dB at
-    # the 5.5 KB warp point; neutral at mid rates, so gated).
-    lam_scale = 4.0
+    # prediction misses, so spend more search (3 Gauss-Seidel sweeps).
     if quantizer >= 900:
         iters = max(iters, 3)
-        lam_scale = 1.0
     iters = int(os.environ.get("DTPU_REFINE_ITERS", iters))
-    lam = (float(os.environ.get("DTPU_REFINE_LAM", lam_scale))
+    # The refine pass charges ACTUAL generic-model mesh bits
+    # (coding-order median deltas of the vertex and its dependent
+    # readers, native mv_bits_c) — lam converts bits to SAD at this
+    # quantizer (role of the reference's rate-aware DP, mcenc.c λ).
+    lam = (float(os.environ.get("DTPU_REFINE_LAM", 2.0))
            * max(1, quantizer) / 16.0)
     cur_c = np.ascontiguousarray(cur)
     vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     lib.dtpu_obmc_refine(
         arr, len(refs), 1, refs[0].shape[1], int(pad), vp(cur_c), h, w,
         vp(g4), vp(r4), vp(steps), len(steps), int(iters), 8,
-        float(lam))
+        float(lam), int(mv_res))
     grid[::4, ::4] = g4
     return grid
 

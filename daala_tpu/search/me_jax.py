@@ -96,16 +96,34 @@ def _dense_sads_cl(win, b32, n, rad):
     return acc.reshape(S * S, N).T.astype(jnp.int32)
 
 
-def _subpel_sad1_cl(refp8, pad, ys, xs, b32c, mv, n, bitdepth):
-    """SAD of one subpel MV per block, channels-last: one slice-fetch
-    plus an in-window interpolation (b32c: (n, n, N))."""
-    from ..ops.mc_jax import _window_slices
+def _subpel_sad1_cl(refp8, pad, ys, xs, b32c, mv, n, bitdepth,
+                    lattice=None):
+    """SAD of one subpel MV per block, channels-last: one window fetch
+    plus an in-window interpolation (b32c: (n, n, N)).
+
+    lattice: optional (row_ys, nvx) static lattice structure — when
+    given, the fetch rides the banded one-hot path (~6x faster than
+    the per-block dynamic-slice loop on chip)."""
+    from ..ops.mc_jax import _banded_windows, _window_slices
 
     base = mv >> 3
-    win = _window_slices(refp8,
-                         jnp.asarray(ys + pad - 2) + base[:, 0],
-                         jnp.asarray(xs + pad - 2) + base[:, 1],
-                         n + 5, n + 5).astype(jnp.int32)
+    K = n + 5
+    if lattice is not None:
+        row_ys, nvx = lattice
+        R = len(row_ys)
+        pe = jnp.pad(refp8, ((0, 8), (0, 8)), mode="edge")
+        row_base = [int(y) + pad - 62 for y in row_ys]
+        iy = (jnp.asarray(ys + pad - 2, dtype=jnp.int32)
+              + base[:, 0]).reshape(R, nvx)
+        ix = (jnp.asarray(xs + pad - 2, dtype=jnp.int32)
+              + base[:, 1]).reshape(R, nvx)
+        win = _banded_windows(pe, row_base, iy, ix, K, K + 121)
+        win = win.reshape(-1, K, K)
+    else:
+        win = _window_slices(refp8,
+                             jnp.asarray(ys + pad - 2) + base[:, 0],
+                             jnp.asarray(xs + pad - 2) + base[:, 1],
+                             K, K).astype(jnp.int32)
     p = _interp_rel(win.transpose(1, 2, 0), mv[:, 0] & 7, mv[:, 1] & 7,
                     n, bitdepth)
     return jnp.abs(b32c - p).sum((0, 1))
@@ -188,23 +206,29 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     ref4 = _down2(_down2(ref))
     cur8 = _down2(cur4)
     ref8 = _down2(ref4)
+    from ..ops.mc_jax import _static_windows
+
     rad8 = (coarse_range + 1) // 2
     pad8 = rad8 + 4
     ref8p = pad_edge(ref8, pad8)
     n8 = max(4, n >> 3)
     h8, w8 = h // 8, w // 8
-    vy8 = (np.repeat(np.arange(nvy) << blk_log, nvx) >> 3)
-    vx8 = (np.tile(np.arange(nvx) << blk_log, nvy) >> 3)
-    ys8 = np.clip(vy8 - n8 // 2, 0, h8 - n8)
-    xs8 = np.clip(vx8 - n8 // 2, 0, w8 - n8)
-    blocks8 = _gather_blocks(cur8, ys8, xs8, n8).astype(jnp.int32)
+    # The vertex lattice is STATIC and separable: fetch row bands +
+    # column slices instead of a 2135-iteration dynamic-slice loop.
+    ys8_r = np.clip((np.arange(nvy) << blk_log >> 3) - n8 // 2, 0,
+                    h8 - n8)
+    xs8_c = np.clip((np.arange(nvx) << blk_log >> 3) - n8 // 2, 0,
+                    w8 - n8)
+    blocks8 = _static_windows(cur8, ys8_r, xs8_c, n8) \
+        .reshape(-1, n8, n8).astype(jnp.int32)
     cands8 = np.array([(dy, dx)
                        for dy in range(-rad8, rad8 + 1)
                        for dx in range(-rad8, rad8 + 1)], dtype=np.int32)
     bias8 = (np.abs(cands8).sum(axis=1)
              * (n8 * n8 // 16)).astype(np.int32)
-    win8 = _gather_blocks(ref8p, ys8 + pad8 - rad8, xs8 + pad8 - rad8,
-                          n8 + 2 * rad8).astype(jnp.int32)
+    win8 = _static_windows(ref8p, ys8_r + pad8 - rad8,
+                           xs8_c + pad8 - rad8, n8 + 2 * rad8) \
+        .reshape(-1, n8 + 2 * rad8, n8 + 2 * rad8).astype(jnp.int32)
     sads8 = _dense_sads_cl(win8.transpose(1, 2, 0),
                            blocks8.transpose(1, 2, 0), n8, rad8) \
         + jnp.asarray(bias8)[None, :]
@@ -223,7 +247,12 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     vx4 = (np.tile(np.arange(nvx) << blk_log, nvy) >> 2)
     ys4 = np.clip(vy4 - n4 // 2, 0, h4 - n4)
     xs4 = np.clip(vx4 - n4 // 2, 0, w4 - n4)
-    blocks4 = _gather_blocks(cur4, ys4, xs4, n4).astype(jnp.int32)
+    ys4_c = np.clip((np.arange(nvy) << blk_log >> 2) - n4 // 2, 0,
+                    h4 - n4)
+    xs4_cc = np.clip((np.arange(nvx) << blk_log >> 2) - n4 // 2, 0,
+                     w4 - n4)
+    blocks4 = _static_windows(cur4, ys4_c, xs4_cc, n4) \
+        .reshape(-1, n4, n4).astype(jnp.int32)
     steps4 = np.array([(dy, dx) for dy in range(-2, 3)
                        for dx in range(-2, 3)], dtype=np.int32)
     base4 = (best8 * 2).astype(jnp.int32)
@@ -247,17 +276,24 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     best = (base4 + jnp.asarray(steps4)[jnp.argmin(sads4, axis=1)]) * 4
 
     # -- stage 2: +-2 full-pel refine at full resolution -----------------
-    b32 = _gather_blocks(cur, ys, xs, n).astype(jnp.int32)
+    from ..ops.mc_jax import _banded_windows
+
+    ys_r = np.clip((np.arange(nvy) << blk_log) - n // 2, 0, h - n)
+    xs_c = np.clip((np.arange(nvx) << blk_log) - n // 2, 0, w - n)
+    b32 = _static_windows(cur, ys_r, xs_c, n) \
+        .reshape(-1, n, n).astype(jnp.int32)
     b32c = b32.transpose(1, 2, 0)
     steps = np.array([(dy, dx) for dy in range(-2, 3)
                       for dx in range(-2, 3)], dtype=np.int32)
-    # Data-dependent window: one slice-fetch of (N, n+4, n+4) around
-    # each block's coarse MV, then 25 static slices.
-    from ..ops.mc_jax import _window_slices
-
-    win = _window_slices(refp8, jnp.asarray(ys + 62) + best[:, 0],
-                         jnp.asarray(xs + 62) + best[:, 1],
-                         n + 4, n + 4).astype(jnp.int32)
+    # Data-dependent windows around each block's coarse MV (banded
+    # one-hot fetch; |best| <= 56), then 25 static slices.
+    K2 = n + 4
+    iy2 = (jnp.asarray(ys + 62, dtype=jnp.int32)
+           + best[:, 0]).reshape(nvy, nvx)
+    ix2 = (jnp.asarray(xs + 62, dtype=jnp.int32)
+           + best[:, 1]).reshape(nvy, nvx)
+    win = _banded_windows(refp8, [int(y) + 6 for y in ys_r], iy2, ix2,
+                          K2, K2 + 113).reshape(-1, K2, K2)
     sads = _window_sads_cl(win.transpose(1, 2, 0), b32c, steps, n, 2)
     pick = jnp.asarray(steps)[jnp.argmin(sads, axis=1)]
     mv = jnp.clip(best + pick, -60, 60).astype(jnp.int32) * 8
@@ -265,13 +301,16 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     # -- stage 3: subpel refinement (+-4, +-2, +-1 eighth-pel) -----------
     # One window fetch (apron 2 int px) serves all 15 candidate
     # evaluations of the descent.
-    from ..ops.mc_jax import _window_slices
-
     base = mv >> 3
     anchor = base - 2
-    dwin = _window_slices(refp8, jnp.asarray(ys + 62) + anchor[:, 0],
-                          jnp.asarray(xs + 62) + anchor[:, 1],
-                          n + 9, n + 9).astype(jnp.int32)
+    K3 = n + 9
+    pe3 = jnp.pad(refp8, ((0, 8), (0, 8)), mode="edge")
+    iy3 = (jnp.asarray(ys + 62, dtype=jnp.int32)
+           + anchor[:, 0]).reshape(nvy, nvx)
+    ix3 = (jnp.asarray(xs + 62, dtype=jnp.int32)
+           + anchor[:, 1]).reshape(nvy, nvx)
+    dwin = _banded_windows(pe3, [int(y) for y in ys_r], iy3, ix3,
+                           K3, K3 + 121).reshape(-1, K3, K3)
     mv = _window_descent(dwin.transpose(1, 2, 0), b32c, mv,
                          anchor << 3, n, bitdepth)
 
@@ -283,9 +322,11 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
                        for dy in range(3) for dx in range(3)])
     med = jnp.median(stack, axis=0).astype(jnp.int32)
     s_cur = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
-                            grid.reshape(-1, 2), n, bitdepth)
+                            grid.reshape(-1, 2), n, bitdepth,
+                            lattice=(ys_r, nvx))
     s_med = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
-                            med.reshape(-1, 2), n, bitdepth)
+                            med.reshape(-1, 2), n, bitdepth,
+                            lattice=(ys_r, nvx))
     keep_med = (s_med <= s_cur + (s_cur >> 4)).reshape(nvy, nvx)
     grid = jnp.where(keep_med[..., None], med, grid)
 
@@ -297,7 +338,7 @@ def motion_search_jax(cur, ref, refp8, h, w, blk_log=5, coarse_range=12,
     s_cur2 = jnp.where(keep_med.reshape(-1), s_med, s_cur)
     s_glob = _subpel_sad1_cl(refp8, 64, ys, xs, b32c,
                              jnp.broadcast_to(gmv, (len(ys), 2)), n,
-                             bitdepth)
+                             bitdepth, lattice=(ys_r, nvx))
     keep_glob = (s_glob <= s_cur2 + (s_cur2 >> 3) + n).reshape(nvy, nvx)
     return jnp.where(keep_glob[..., None], gmv[None, None, :], grid)
 

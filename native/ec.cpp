@@ -1994,12 +1994,20 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
                     c->skip_inc);
     acskip = 1;
   } else {
-    // checkpoint (EC + scoped adaptation rows)
+    // Whole-block-skip RDO can never fire when skip_diff is rigged to
+    // +inf-like values (the device-symbol pack: skipping a nonzero
+    // residual is never cheaper) — skip the per-leaf checkpoint +
+    // scoped adaptation snapshot (~2 KB of memcpy per leaf, a
+    // measurable share of the 1080p pack) and code straight through.
+    int no_rdo = skip_diff >= 1e29;
     int64_t chk[7];
-    dtpu_enc_checkpoint(e, chk);
     ScopedSnap snap;
-    scoped_save(c, &snap, pli, bs, nb, noref_arr);
-    int tell0 = dtpu_enc_tell_frac(e);
+    int tell0 = 0;
+    if (!no_rdo) {
+      dtpu_enc_checkpoint(e, chk);
+      scoped_save(c, &snap, pli, bs, nb, noref_arr);
+      tell0 = dtpu_enc_tell_frac(e);
+    }
     enc_cdf_adapt32(e, out0 != 0 ? 1 : 0, skip_row, nsym, c->skip_inc);
     for (int i = 0; i < nbeff; i++) {
       if (i == 0 || (!skip_rest && !(skip_dir & (1 << ((i - 1) % 3))))) {
@@ -2030,22 +2038,24 @@ void enc_leaf_inter(Encoder* e, DtpuWalkCtx* c, int pli, int bs, int bsi,
                         7, c->sd_inc);
       }
     }
-    int tell = dtpu_enc_tell_frac(e) - tell0;
-    int sf = 2 + (out0 != 0 ? 1 : 0);
-    double skip_rate = -std::log2(
-        (double)(skip_row[sf] - skip_row[sf - 1]) / skip_row[nsym - 1]);
-    tell -= (int)std::floor(.5 + 8 * skip_rate);
-    if (skip_diff <= c->lambda / 8 * tell) {
-      if (!c->plain_dc) {
-        double dcr2 = -std::log2((double)(skip_row[3] - skip_row[2])
-                                 / (skip_row[2] - skip_row[1]));
-        out0 = rdo_quant_c(dc0, dc_quant, dcr2, c->lambda);
+    if (!no_rdo) {
+      int tell = dtpu_enc_tell_frac(e) - tell0;
+      int sf = 2 + (out0 != 0 ? 1 : 0);
+      double skip_rate = -std::log2(
+          (double)(skip_row[sf] - skip_row[sf - 1]) / skip_row[nsym - 1]);
+      tell -= (int)std::floor(.5 + 8 * skip_rate);
+      if (skip_diff <= c->lambda / 8 * tell) {
+        if (!c->plain_dc) {
+          double dcr2 = -std::log2((double)(skip_row[3] - skip_row[2])
+                                   / (skip_row[2] - skip_row[1]));
+          out0 = rdo_quant_c(dc0, dc_quant, dcr2, c->lambda);
+        }
+        dtpu_enc_rollback(e, chk);
+        scoped_restore(c, &snap);
+        enc_cdf_adapt32(e, 2 + (out0 != 0 ? 1 : 0), skip_row, nsym,
+                        c->skip_inc);
+        acskip = 1;
       }
-      dtpu_enc_rollback(e, chk);
-      scoped_restore(c, &snap);
-      enc_cdf_adapt32(e, 2 + (out0 != 0 ? 1 : 0), skip_row, nsym,
-                      c->skip_inc);
-      acskip = 1;
     }
   }
   if (out0) {
@@ -3524,12 +3534,75 @@ inline int64_t blend_sad32(const int32_t* p0, const int32_t* p1,
 
 }  // namespace
 
+namespace {
+
+// np.median semantics per component over up to 3 candidates
+// (pipeline/inter.py _mesh_pred): 2 candidates -> float mean truncated
+// toward zero, 3 -> middle.
+inline int64_t med_component(const int64_t* v, int nn) {
+  if (nn == 1) return v[0];
+  if (nn == 2) {
+    int64_t s = v[0] + v[1];
+    return s >= 0 ? s / 2 : -((-s) / 2);
+  }
+  int64_t a = v[0], b = v[1], c = v[2];
+  int64_t lo = a < b ? a : b, hi = a < b ? b : a;
+  return c < lo ? lo : (c > hi ? hi : c);
+}
+
+// Coding-order predictor of g4 vertex (vy, vx) on the stride-`st`
+// lattice (st = 2: the always-coded 64 px pass; st = 1: the 32 px
+// midpoint pass) — left / up / up-right median, exactly
+// _code_mesh_pass's _mesh_pred on a single tile, computed in the
+// MV-RESOLUTION domain (the mesh codes truth >> res, so the median is
+// taken over res-domain values).
+inline void mesh_pred_c(const int64_t* g4, int nvy, int nvx, int vy,
+                        int vx, int st, int res, int64_t* py,
+                        int64_t* px) {
+  int64_t cy[3], cx[3];
+  int nn = 0;
+  if (vx >= st) {
+    cy[nn] = g4[((int64_t)vy * nvx + vx - st) * 2] >> res;
+    cx[nn] = g4[((int64_t)vy * nvx + vx - st) * 2 + 1] >> res;
+    nn++;
+  }
+  if (vy >= st) {
+    cy[nn] = g4[((int64_t)(vy - st) * nvx + vx) * 2] >> res;
+    cx[nn] = g4[((int64_t)(vy - st) * nvx + vx) * 2 + 1] >> res;
+    nn++;
+    if (vx + st < nvx) {
+      cy[nn] = g4[((int64_t)(vy - st) * nvx + vx + st) * 2] >> res;
+      cx[nn] = g4[((int64_t)(vy - st) * nvx + vx + st) * 2 + 1] >> res;
+      nn++;
+    } else if (vx >= st) {
+      cy[nn] = g4[((int64_t)(vy - st) * nvx + vx - st) * 2] >> res;
+      cx[nn] = g4[((int64_t)(vy - st) * nvx + vx - st) * 2 + 1] >> res;
+      nn++;
+    }
+  }
+  if (!nn) { *py = 0; *px = 0; return; }
+  *py = med_component(cy, nn);
+  *px = med_component(cx, nn);
+}
+
+// Generic-model-shaped MV bits for one coded delta component in the
+// MV-resolution domain (the magnitude ~log-cost of generic_encode with
+// an adapted small expectation + the sign bit; measured-fit constants,
+// see _code_mesh_pass).
+inline double mv_bits_c(int64_t d) {
+  if (d == 0) return 0.8;
+  double a = (double)(d < 0 ? -d : d);
+  return 1.9 + 1.35 * std::log2(1.0 + a);
+}
+
+}  // namespace
+
 extern "C" void dtpu_obmc_refine(
     const void* const* refs, int nrefs, int elem, int64_t stride,
     int pad, const uint8_t* cur, int h, int w,
     int64_t* g4 /* (nvy, nvx, 2) */, const int32_t* rids,
     const int64_t* steps, int nsteps, int iters, int bitdepth,
-    double lam) {
+    double lam, int mv_res) {
   if (elem != 1) return;  // 8-bit path (high depth falls back)
   int nvy = (h >> 5) + 1, nvx = (w >> 5) + 1;
   int nby = h >> 5, nbx = w >> 5;
@@ -3597,30 +3670,67 @@ extern "C" void dtpu_obmc_refine(
           int64_t* mv = g4 + ((int64_t)vy * nvx + vx) * 2;
           int rid = rids[(int64_t)vy * nvx + vx];
           if (rid >= nrefs) rid = 0;
-          // neighbor median (rate anchor)
-          int64_t medy = 0, medx = 0;
-          {
-            int64_t ny[4], nx4[4];
-            int nn = 0;
-            if (vx > 0) { ny[nn] = mv[-2]; nx4[nn] = mv[-1]; nn++; }
-            if (vx + 1 < nvx) { ny[nn] = mv[2]; nx4[nn] = mv[3]; nn++; }
-            if (vy > 0) {
-              ny[nn] = g4[(((int64_t)vy - 1) * nvx + vx) * 2];
-              nx4[nn] = g4[(((int64_t)vy - 1) * nvx + vx) * 2 + 1];
-              nn++;
-            }
-            if (vy + 1 < nvy) {
-              ny[nn] = g4[(((int64_t)vy + 1) * nvx + vx) * 2];
-              nx4[nn] = g4[(((int64_t)vy + 1) * nvx + vx) * 2 + 1];
-              nn++;
-            }
-            if (nn) {
-              std::sort(ny, ny + nn);
-              std::sort(nx4, nx4 + nn);
-              medy = ny[nn / 2];
-              medx = nx4[nn / 2];
-            }
+          // This vertex's coding-order lattice: the 64 px (stride 2 in
+          // g4) pass for even-even vertices, else the 32 px midpoint
+          // pass.  Midpoint rate is half-weighted: whether a midpoint
+          // is actually coded depends on the level RDO that runs after
+          // the refinement.
+          int self_even = ((vy & 1) == 0) && ((vx & 1) == 0);
+          int self_st = self_even ? 2 : 1;
+          double self_w = self_even ? 1.0 : 0.5;
+          int64_t spy, spx;   // res-domain predictor of this vertex
+          mesh_pred_c(g4, nvy, nvx, vy, vx, self_st, mv_res, &spy,
+                      &spx);
+          // Dependent vertices whose coding-order predictor reads this
+          // vertex: as left (v, vx+st), up (vy+st, v), up-right
+          // (vy+st, vx-st) on the vertex's own-parity lattices.
+          struct Dep { int dy, dx, st; double w; };
+          Dep deps[6];
+          int ndeps = 0;
+          if (self_even) {
+            // 64 px-lattice readers of this vertex (left/up/up-right).
+            deps[ndeps++] = {0, 2, 2, 1.0};
+            deps[ndeps++] = {2, 0, 2, 1.0};
+            deps[ndeps++] = {2, -2, 2, 1.0};
           }
+          // Midpoint-pass readers (even-even targets are coded in the
+          // coarser pass, filtered below).
+          deps[ndeps++] = {0, 1, 1, 0.5};
+          deps[ndeps++] = {1, 0, 1, 0.5};
+          deps[ndeps++] = {1, -1, 1, 0.5};
+          int res_sh = mv_res;
+          // m is an eighth-pel multiple of 1 << res; pred is already
+          // in the res domain.
+          auto delta_bits = [&](int64_t m, int64_t pred) -> double {
+            return mv_bits_c((m >> res_sh) - pred);
+          };
+          auto rate_of = [&](int64_t my, int64_t mx) -> double {
+            // Trial write so dependent predictors see the candidate.
+            int64_t sv0 = mv[0], sv1 = mv[1];
+            mv[0] = my;
+            mv[1] = mx;
+            double r = self_w * (delta_bits(my, spy)
+                                 + delta_bits(mx, spx));
+            for (int di = 0; di < ndeps; di++) {
+              int uy = vy + deps[di].dy, ux = vx + deps[di].dx;
+              if (uy >= nvy || ux < 0 || ux >= nvx) continue;
+              int ue = ((uy & 1) == 0) && ((ux & 1) == 0);
+              // st=2 deps must land on the 64 px lattice; st=1 deps
+              // must land on true midpoints (even-even vertices are
+              // coded in the coarser pass, not the midpoint pass).
+              if (deps[di].st == 2 && !ue) continue;
+              if (deps[di].st == 1 && ue) continue;
+              int64_t py, px;
+              mesh_pred_c(g4, nvy, nvx, uy, ux, deps[di].st, res_sh,
+                          &py, &px);
+              const int64_t* u = g4 + ((int64_t)uy * nvx + ux) * 2;
+              r += deps[di].w * (delta_bits(u[0], py)
+                                 + delta_bits(u[1], px));
+            }
+            mv[0] = sv0;
+            mv[1] = sv1;
+            return r;
+          };
           // base cost from cached corner preds
           auto eval = [&](int64_t my, int64_t mx, int use_mov) -> int64_t {
             int64_t total = 0;
@@ -3643,23 +3753,33 @@ extern "C" void dtpu_obmc_refine(
                   cur + (int64_t)by * RB * w + (int64_t)bx * RB, w,
                   maxv);
             }
-            double dy = (double)(my - medy), dx2 = (double)(mx - medx);
-            double rate = std::log2(1 + std::fabs(dy) / 8)
-                + std::log2(1 + std::fabs(dx2) / 8);
-            return total + (int64_t)(lam * rate);
+            return total + (int64_t)(lam * rate_of(my, mx));
           };
           int64_t best = eval(mv[0], mv[1], 0);
-          int bi = -1;
-          for (int ci = 0; ci < 4; ci++) {
-            int64_t my = mv[0] + cand[ci][0];
-            int64_t mx = mv[1] + cand[ci][1];
+          int64_t bmy = mv[0], bmx = mv[1];
+          int moved = 0;
+          for (int ci = 0; ci < 5; ci++) {
+            int64_t my, mx;
+            if (ci < 4) {
+              my = mv[0] + cand[ci][0];
+              mx = mv[1] + cand[ci][1];
+            } else {
+              // The coding-order predictor itself: a zero-delta MV is
+              // nearly free — the joint MV/rate candidate that matters
+              // at coarse lambda (the role of the reference's
+              // rate-aware DP accepting predictor-aligned fields).
+              my = spy << res_sh;
+              mx = spx << res_sh;
+              if (my == mv[0] && mx == mv[1]) continue;
+            }
             if (my < -480 || my > 480 || mx < -480 || mx > 480) continue;
             int64_t cost = eval(my, mx, 1);
-            if (cost < best) { best = cost; bi = ci; }
+            if (cost < best) { best = cost; bmy = my; bmx = mx;
+                               moved = 1; }
           }
-          if (bi >= 0) {
-            mv[0] += cand[bi][0];
-            mv[1] += cand[bi][1];
+          if (moved) {
+            mv[0] = bmy;
+            mv[1] = bmx;
             for (int a = 0; a < 4; a++) {
               int by = vy + bdy[a], bx = vx + bdx[a];
               if (by < 0 || by >= nby || bx < 0 || bx >= nbx) continue;

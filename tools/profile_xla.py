@@ -116,32 +116,12 @@ def main():
     xp = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
     if not xp:
         raise SystemExit("no xplane captured")
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xp[0]], "framework_op_stats", {})
-    import csv
-    import io
-    rows = list(csv.DictReader(io.StringIO(
-        data.decode() if isinstance(data, bytes) else data)))
-    key_t = None
-    for cand in ("total_self_time_in_us", "self_time_us",
-                 "Total self-time (us)", "avg_self_time_us"):
-        if rows and cand in rows[0]:
-            key_t = cand
-            break
-    if key_t is None:
-        print("columns:", list(rows[0].keys()) if rows else "none")
-        raise SystemExit(1)
-    dev = [r for r in rows if r.get("host_or_device", "Device")
-           .lower().startswith("d")]
-    dev.sort(key=lambda r: -float(r[key_t]))
-    tot = sum(float(r[key_t]) for r in dev)
-    print(f"total device self-time: {tot / 1000:.2f} ms  "
-          f"({len(dev)} op types)")
-    for r in dev[:args.top]:
-        name = r.get("operation", r.get("op_name", "?"))[:72]
-        print(f"{float(r[key_t]) / 1000:9.3f} ms  "
-              f"{float(r.get('occurrences', 0)):6.0f}x  {name}")
+    # The tensorboard-plugin-profile converter is broken in this image
+    # (protobuf/pywrap drift); analysis lives in tools/parse_xplane.py
+    # which reads the XSpace proto directly.
+    print(f"trace captured: {xp[0]}")
+    print(f"analyze with: python tools/parse_xplane.py {tdir} "
+          f"--top {args.top} --group")
 
 
 if __name__ == "__main__":
