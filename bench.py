@@ -28,7 +28,10 @@ import time
 
 import numpy as np
 
-EXPECT_CK = 122468782
+# Round-3 value: the half-res level-RDO scoring changed the encoder's
+# per-SB level choices (encoder-side only; decoder exactness re-held
+# by tests/test_device_encode.py on the new choices).
+EXPECT_CK = 122467653
 
 
 def main():

@@ -390,20 +390,20 @@ def refine_midpoints_jit(ref_shape, nblocks, n):
     if fn is not None:
         return fn
 
-    cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
-                      for dx in (-16, -8, 0, 8, 16)], dtype=np.int64)
+    cands = np.array([(dy, dx) for dy in (-8, 0, 8)
+                      for dx in (-8, 0, 8)], dtype=np.int64)
     dev_bias = jnp.asarray(
         (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8))
 
     def f(refp8, blocks, ys, xs, mv):
         b32 = blocks.astype(jnp.int32)
         mv = jnp.clip(mv, -58 * 8, 58 * 8)
-        ext = subpel_predict_blocks_jax(refp8, 64, ys - 2, xs - 2, mv,
-                                        n + 4).astype(jnp.int32)
+        ext = subpel_predict_blocks_jax(refp8, 64, ys - 1, xs - 1, mv,
+                                        n + 2).astype(jnp.int32)
         sads = []
         for ci, (dy, dx) in enumerate(cands):
-            py = 2 + (int(dy) >> 3)
-            px = 2 + (int(dx) >> 3)
+            py = 1 + (int(dy) >> 3)
+            px = 1 + (int(dx) >> 3)
             sads.append(jnp.abs(
                 b32 - ext[:, py:py + n, px:px + n]
             ).sum(axis=(1, 2)).astype(jnp.int64) + dev_bias[ci])

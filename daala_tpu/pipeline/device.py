@@ -308,7 +308,8 @@ def sharded_encode_step(mesh, frames, bs: int, quantizer: int, qm, qm_inv):
 
 
 def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
-                              use_dering=True):
+                              use_dering=True, bs_luma=1,
+                              quality=None):
     """Multi-chip STREAM-VALID encode: the full device P-frame body
     (dense ME, mesh-level RDO, decoder-exact OBMC, integer-synthesis
     PVQ symbols, dering flags — pipeline/device_encode._frame_body)
@@ -325,7 +326,13 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
     ys/us/vs: (NG, T, h, w) / chroma halves, uint8; NG must be a
     multiple of the mesh device count.  Must run under
     jax.enable_x64(True) (integer synthesis).  Returns the per-frame
-    symbol pytree with leading dims (NG, T, ...)."""
+    symbol pytree with leading dims (NG, T, ...).
+
+    quality (coded quantizer index): when given, each GOP chain opens
+    with a DEVICE KEYFRAME instead of a gray reference — the sharded
+    path then emits a standard keyframe-led stream (returns
+    (key_syms, p_syms) with key leading dim (NG,) and P frames
+    (NG, T-1, ...)).  bs_luma: uniform device P block size (1/2/3)."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -335,7 +342,8 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
 
     from ..core.quant import QM8_HVS, init_qm
     from ..core.state import interp_pvq_qm
-    from .device_encode import PAD, _frame_body
+    from .device_encode import PAD, _frame_body, _key_frame_planes, \
+        _key_quants
     from .inter import _choose_mv_res
 
     h, w = int(ys.shape[2]), int(ys.shape[3])
@@ -348,29 +356,53 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
     body = partial(_frame_body, h=h, w=w, quantizer=int(quantizer),
                    mv_res=_choose_mv_res(quantizer), qms=qms,
                    qm_invs=qmis, pvq_qms=pvq_qms,
-                   use_dering=bool(use_dering), emit_recon=False)
+                   use_dering=bool(use_dering), emit_recon=False,
+                   bs_luma=int(bs_luma))
+    if quality is not None:
+        (_, kquant, kqms, kqmis, kpvq_qms, kdcq,
+         kacq) = _key_quants(quality)
     axes = ("gop", "tile")
+
+    def _mark_varying(t):
+        # Replicated constants entering the scan carry must be marked
+        # varying or carry types mismatch.
+        _pcast = getattr(jax.lax, "pcast", None)
+        _pvary = getattr(jax.lax, "pvary", None)
+        if _pcast is not None:
+            try:
+                return _pcast(t, to="varying", axes=axes)
+            except TypeError:
+                if _pvary is not None:
+                    return _pvary(t, axes)
+        elif _pvary is not None:
+            return _pvary(t, axes)
+        return t   # this JAX generation has no varying types to satisfy
 
     def member(y, u, v):
         def one_gop(yy, uu, vv):
+            if quality is not None:
+                # Standard stream: the chain opens with a DEVICE
+                # KEYFRAME (wavefront Haar-DC + noref isynth bands);
+                # its reconstruction seeds the P chain's reference.
+                r8, ksyms = _key_frame_planes(
+                    yy[0], uu[0], vv[0], kquant, kqms, kqmis,
+                    kpvq_qms, kdcq, kacq, bool(use_dering))
+                carry0 = tuple(jnp.pad(r, PAD, mode="edge")
+                               for r in r8)
+                _, outs = jax.lax.scan(lambda c, x: body(c, x),
+                                       carry0,
+                                       (yy[1:], uu[1:], vv[1:]))
+                ks = {"sbdc": tuple(ksyms["sbdc"]),
+                      "acA": tuple(ksyms["acA"]),
+                      "acB": tuple(ksyms["acB"]),
+                      "qg": tuple(ksyms["qg"]),
+                      "y": tuple(ksyms["y"]),
+                      "dflags": ksyms["dflags"]}
+                return (ks, outs)
             gray = jnp.full((h + 2 * PAD, w + 2 * PAD), 128, jnp.uint8)
             grayc = jnp.full((h // 2 + 2 * PAD, w // 2 + 2 * PAD), 128,
                              jnp.uint8)
-            # The gray seed is a replicated constant; the carried recon
-            # varies per device — mark the seed varying so scan's carry
-            # types match.
-            _pcast = getattr(jax.lax, "pcast", None)
-            _pvary = getattr(jax.lax, "pvary", None)
-            if _pcast is not None:
-                try:
-                    gray, grayc = _pcast((gray, grayc), to="varying",
-                                         axes=axes)
-                except TypeError:
-                    if _pvary is not None:
-                        gray, grayc = _pvary((gray, grayc), axes)
-            elif _pvary is not None:
-                gray, grayc = _pvary((gray, grayc), axes)
-            # else: this JAX generation has no varying types to satisfy.
+            gray, grayc = _mark_varying((gray, grayc))
             _, outs = jax.lax.scan(lambda c, x: body(c, x),
                                    (gray, grayc, grayc), (yy, uu, vv))
             return outs
@@ -378,10 +410,16 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
         return jax.vmap(one_gop)(y, u, v)
 
     spec = P(axes)
+    if quality is not None:
+        out_struct = ({"sbdc": (0,) * 3, "acA": (0,) * 3,
+                       "acB": (0,) * 3, "qg": (0,) * 3, "y": (0,) * 3,
+                       "dflags": 0}, _gop_out_structure())
+    else:
+        out_struct = _gop_out_structure()
     fn = shard_map(
         member, mesh=mesh,
         in_specs=(spec, spec, spec),
-        out_specs=jax.tree.map(lambda _: spec, _gop_out_structure()))
+        out_specs=jax.tree.map(lambda _: spec, out_struct))
     return jax.jit(fn)(ys, us, vs)
 
 
@@ -393,29 +431,51 @@ def _gop_out_structure():
             "check": 0}
 
 
-def pack_gop_sharded(info, quality, outs, use_dering=True):
+def pack_gop_sharded(info, quality, outs, use_dering=True, bs_luma=1):
     """Pack the symbol tensors of sharded_gop_stream_encode into
-    packet dict lists, one list per GOP — each GOP's first frame is a
-    signaled gray-reference random-access point (container gray_ref
-    flag), exactly the single-device gray-start layout."""
-    from .device_encode import pack_device_frame
+    packet dict lists, one list per GOP.
+
+    Gray-start mode (outs = P-frame pytree): each GOP's first frame is
+    a signaled gray-reference random-access point, exactly the
+    single-device gray-start layout.  Keyframe mode (outs =
+    (key_syms, p_syms), from quality=... encode): each GOP opens with
+    a standard device keyframe packet."""
+    from .device_encode import pack_device_frame, pack_device_keyframe
 
     host = jax.tree.map(np.asarray, outs)
-    ng, t = host["levels"].shape[:2]
+    keyed = isinstance(host, tuple)
+    khost, phost = host if keyed else (None, host)
+    ng, t = phost["levels"].shape[:2]
+    gop_len = t + (1 if keyed else 0)
     gops = []
     for g in range(ng):
         pkts = []
+        if keyed:
+            ksyms = {
+                "sbdc": [a[g] for a in khost["sbdc"]],
+                "acA": [a[g] for a in khost["acA"]],
+                "acB": [a[g] for a in khost["acB"]],
+                "qg": [a[g] for a in khost["qg"]],
+                "y": [a[g] for a in khost["y"]],
+                "dflags": khost["dflags"][g],
+            }
+            data = pack_device_keyframe(info, int(quality), ksyms,
+                                        use_dering)
+            pkts.append({"data": data, "ftype": 0,
+                         "display_order": g * gop_len,
+                         "use_haar": False, "dres": True})
         for i in range(t):
-            syms = {"dc": [d[g][i] for d in host["dc"]],
-                    "qg": [q[g][i] for q in host["qg"]],
-                    "y": [yv[g][i] for yv in host["y"]]}
+            syms = {"dc": [d[g][i] for d in phost["dc"]],
+                    "qg": [q[g][i] for q in phost["qg"]],
+                    "y": [yv[g][i] for yv in phost["y"]]}
             data = pack_device_frame(
-                info, int(quality), host["grid"][g][i],
-                host["levels"][g][i], syms, host["dflags"][g][i],
-                use_dering)
+                info, int(quality), phost["grid"][g][i],
+                phost["levels"][g][i], syms, phost["dflags"][g][i],
+                use_dering, bs_luma=bs_luma)
             pkts.append({"data": data, "ftype": 3,
-                         "display_order": g * t + i,
+                         "display_order": g * gop_len + i
+                         + (1 if keyed else 0),
                          "use_haar": False, "dres": True,
-                         "gray_ref": i == 0})
+                         "gray_ref": (not keyed) and i == 0})
         gops.append(pkts)
     return gops

@@ -166,19 +166,22 @@ def _select_by_sb(preds, levels, sb):
     return out
 
 
-def _choose_levels(cur, preds, quantizer):
-    """Per-SB subdivision RDO — twin of mesh.choose_levels costs."""
+def _choose_levels(cur, preds, quantizer, sb=32):
+    """Per-SB subdivision RDO — twin of mesh.choose_levels costs.
+    sb: superblock size in the scoring domain (16 when scoring on
+    2x-downsampled blends; lambda rescales with the pixel count)."""
     import jax.numpy as jnp
 
     h, w = cur.shape
-    nsby, nsbx = h >> 5, w >> 5
+    nsby, nsbx = h // sb, w // sb
     c32 = cur.astype(jnp.int32)
     sses = []
     for p in preds:
         e = c32 - p.astype(jnp.int32)
-        sses.append((e * e).reshape(nsby, 32, nsbx, 32).sum((1, 3)))
+        sses.append((e * e).reshape(nsby, sb, nsbx, sb).sum((1, 3)))
     sse = jnp.stack(sses).astype(jnp.float32)
     lam = min(40.0 * (max(1, quantizer) / 16.0) ** 2, 15000.0)
+    lam *= (sb * sb) / 1024.0
     bits = np.array([1, 4, 16, 0.3], dtype=np.float32) * 7.0 + 1.6
     cost = sse + (lam * bits)[:, None, None]
     return jnp.argmin(cost, axis=0).astype(jnp.int32)
@@ -246,7 +249,7 @@ def _dering_select(recs, orig_y, flags_thr, quantizer, xdecs):
 
 
 def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
-                pvq_qms, use_dering, emit_recon):
+                pvq_qms, use_dering, emit_recon, bs_luma=1):
     """One P frame of the device encode: search -> level RDO ->
     decoder-exact mixed OBMC -> residual symbols -> recon [-> dering].
     The reconstruction is carried as the next reference."""
@@ -258,19 +261,30 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     ry, ru, rv = carry
     cy, cu, cv = xs
     hc, wc = h // 2, w // 2
+    from ..search.me_jax import _down2
+
     grid = motion_search_dense_jax(cy, ry[16:16 + h + 128,
                                          16:16 + w + 128], h, w)
     g_res = (grid >> mv_res).astype(jnp.int32)
     g = (g_res << mv_res).astype(jnp.int32)
-    # Candidate predictions for the level decision (encoder choice).
-    p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
-    p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
-    p_lv0c = obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5)
     c64 = (_interp_stride4(g_res[::8, ::8] * 1)  # interp in res domain
            << mv_res).astype(jnp.int32)
-    p_c64c = obmc_predict_jax([ry], PAD, h, w, c64, 5)
-    levels = _choose_levels(cy, [p_lv0c, p_lv1, p_lv2, p_c64c],
-                            quantizer)
+    # Level decision (encoder choice) scored on 2x-DOWNSAMPLED blends:
+    # all four candidate geometries cost a quarter of a full-res OBMC
+    # pass each instead of two extra full 32 px passes (the full-res
+    # p_lv1/p_lv2 below are still exact — they feed the final
+    # prediction).
+    cy2 = _down2(cy)
+    ry2 = pad_edge(_down2(ry[PAD:PAD + h, PAD:PAD + w]), PAD)
+    half = []
+    for (gg, bl) in ((g[::4, ::4], 4), (g[::2, ::2], 3), (g, 2),
+                     (c64, 4)):
+        half.append(obmc_predict_jax([ry2], PAD, h // 2, w // 2,
+                                     gg >> 1, bl))
+    levels = _choose_levels(cy2, half, quantizer, sb=16)
+    # Candidate predictions for the final per-SB select.
+    p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
+    p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
     # Decoder-exact final prediction: level-0 geometry reads the
     # simulated decoded stride-4 lattice.
     g4s = (_sim_stride4(g_res, levels) << mv_res).astype(jnp.int32)
@@ -290,15 +304,20 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         [r], PAD, hc, wc, g >> 1, 2))(ruv)
     pred_u = _select_by_sb([uv0[0], uv1[0], uv2[0]], blend, 16)
     pred_v = _select_by_sb([uv0[1], uv1[1], uv2[1]], blend, 16)
-    ry_d, dc_y, qg_y, y_y = _plane_code(cy, pred_y, 1, 0, quantizer,
-                                        qms[1], qm_invs[1], pvq_qms[0])
-    ru_d, dc_u, qg_u, y_u = _plane_code(cu, pred_u, 0, 1, quantizer,
-                                        qms[0], qm_invs[0], pvq_qms[1])
-    rv_d, dc_v, qg_v, y_v = _plane_code(cv, pred_v, 0, 1, quantizer,
-                                        qms[0], qm_invs[0], pvq_qms[2])
-    rec_y = _inv(ry_d, 1)
-    rec_u = _inv(ru_d, 0)
-    rec_v = _inv(rv_d, 0)
+    bsy = bs_luma
+    bsc = max(bs_luma - 1, 0)
+    ry_d, dc_y, qg_y, y_y = _plane_code(cy, pred_y, bsy, 0, quantizer,
+                                        qms[bsy], qm_invs[bsy],
+                                        pvq_qms[0])
+    ru_d, dc_u, qg_u, y_u = _plane_code(cu, pred_u, bsc, 1, quantizer,
+                                        qms[bsc], qm_invs[bsc],
+                                        pvq_qms[1])
+    rv_d, dc_v, qg_v, y_v = _plane_code(cv, pred_v, bsc, 1, quantizer,
+                                        qms[bsc], qm_invs[bsc],
+                                        pvq_qms[2])
+    rec_y = _inv(ry_d, bsy)
+    rec_u = _inv(ru_d, bsc)
+    rec_v = _inv(rv_d, bsc)
     if use_dering:
         oy = (cy.astype(jnp.int32) - 128) << 4
         (rec_y, rec_u, rec_v), dflags = _dering_select(
@@ -323,7 +342,7 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
 
 
 def make_device_chunk_fn(h, w, quantizer, use_dering=True,
-                         emit_recon=False, qm_flat=False):
+                         emit_recon=False, qm_flat=False, bs_luma=1):
     """Jit the chunked device encode for one frame geometry.  Returns
     fn(ys (T,h,w) u8, us, vs, ref_y (h+160, w+160) u8, ref_u, ref_v)
     -> (carry, outs) with every out stacked over T.  Runs (and must be
@@ -342,11 +361,13 @@ def make_device_chunk_fn(h, w, quantizer, use_dering=True,
                  for bs in range(4))
     pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False, flat=qm_flat)
                     for pli in range(3))
+    if bs_luma not in (1, 2, 3):
+        raise ValueError("device encode: bs_luma must be 1, 2 or 3")
     body = partial(_frame_body, h=h, w=w, quantizer=int(quantizer),
                    mv_res=_choose_mv_res(quantizer), qms=qms,
                    qm_invs=qmis, pvq_qms=pvq_qms,
                    use_dering=bool(use_dering),
-                   emit_recon=bool(emit_recon))
+                   emit_recon=bool(emit_recon), bs_luma=int(bs_luma))
 
     def fn(ys, us, vs, ref_y, ref_u, ref_v):
         carry0 = (ref_y, ref_u, ref_v)
@@ -527,12 +548,12 @@ def _key_frame_planes(cy, cu, cv, quantizer, qms, qm_invs, pvq_qms,
     return r8, outs
 
 
-def make_device_key_fn(h, w, quality, use_dering=True, qm_flat=False):
-    """Jit the device keyframe encode.  quality is the session coded
-    quantizer; the keyframe boost (encode.c:3059) applies inside.
-    Returns (fn, cq): fn(y, u, v) -> (recon planes, symbols)."""
-    import jax
-
+def _key_quants(quality, qm_flat=False):
+    """Keyframe quantization setup shared by the single-chip and
+    sharded device keyframe paths.  quality is the session coded
+    quantizer; the keyframe boost (encode.c:3059) applies here.
+    Returns (cq, quantizer, qms, qmis, pvq_qms, dc_quants,
+    ac_quants)."""
     from ..pvq.scan import qm_get_index
     from ..core.quant import DC_QM, QM8_FLAT
 
@@ -556,11 +577,22 @@ def make_device_key_fn(h, w, quality, use_dering=True, qm_flat=False):
             (max(1, (dcq * int(DC_QM[lv - xdec][0]) + 8) >> 4),
              max(1, (dcq * int(DC_QM[lv - xdec][1]) + 8) >> 4))
             for lv in (2, 1)))
+    return (cq, quantizer, qms, qmis, pvq_qms, tuple(dc_quants),
+            tuple(ac_quants))
+
+
+def make_device_key_fn(h, w, quality, use_dering=True, qm_flat=False):
+    """Jit the device keyframe encode.
+    Returns (fn, cq): fn(y, u, v) -> (recon planes, symbols)."""
+    import jax
+
+    (cq, quantizer, qms, qmis, pvq_qms, dc_quants,
+     ac_quants) = _key_quants(quality, qm_flat)
 
     def fn(y, u, v):
         return _key_frame_planes(y, u, v, quantizer, qms, qmis,
-                                 pvq_qms, tuple(dc_quants),
-                                 tuple(ac_quants), bool(use_dering))
+                                 pvq_qms, dc_quants, ac_quants,
+                                 bool(use_dering))
 
     with jax.enable_x64(True):
         return jax.jit(fn), cq
@@ -817,7 +849,8 @@ def _device_pre(info, syms, bs_luma=1):
 
 
 def pack_device_frame(info, cq, grid, levels, syms, dflags,
-                      use_dering=True, tiles=1, tile_workers=None):
+                      use_dering=True, tiles=1, tile_workers=None,
+                      bs_luma=1):
     """Range-code one device-encoded P frame into a standard dres-mode
     packet (exact _code_inter_packet layout: per-plane quantizers in
     tile 0, MV mesh, coefficient walk, dering flags — each tile's rows
@@ -849,8 +882,8 @@ def pack_device_frame(info, cq, grid, levels, syms, dflags,
     states = _tile_states(info.nplanes, quantizer, False, len(bounds),
                           is_keyframe=False,
                           qm_flat=getattr(info, "qm", 1) == 0)
-    pcs = _pack_planes(info, quantizer)
-    pre = _device_pre(info, syms)
+    pcs = _pack_planes(info, quantizer, bs_luma)
+    pre = _device_pre(info, syms, bs_luma)
     dummy_dc = np.zeros(pre.nslots, dtype=np.int32)
     dummy_ac = np.zeros(pre.nslots, dtype=np.uint8)
     dummy_bk = np.zeros(pre.nslots, dtype=np.uint8)
@@ -902,13 +935,14 @@ class DeviceEncoderSession:
     def __init__(self, info, quality=None, use_dering=True, chunk=8,
                  keyframe_rate=None, emit_recon=False,
                  gray_start=False, key=None, pack_tiles=None,
-                 pack_workers=None, config=None):
+                 pack_workers=None, config=None, bs_luma=None):
         # config: a core.config.EncoderConfig — the same unified object
         # EncoderSession consumes.  Device-relevant fields (quality,
         # use_dering, qm, chunk, gray_gop, keyframe_rate) are honored;
         # fields the device mode cannot express (b_frames, masking,
         # adaptive bs, mv bounds) must be at their device values or the
         # config is rejected, so nothing is silently ignored.
+        bs_luma = -1 if bs_luma is None else bs_luma
         if config is not None:
             if config.b_frames:
                 raise ValueError("device encode: b_frames=0 only")
@@ -920,6 +954,8 @@ class DeviceEncoderSession:
             gray_start = gray_start or config.gray_gop
             keyframe_rate = keyframe_rate or config.keyframe_rate
             info.qm = config.qm
+            if bs_luma < 0:
+                bs_luma = config.bs_luma
         if quality is None:
             raise ValueError("quality or config required")
         if info.bitdepth != 8:
@@ -956,10 +992,18 @@ class DeviceEncoderSession:
         self._key_fn = None
         self.quantizer = codedquantizer_to_quantizer(self.quality)
         self._qm_flat = getattr(info, "qm", 1) == 0
+        # Device P-frame block size: uniform per frame.  Auto (-1)
+        # picks by rate point — measured on the warp ladder, 32x32
+        # blocks match the host RDO splitter above quantizer ~170 and
+        # 8x8 wins below ~120 (RDCOMP.md round-3 device-bs sweep).
+        if bs_luma < 0:
+            bs_luma = (1 if self.quantizer < 120
+                       else 2 if self.quantizer < 170 else 3)
+        self.bs_luma = int(bs_luma)
         self._fn = make_device_chunk_fn(
             info.frame_height, info.frame_width, self.quantizer,
             use_dering=self.use_dering, emit_recon=self.emit_recon,
-            qm_flat=self._qm_flat)
+            qm_flat=self._qm_flat, bs_luma=self.bs_luma)
 
     # -- internals -------------------------------------------------------
 
@@ -983,7 +1027,7 @@ class DeviceEncoderSession:
 
         pkt, rec = encode_keyframe(
             planes, self.info, self.quality, use_masking=False,
-            bs_luma=1, use_dering=self.use_dering, return_recon=True)
+            bs_luma=-1, use_dering=self.use_dering, return_recon=True)
         return {"data": pkt, "ftype": 0, "display_order": idx,
                 "recon": rec, "use_haar": False, "dres": False}, rec
 
@@ -1066,7 +1110,8 @@ class DeviceEncoderSession:
                                      levels[t], syms, dflags[t],
                                      self.use_dering,
                                      tiles=self.pack_tiles,
-                                     tile_workers=self.pack_workers)
+                                     tile_workers=self.pack_workers,
+                                     bs_luma=self.bs_luma)
             d = {"data": data, "ftype": 3, "display_order": idx0 + t,
                  "use_haar": False, "dres": True}
             if recs is not None:

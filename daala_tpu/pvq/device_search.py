@@ -193,7 +193,11 @@ def pvq_symbols_frame(d, bs: int, quantizer: int, qm_coding,
         out_vec = out_vec.at[:, lo:hi].set(deq)
         qgs.append(qg)
         ys.append(ysgn)
-    out = blocks.at[:, _FLAT[n]].set(out_vec)
+    # Start from ZERO, not the input block: at 32x32 the coding order
+    # covers only the first 512 coefficients (the reference's band
+    # cap) — the uncoded tail of the residual must reconstruct as 0
+    # exactly like the decoder, not leak the raw residual through.
+    out = jnp.zeros_like(blocks).at[:, _FLAT[n]].set(out_vec)
     out = (out.reshape(*d.shape[:-2], h // n, w // n, n, n)
            .swapaxes(-3, -2).reshape(d.shape))
     # Symbols travel the host link: int16 halves the transfer (gains
@@ -232,7 +236,8 @@ def pvq_quantize_frame(d, bs: int, quantizer: int, qm_coding,
         out_vec = out_vec.at[:, lo:hi].set(deq)
         ksum = ksum + k.sum()
         qgsum = qgsum + qg.sum()
-    out = blocks.at[:, _FLAT[n]].set(out_vec)
+    # Zero base: the 32x32 coding order covers only 512 coefficients.
+    out = jnp.zeros_like(blocks).at[:, _FLAT[n]].set(out_vec)
     out = (out.reshape(*d.shape[:-2], h // n, w // n, n, n)
            .swapaxes(-3, -2).reshape(d.shape))
     return out, ksum, qgsum

@@ -83,8 +83,12 @@ def _refine_midpoints(cur, refp8, g, vspacing_log):
         except Exception:
             pass
     mv = np.clip(g.reshape(-1, 2)[idx], -58 * 8, 58 * 8)
-    cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
-                      for dx in (-16, -8, 0, 8, 16)], dtype=np.int64)
+    # +-1 px integer window + subpel descent (was +-2 px / 25 cands):
+    # midpoints start at the dyadic interpolation of already-refined
+    # parents, so the wide reach almost never won and the window fetch
+    # dominated the on-chip ME cost (tools/parse_xplane.py).
+    cands = np.array([(dy, dx) for dy in (-8, 0, 8)
+                      for dx in (-8, 0, 8)], dtype=np.int64)
     dev_bias = (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8)
     sads = subpel_sads(refp8, 64, blocks, ys, xs, mv, cands) + dev_bias
     mv = np.clip(mv + cands[np.argmin(sads, axis=1)], -60 * 8, 60 * 8)

@@ -389,26 +389,26 @@ def _refine_group(cur, refp8, flat, vys, vxs, idx, n, h, w, bitdepth,
     b32 = _lattice_blocks(cur, ys_row, xs_col, n)
     mv = jnp.clip(flat[idx], -58 * 8, 58 * 8).astype(jnp.int32)
     base = mv >> 3
-    anchor = base - 4
+    anchor = base - 3
     anchor8 = anchor << 3
-    K = n + 13
+    K = n + 10
     pe = jnp.pad(refp8, ((0, 8), (0, 8)), mode="edge")
     iy = (jnp.asarray(np.repeat(ys_row, C) + 62, dtype=jnp.int32)
           + anchor[:, 0]).reshape(R, C)
     ix = (jnp.asarray(np.tile(xs_col, R) + 62, dtype=jnp.int32)
           + anchor[:, 1]).reshape(R, C)
-    win = _banded_windows(pe, [int(y) for y in ys_row], iy, ix, K,
-                          K + 117)
+    win = _banded_windows(pe, [int(y) + 1 for y in ys_row], iy, ix, K,
+                          K + 121)
     win = win.reshape(R * C, K, K).transpose(1, 2, 0)
     b32c = b32.transpose(1, 2, 0)
-    # Shared subpel phase: one in-window interpolation of the (n+4)
-    # extended block serves all 25 integer offsets as static slices.
-    rel = mv - anchor8 - 16
-    ext = _interp_rel(win, rel[:, 0], rel[:, 1], n + 4, bitdepth)
+    # Shared subpel phase: one in-window interpolation of the (n+2)
+    # extended block serves all 9 integer offsets as static slices.
+    rel = mv - anchor8 - 8
+    ext = _interp_rel(win, rel[:, 0], rel[:, 1], n + 2, bitdepth)
     sads = []
     for ci, (dy, dx) in enumerate(cands):
-        py = 2 + (int(dy) >> 3)
-        px = 2 + (int(dx) >> 3)
+        py = 1 + (int(dy) >> 3)
+        px = 1 + (int(dx) >> 3)
         sads.append(jnp.abs(b32c - ext[py:py + n, px:px + n]
                             ).sum((0, 1)) + dev_bias[ci])
     pick = jnp.argmin(jnp.stack(sads, axis=1), axis=1)
@@ -424,8 +424,8 @@ def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
     nvy = (h >> vlog) + 1
     nvx = (w >> vlog) + 1
     n = 1 << vlog
-    cands = np.array([(dy, dx) for dy in (-16, -8, 0, 8, 16)
-                      for dx in (-16, -8, 0, 8, 16)], dtype=np.int32)
+    cands = np.array([(dy, dx) for dy in (-8, 0, 8)
+                      for dx in (-8, 0, 8)], dtype=np.int32)
     dev_bias = jnp.asarray(
         (np.abs(cands).sum(axis=1) >> 3) * (n * n // 8), dtype=jnp.int32)
     flat = g.reshape(-1, 2)

@@ -42,8 +42,14 @@ def test_ctl_names_cover_reference_surface():
         cfg.ctl("OD_SET_NOPE", 1)
     with pytest.raises(ValueError):
         EncoderConfig(complexity=11)
+    # Reference ctl contract (daalaenc.h): min > max CLAMPS to max
+    # instead of erroring, and level 4 maps onto the finest internal.
+    cfg2 = EncoderConfig(mv_level_min=3, mv_level_max=1)
+    assert cfg2.mv_level_min == cfg2.mv_level_max == 1
+    cfg3 = EncoderConfig(mv_level_min=4, mv_level_max=4)
+    assert cfg3.mv_level_min == cfg3.mv_level_max == 3
     with pytest.raises(ValueError):
-        EncoderConfig(mv_level_min=3, mv_level_max=1)
+        EncoderConfig(mv_level_max=5)
 
 
 def test_complexity_ladder_monotone():

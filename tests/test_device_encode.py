@@ -61,6 +61,30 @@ def test_device_encode_decoder_exact():
                     (p["display_order"], pl)
 
 
+@pytest.mark.parametrize("bs", [1, 2, 3])
+def test_device_encode_block_sizes_exact(bs):
+    """Device P frames at every uniform block size (8/16/32 px luma)
+    hold the encoder-check invariant through the host pack."""
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+    from daala_tpu.pipeline.inter import DecoderSession
+
+    frames = _clip(3)
+    info = _info()
+    enc = DeviceEncoderSession(info, quality=30, chunk=3,
+                               emit_recon=True, bs_luma=bs)
+    pkts = enc.encode_clip(frames)
+    dec = DecoderSession(info)
+    for p in pkts:
+        rec = dec.decode_frame(p["data"], p["ftype"] == 0,
+                               ftype=p["ftype"], dres=p["dres"])
+        if "recon" in p:
+            for pl in range(3):
+                assert np.array_equal(np.asarray(rec[pl]),
+                                      np.asarray(p["recon"][pl])), \
+                    (bs, p["display_order"], pl)
+
+
 def test_device_encode_tiled_pack_exact():
     """Tiled + threaded host pack (per-tile entropy streams) decodes
     bit-identically to the device-carried recon."""
