@@ -28,10 +28,12 @@ import time
 
 import numpy as np
 
-# Round-3 value: the half-res level-RDO scoring changed the encoder's
-# per-SB level choices (encoder-side only; decoder exactness re-held
-# by tests/test_device_encode.py on the new choices).
-EXPECT_CK = 122467653
+# Round-3 value: the level-RDO scoring moved to half-res blends of the
+# UNREFINED fine lattices (so the fine midpoint refinement and the
+# level-1/2 OBMC passes can be lax.cond-gated on actual level use) —
+# encoder-choice changes only; decoder exactness re-held by
+# tests/test_device_encode.py on the new choices.
+EXPECT_CK = 122467628
 
 
 def main():

@@ -416,10 +416,17 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
                        "dflags": 0}, _gop_out_structure())
     else:
         out_struct = _gop_out_structure()
-    fn = shard_map(
-        member, mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=jax.tree.map(lambda _: spec, out_struct))
+    kw = dict(mesh=mesh, in_specs=(spec, spec, spec),
+              out_specs=jax.tree.map(lambda _: spec, out_struct))
+    try:
+        # check_vma=False: the lax.cond level gating mixes replicated
+        # iota/constants with varying operands inside the scan body,
+        # which the varying-type checker rejects (JAX's own error
+        # message prescribes this flag); the stream path has no
+        # collectives, so the check buys nothing here.
+        fn = shard_map(member, check_vma=False, **kw)
+    except TypeError:   # older jax: no check_vma (and no vma checks)
+        fn = shard_map(member, **kw)
     return jax.jit(fn)(ys, us, vs)
 
 

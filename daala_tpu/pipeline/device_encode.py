@@ -256,52 +256,93 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     import jax.numpy as jnp
 
     from ..ops.mc_jax import obmc_predict_jax
-    from ..search.me_jax import motion_search_dense_jax, pad_edge
+    from ..search.me_jax import pad_edge
 
     ry, ru, rv = carry
     cy, cu, cv = xs
     hc, wc = h // 2, w // 2
-    from ..search.me_jax import _down2
+    from ..search.me_jax import (_down2, _refine_midpoints_jax,
+                                 _upsample_grid, motion_search_jax)
 
-    grid = motion_search_dense_jax(cy, ry[16:16 + h + 128,
-                                         16:16 + w + 128], h, w)
-    g_res = (grid >> mv_res).astype(jnp.int32)
-    g = (g_res << mv_res).astype(jnp.int32)
-    c64 = (_interp_stride4(g_res[::8, ::8] * 1)  # interp in res domain
+    refp8 = ry[16:16 + h + 128, 16:16 + w + 128]
+    g32 = motion_search_jax(cy, refp8[64:64 + h, 64:64 + w], refp8,
+                            h, w, 5)
+    g_unref = _upsample_grid(_upsample_grid(g32))
+    gu_res = (g_unref >> mv_res).astype(jnp.int32)
+    gu = (gu_res << mv_res).astype(jnp.int32)
+    c64 = (_interp_stride4(gu_res[::8, ::8] * 1)  # interp in res domain
            << mv_res).astype(jnp.int32)
-    # Level decision (encoder choice) scored on 2x-DOWNSAMPLED blends:
-    # all four candidate geometries cost a quarter of a full-res OBMC
-    # pass each instead of two extra full 32 px passes (the full-res
-    # p_lv1/p_lv2 below are still exact — they feed the final
-    # prediction).
+    # Level decision (encoder choice) scored on 2x-DOWNSAMPLED blends
+    # of the UNREFINED (dyadic-interpolated) fine lattices: the
+    # midpoint refinement below then runs only when a fine level is
+    # actually selected (~10 ms/frame at 1080p otherwise).
     cy2 = _down2(cy)
     ry2 = pad_edge(_down2(ry[PAD:PAD + h, PAD:PAD + w]), PAD)
     half = []
-    for (gg, bl) in ((g[::4, ::4], 4), (g[::2, ::2], 3), (g, 2),
+    for (gg, bl) in ((gu[::4, ::4], 4), (gu[::2, ::2], 3), (gu, 2),
                      (c64, 4)):
         half.append(obmc_predict_jax([ry2], PAD, h // 2, w // 2,
                                      gg >> 1, bl))
     levels = _choose_levels(cy2, half, quantizer, sb=16)
-    # Candidate predictions for the final per-SB select.
-    p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
-    p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
+    blend = jnp.where(levels == 3, 0, levels)
+    import jax as _jax
+
+    lv_used = blend.max()      # finest blend level any SB needs
+                               # (coarse64 blends with level-0 geometry)
+    # Midpoint refinement of the 16 px lattice (level >= 1 SBs code
+    # these vertices) and the 8 px lattice (level 2), gated on use.
+    g16 = _jax.lax.cond(
+        lv_used >= 1,
+        lambda: _refine_midpoints_jax(cy, refp8, _upsample_grid(g32),
+                                      4, h, w),
+        lambda: _upsample_grid(g32))
+    grid = _jax.lax.cond(
+        lv_used >= 2,
+        lambda: _refine_midpoints_jax(cy, refp8, _upsample_grid(g16),
+                                      3, h, w),
+        lambda: _upsample_grid(g16))
+    g_res = (grid >> mv_res).astype(jnp.int32)
+    g = (g_res << mv_res).astype(jnp.int32)
     # Decoder-exact final prediction: level-0 geometry reads the
     # simulated decoded stride-4 lattice.
     g4s = (_sim_stride4(g_res, levels) << mv_res).astype(jnp.int32)
     p0 = obmc_predict_jax([ry], PAD, h, w, g4s, 5)
-    blend = jnp.where(levels == 3, 0, levels)
+    # The level-1/2 full-res passes run ONLY when some SB actually
+    # selected that level (lax.cond: the fine-grid vertex-patch OBMC
+    # is ~9 ms/frame at 1080p and levels stay coarse at normal rates;
+    # the select below never reads an unselected level's pixels, so
+    # the zero fallback is bit-neutral).
+    import jax as _jax
+
+    need1 = jnp.any(blend == 1)
+    need2 = jnp.any(blend == 2)
+    # Fallback zeros are DERIVED from the (varying) reference so both
+    # cond branches carry the same varying type under shard_map.
+    zy = (ry[0, 0] * 0).astype(jnp.uint8)
+    p_lv1 = _jax.lax.cond(
+        need1,
+        lambda: obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4),
+        lambda: jnp.broadcast_to(zy, (h, w)))
+    p_lv2 = _jax.lax.cond(
+        need2,
+        lambda: obmc_predict_jax([ry], PAD, h, w, g, 3),
+        lambda: jnp.broadcast_to(zy, (h, w)))
     pred_y = _select_by_sb([p0, p_lv1, p_lv2], blend, 32)
     # U and V ride one vmapped pass per level (same grid, same
     # geometry: better lane utilization than two separate passes).
-    import jax as _jax
-
     ruv = jnp.stack([ru, rv])
     uv0 = _jax.vmap(lambda r: obmc_predict_jax(
         [r], PAD, hc, wc, g4s >> 1, 4))(ruv)
-    uv1 = _jax.vmap(lambda r: obmc_predict_jax(
-        [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv)
-    uv2 = _jax.vmap(lambda r: obmc_predict_jax(
-        [r], PAD, hc, wc, g >> 1, 2))(ruv)
+    uv1 = _jax.lax.cond(
+        need1,
+        lambda: _jax.vmap(lambda r: obmc_predict_jax(
+            [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv),
+        lambda: jnp.broadcast_to(zy, (2, hc, wc)))
+    uv2 = _jax.lax.cond(
+        need2,
+        lambda: _jax.vmap(lambda r: obmc_predict_jax(
+            [r], PAD, hc, wc, g >> 1, 2))(ruv),
+        lambda: jnp.broadcast_to(zy, (2, hc, wc)))
     pred_u = _select_by_sb([uv0[0], uv1[0], uv2[0]], blend, 16)
     pred_v = _select_by_sb([uv0[1], uv1[1], uv2[1]], blend, 16)
     bsy = bs_luma
