@@ -1025,11 +1025,13 @@ class DeviceEncoderSession:
         # gray-reference P frame (container gray_ref flag), so the
         # ENTIRE encode runs on the device.
         self.gray_start = bool(gray_start)
-        # Device keyframes (dres keyframe mode: wavefront Haar-DC +
-        # noref integer-synthesis bands) — the default when not
-        # gray_start; set key="host" to use the full host intra
-        # encoder (H/V prediction + CfL, better RD, host compute).
-        self.key = key or ("gray" if gray_start else "device")
+        # Keyframe source.  Default "host": the full host intra
+        # encoder (H/V prediction + CfL + RDO split — measurably
+        # better RD; 1/keyframe_rate frames of host compute that
+        # overlaps the device pipeline).  key="device" runs the
+        # device keyframe (wavefront Haar-DC + noref isynth bands,
+        # whole encode on the accelerator); gray_start implies "gray".
+        self.key = key or ("gray" if gray_start else "host")
         self._key_fn = None
         self.quantizer = codedquantizer_to_quantizer(self.quality)
         self._qm_flat = getattr(info, "qm", 1) == 0
