@@ -179,8 +179,11 @@ def _choose_levels(cur, preds, quantizer, sb=32):
     for p in preds:
         e = c32 - p.astype(jnp.int32)
         sses.append((e * e).reshape(nsby, sb, nsbx, sb).sum((1, 3)))
+    import os as _os
+
     sse = jnp.stack(sses).astype(jnp.float32)
-    lam = min(40.0 * (max(1, quantizer) / 16.0) ** 2, 15000.0)
+    lam = min(float(_os.environ.get("DTPU_LEVEL_LAM", "40.0"))
+              * (max(1, quantizer) / 16.0) ** 2, 15000.0)
     lam *= (sb * sb) / 1024.0
     bits = np.array([1, 4, 16, 0.3], dtype=np.float32) * 7.0 + 1.6
     cost = sse + (lam * bits)[:, None, None]
