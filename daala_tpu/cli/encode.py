@@ -123,7 +123,7 @@ def main(argv=None):
                 quality=args.quality, complexity=args.complexity,
                 qm=args.qm, use_dering=not args.no_dering,
                 keyframe_rate=args.keyframe_rate, chunk=args.chunk,
-                gray_gop=args.gray_gop, device=True)
+                gray_gop=args.gray_gop, device=True, bs_luma=bs)
             sess = DeviceEncoderSession(info, config=dcfg)
             t0 = time.time()
             outs = sess.encode_clip(frames)
