@@ -79,16 +79,15 @@ class EncoderConfig:
         if not 0 <= self.mv_res_min <= 2:
             raise ValueError("mv_res_min must be 0..2")
         # Reference contract (daalaenc.h:199-215): levels 0..4 are
-        # accepted and MV_LEVEL_MIN > MAX clamps to MAX instead of
-        # erroring.  The TPU mesh has 4 internal levels, so reference
-        # level 4 maps onto the finest internal level 3.
+        # accepted and MV_LEVEL_MIN > MAX resolves to MAX at use time
+        # (encode.c:560-583) — the STORED ctl values stay as requested
+        # so a read-back returns what was set and later raising MAX
+        # restores a higher MIN.  effective_mv_levels() applies the
+        # internal mapping (the TPU mesh has 4 internal levels, so
+        # reference level 4 maps onto the finest internal level 3).
         if not (0 <= self.mv_level_min <= 4
                 and 0 <= self.mv_level_max <= 4):
             raise ValueError("mv_level_min/max must be 0..4")
-        self.mv_level_min = min(self.mv_level_min, 3)
-        self.mv_level_max = min(self.mv_level_max, 3)
-        if self.mv_level_min > self.mv_level_max:
-            self.mv_level_min = self.mv_level_max
         if not -1 <= self.bs_luma <= 3:
             raise ValueError("bs_luma must be -1 (auto) or 0..3")
         if self.mc_use_satd not in (-1, 0, 1):
@@ -126,6 +125,15 @@ class EncoderConfig:
             else:
                 setattr(cfg, f.name, int(v))
         return cfg.validate()
+
+    def effective_mv_levels(self):
+        """Resolved (min, max) internal-ladder mesh levels: ctl level 4
+        clamps to the finest internal level 3, and min > max resolves
+        to max — the use-time semantics of encode.c:560-583, applied
+        without rewriting the stored ctl values."""
+        mx = min(self.mv_level_max, 3)
+        mn = min(self.mv_level_min, 3, mx)
+        return mn, mx
 
     # -- derived ---------------------------------------------------------
 

@@ -309,7 +309,7 @@ def sharded_encode_step(mesh, frames, bs: int, quantizer: int, qm, qm_inv):
 
 def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
                               use_dering=True, bs_luma=1,
-                              quality=None):
+                              quality=None, qm_flat=False):
     """Multi-chip STREAM-VALID encode: the full device P-frame body
     (dense ME, mesh-level RDO, decoder-exact OBMC, integer-synthesis
     PVQ symbols, dering flags — pipeline/device_encode._frame_body)
@@ -332,7 +332,12 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
     with a DEVICE KEYFRAME instead of a gray reference — the sharded
     path then emits a standard keyframe-led stream (returns
     (key_syms, p_syms) with key leading dim (NG,) and P frames
-    (NG, T-1, ...)).  bs_luma: uniform device P block size (1/2/3)."""
+    (NG, T-1, ...)).  bs_luma: uniform device P block size (1/2/3).
+
+    qm_flat selects the flat (info.qm == 0) vs HVS PVQ weights for BOTH
+    the keyframe and P-frame tables; the returned wrapper carries it
+    (with bs_luma and quality) so pack_gop_sharded packs with exactly
+    the geometry/tables the symbols were generated under."""
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -340,18 +345,18 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    from ..core.quant import QM8_HVS, init_qm
+    from ..core.quant import QM8_FLAT, QM8_HVS, init_qm
     from ..core.state import interp_pvq_qm
     from .device_encode import PAD, _frame_body, _key_frame_planes, \
         _key_quants
     from .inter import _choose_mv_res
 
     h, w = int(ys.shape[2]), int(ys.shape[3])
-    qm, qm_inv = init_qm(QM8_HVS)
+    qm, qm_inv = init_qm(QM8_FLAT if qm_flat else QM8_HVS)
     qms = tuple(np.asarray(qm[b], dtype=np.int32) for b in range(4))
     qmis = tuple(np.asarray(qm_inv[b], dtype=np.int32)
                  for b in range(4))
-    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False)
+    pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False, flat=qm_flat)
                     for pli in range(3))
     body = partial(_frame_body, h=h, w=w, quantizer=int(quantizer),
                    mv_res=_choose_mv_res(quantizer), qms=qms,
@@ -360,7 +365,7 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
                    bs_luma=int(bs_luma))
     if quality is not None:
         (_, kquant, kqms, kqmis, kpvq_qms, kdcq,
-         kacq) = _key_quants(quality)
+         kacq) = _key_quants(quality, qm_flat=qm_flat)
     axes = ("gop", "tile")
 
     def _mark_varying(t):
@@ -427,7 +432,13 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
         fn = shard_map(member, check_vma=False, **kw)
     except TypeError:   # older jax: no check_vma (and no vma checks)
         fn = shard_map(member, **kw)
-    return jax.jit(fn)(ys, us, vs)
+    syms = jax.jit(fn)(ys, us, vs)
+    return {"syms": syms,
+            "meta": {"bs_luma": int(bs_luma),
+                     "qm_flat": bool(qm_flat),
+                     "quantizer": int(quantizer),
+                     "quality": None if quality is None
+                     else int(quality)}}
 
 
 def _gop_out_structure():
@@ -438,18 +449,33 @@ def _gop_out_structure():
             "check": 0}
 
 
-def pack_gop_sharded(info, quality, outs, use_dering=True, bs_luma=1):
+def pack_gop_sharded(info, quality, outs, use_dering=True):
     """Pack the symbol tensors of sharded_gop_stream_encode into
     packet dict lists, one list per GOP.
 
-    Gray-start mode (outs = P-frame pytree): each GOP's first frame is
+    outs is the wrapper dict sharded_gop_stream_encode returns; the
+    block-size and QM geometry come from its meta (never a second
+    manual argument — the symbol tensors' geometry and tables must
+    match the packed grid exactly, so the encode is the single source
+    of truth).  info.qm must agree with the encode's qm_flat or the
+    stream would signal weights the symbols were not generated under.
+
+    Gray-start mode (syms = P-frame pytree): each GOP's first frame is
     a signaled gray-reference random-access point, exactly the
-    single-device gray-start layout.  Keyframe mode (outs =
+    single-device gray-start layout.  Keyframe mode (syms =
     (key_syms, p_syms), from quality=... encode): each GOP opens with
     a standard device keyframe packet."""
     from .device_encode import pack_device_frame, pack_device_keyframe
 
-    host = jax.tree.map(np.asarray, outs)
+    meta = outs["meta"]
+    bs_luma = meta["bs_luma"]
+    if (getattr(info, "qm", 1) == 0) != meta["qm_flat"]:
+        raise ValueError(
+            "pack_gop_sharded: info.qm (%r) disagrees with the "
+            "encode's qm_flat=%r — the packets would signal PVQ "
+            "weights the symbols were not generated under"
+            % (getattr(info, "qm", 1), meta["qm_flat"]))
+    host = jax.tree.map(np.asarray, outs["syms"])
     keyed = isinstance(host, tuple)
     khost, phost = host if keyed else (None, host)
     ng, t = phost["levels"].shape[:2]

@@ -839,7 +839,7 @@ class EncoderSession:
 
         self.search = config.search_params()
         self.search["level_mask"] = level_mask_from_ctl(
-            config.mv_level_min, config.mv_level_max)
+            *config.effective_mv_levels())
         self.search["mv_res_min"] = config.mv_res_min
         # dres: code inter frames in device-residual mode (noref
         # integer-synthesis residual bands) — the stream mode the TPU

@@ -3555,29 +3555,35 @@ inline int64_t med_component(const int64_t* v, int nn) {
 // midpoint pass) — left / up / up-right median, exactly
 // _code_mesh_pass's _mesh_pred on a single tile, computed in the
 // MV-RESOLUTION domain (the mesh codes truth >> res, so the median is
-// taken over res-domain values).
+// taken over res-domain values).  Reads go through an immutable
+// snapshot of the lattice; a trial candidate for one vertex is passed
+// via (ovy, ovx, o0, o1) instead of being written into shared memory,
+// so concurrent passes never read a torn or transient MV.
 inline void mesh_pred_c(const int64_t* g4, int nvy, int nvx, int vy,
                         int vx, int st, int res, int64_t* py,
-                        int64_t* px) {
+                        int64_t* px, int ovy = -1, int ovx = -1,
+                        int64_t o0 = 0, int64_t o1 = 0) {
   int64_t cy[3], cx[3];
   int nn = 0;
+  auto rd = [&](int y, int x, int64_t* v0, int64_t* v1) {
+    if (y == ovy && x == ovx) { *v0 = o0; *v1 = o1; return; }
+    *v0 = g4[((int64_t)y * nvx + x) * 2];
+    *v1 = g4[((int64_t)y * nvx + x) * 2 + 1];
+  };
+  int64_t a, b;
   if (vx >= st) {
-    cy[nn] = g4[((int64_t)vy * nvx + vx - st) * 2] >> res;
-    cx[nn] = g4[((int64_t)vy * nvx + vx - st) * 2 + 1] >> res;
-    nn++;
+    rd(vy, vx - st, &a, &b);
+    cy[nn] = a >> res; cx[nn] = b >> res; nn++;
   }
   if (vy >= st) {
-    cy[nn] = g4[((int64_t)(vy - st) * nvx + vx) * 2] >> res;
-    cx[nn] = g4[((int64_t)(vy - st) * nvx + vx) * 2 + 1] >> res;
-    nn++;
+    rd(vy - st, vx, &a, &b);
+    cy[nn] = a >> res; cx[nn] = b >> res; nn++;
     if (vx + st < nvx) {
-      cy[nn] = g4[((int64_t)(vy - st) * nvx + vx + st) * 2] >> res;
-      cx[nn] = g4[((int64_t)(vy - st) * nvx + vx + st) * 2 + 1] >> res;
-      nn++;
+      rd(vy - st, vx + st, &a, &b);
+      cy[nn] = a >> res; cx[nn] = b >> res; nn++;
     } else if (vx >= st) {
-      cy[nn] = g4[((int64_t)(vy - st) * nvx + vx - st) * 2] >> res;
-      cx[nn] = g4[((int64_t)(vy - st) * nvx + vx - st) * 2 + 1] >> res;
-      nn++;
+      rd(vy - st, vx - st, &a, &b);
+      cy[nn] = a >> res; cx[nn] = b >> res; nn++;
     }
   }
   if (!nn) { *py = 0; *px = 0; return; }
@@ -3657,12 +3663,20 @@ extern "C" void dtpu_obmc_refine(
       int64_t st = steps[si];
       const int64_t cand[4][2] = {
           {st, 0}, {-st, 0}, {0, st}, {0, -st}};
-      // Distance-2 colored Jacobi-within-color sweeps: vertices of the
-      // same (vy&1, vx&1) color share no adjacent block and are not
-      // median neighbors, so each color pass is conflict-free and
-      // deterministic under threading.
+      // Distance-2 colored Jacobi-within-color sweeps: same-color
+      // vertices share no adjacent block (cache/SAD writes are
+      // disjoint), and every RATE read — predictors, dependent-reader
+      // deltas — goes through an immutable per-pass snapshot of g4
+      // with the trial candidate passed by value, so the pass is
+      // race-free and gives identical results at any thread count
+      // (the rate model sees same-color neighbors at distance 2;
+      // reading them Jacobi-style from the snapshot keeps that
+      // deterministic).
+      std::vector<int64_t> snap((size_t)nvy * nvx * 2);
       for (int color = 0; color < 4; color++) {
         int cy0 = color >> 1, cx0 = color & 1;
+        std::copy(g4, g4 + (size_t)nvy * nvx * 2, snap.begin());
+        const int64_t* sn = snap.data();
         auto pass = [&](int ry0, int ry1, int32_t* mov) {
         for (int vy = cy0 + 2 * ry0; vy < nvy && vy < cy0 + 2 * ry1;
              vy += 2) {
@@ -3679,7 +3693,7 @@ extern "C" void dtpu_obmc_refine(
           int self_st = self_even ? 2 : 1;
           double self_w = self_even ? 1.0 : 0.5;
           int64_t spy, spx;   // res-domain predictor of this vertex
-          mesh_pred_c(g4, nvy, nvx, vy, vx, self_st, mv_res, &spy,
+          mesh_pred_c(sn, nvy, nvx, vy, vx, self_st, mv_res, &spy,
                       &spx);
           // Dependent vertices whose coding-order predictor reads this
           // vertex: as left (v, vx+st), up (vy+st, v), up-right
@@ -3705,10 +3719,8 @@ extern "C" void dtpu_obmc_refine(
             return mv_bits_c((m >> res_sh) - pred);
           };
           auto rate_of = [&](int64_t my, int64_t mx) -> double {
-            // Trial write so dependent predictors see the candidate.
-            int64_t sv0 = mv[0], sv1 = mv[1];
-            mv[0] = my;
-            mv[1] = mx;
+            // The candidate is passed by value into the dependents'
+            // predictor reads; nothing is written to shared state.
             double r = self_w * (delta_bits(my, spy)
                                  + delta_bits(mx, spx));
             for (int di = 0; di < ndeps; di++) {
@@ -3721,14 +3733,12 @@ extern "C" void dtpu_obmc_refine(
               if (deps[di].st == 2 && !ue) continue;
               if (deps[di].st == 1 && ue) continue;
               int64_t py, px;
-              mesh_pred_c(g4, nvy, nvx, uy, ux, deps[di].st, res_sh,
-                          &py, &px);
-              const int64_t* u = g4 + ((int64_t)uy * nvx + ux) * 2;
+              mesh_pred_c(sn, nvy, nvx, uy, ux, deps[di].st, res_sh,
+                          &py, &px, vy, vx, my, mx);
+              const int64_t* u = sn + ((int64_t)uy * nvx + ux) * 2;
               r += deps[di].w * (delta_bits(u[0], py)
                                  + delta_bits(u[1], px));
             }
-            mv[0] = sv0;
-            mv[1] = sv1;
             return r;
           };
           // base cost from cached corner preds

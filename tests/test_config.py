@@ -42,12 +42,16 @@ def test_ctl_names_cover_reference_surface():
         cfg.ctl("OD_SET_NOPE", 1)
     with pytest.raises(ValueError):
         EncoderConfig(complexity=11)
-    # Reference ctl contract (daalaenc.h): min > max CLAMPS to max
-    # instead of erroring, and level 4 maps onto the finest internal.
+    # Reference ctl contract (daalaenc.h + encode.c:560-583): min > max
+    # resolves to max AT USE TIME; the stored ctl values read back as
+    # set, and raising max later restores the requested min.
     cfg2 = EncoderConfig(mv_level_min=3, mv_level_max=1)
-    assert cfg2.mv_level_min == cfg2.mv_level_max == 1
+    assert (cfg2.mv_level_min, cfg2.mv_level_max) == (3, 1)
+    assert cfg2.effective_mv_levels() == (1, 1)
+    cfg2.ctl("OD_SET_MV_LEVEL_MAX", 4)
+    assert cfg2.effective_mv_levels() == (3, 3)
     cfg3 = EncoderConfig(mv_level_min=4, mv_level_max=4)
-    assert cfg3.mv_level_min == cfg3.mv_level_max == 3
+    assert cfg3.effective_mv_levels() == (3, 3)
     with pytest.raises(ValueError):
         EncoderConfig(mv_level_max=5)
 
