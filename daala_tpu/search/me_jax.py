@@ -447,6 +447,280 @@ def _refine_midpoints_jax(cur, refp8, g, vlog, h, w, bitdepth=8):
     return flat.reshape(nvy, nvx, 2)
 
 
+def _hat32():
+    """Bilinear OBMC vertex hat: weight of a vertex at pixel offset
+    (u-32, v-32) of its 64x64 support — exactly the per-corner weights
+    of the 32 px block blend ((32-|dy|)(32-|dx|), Q10 total)."""
+    a = 32 - np.abs(np.arange(64) - 32)
+    return (a[:, None] * a[None, :]).astype(np.int32)
+
+
+def _mv_bits_j(d, f):
+    """Generic-model-shaped MV bits of a res-domain delta component —
+    twin of native mv_bits_c (fitted constants, see _code_mesh_pass)."""
+    a = jnp.abs(d).astype(f)
+    return jnp.where(d == 0, f(0.8), f(1.9) + f(1.35)
+                     * jnp.log2(f(1.0) + a))
+
+
+def _med3_j(a, b, c):
+    """np.median of 3 per component == clamp(c, min(a,b), max(a,b))."""
+    return jnp.clip(c, jnp.minimum(a, b), jnp.maximum(a, b))
+
+
+def _mean2_j(a, b):
+    """2-candidate np.median: float mean truncated toward zero."""
+    s = a + b
+    return jnp.sign(s) * (jnp.abs(s) // 2)
+
+
+def _mesh_pred_j(snapres, vy, vx, st, ov=None):
+    """Coding-order median predictor of lattice vertices (vy, vx) on
+    the stride-`st` sub-lattice, from an immutable res-domain snapshot
+    — jax twin of native mesh_pred_c incl. the left/up/up-right (or
+    up-left) candidate order and np.median semantics.  ov: optional
+    (ovy, ovx, oval) trial override, matching the Jacobi-within-color
+    candidate pass of dtpu_obmc_refine.  vy/vx: (...,) int arrays;
+    returns (..., 2) res-domain predictions."""
+    nvy, nvx = snapres.shape[:2]
+
+    def at(y, x):
+        yc = jnp.clip(y, 0, nvy - 1)
+        xc = jnp.clip(x, 0, nvx - 1)
+        v = snapres[yc, xc]
+        if ov is not None:
+            ovy, ovx, oval = ov
+            hit = ((yc == ovy) & (xc == ovx))[..., None]
+            v = jnp.where(hit, oval, v)
+        return v
+
+    has_l = (vx >= st)[..., None]
+    has_u = (vy >= st)[..., None]
+    has_r = (vx + st < nvx)[..., None]
+    lv = at(vy, vx - st)
+    uv = at(vy - st, vx)
+    third = jnp.where(has_r, at(vy - st, vx + st), at(vy - st, vx - st))
+    # has_l & has_u -> 3 cands (third always exists then); only-up ->
+    # 2 cands (up, up-right) when has_r else 1; only-left -> 1; else 0.
+    p3 = _med3_j(lv, uv, third)
+    p_up = jnp.where(has_r, _mean2_j(uv, third), uv)
+    return jnp.where(has_l & has_u, p3,
+                     jnp.where(has_u, p_up,
+                               jnp.where(has_l, lv,
+                                         jnp.zeros_like(lv))))
+
+
+# Dependent coding-order readers of a vertex per color parity, as
+# (dy, dx, st, weight): which finer/coarser-lattice vertices' median
+# predictors read this vertex (native dtpu_obmc_refine's deps table
+# with the parity filtering applied statically per color).
+_REFINE_DEPS = {
+    (0, 0): (((0, 2, 2, 1.0), (2, 0, 2, 1.0), (2, -2, 2, 1.0),
+              (0, 1, 1, 0.5), (1, 0, 1, 0.5), (1, -1, 1, 0.5))),
+    (0, 1): (((1, 0, 1, 0.5), (1, -1, 1, 0.5))),
+    (1, 0): (((0, 1, 1, 0.5), (1, -1, 1, 0.5))),
+    (1, 1): (((0, 1, 1, 0.5), (1, 0, 1, 0.5))),
+}
+
+
+def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
+                       lam=None, iters=1, bitdepth=8, exact_bits=False):
+    """Device twin of native dtpu_obmc_refine: rate-aware Gauss-Seidel
+    refinement of the 32 px OBMC vertex lattice, scored by the EXACT
+    4-block bilinear-blend SAD plus generic-model MV bits of the vertex
+    and its coding-order dependent readers, with the median predictor
+    as a joint candidate (the od_mv_est_refine_row/col role,
+    mcenc.c:5216-6388, recast against the blend objective).
+
+    Vertex-centric formulation: the whole-frame pre-rounding blend
+    accumulator S = sum_v hat (.) P_v is carried exactly (int32), so a
+    candidate MV at vertex v re-scores its 64x64 support as
+    clip((S - hat.P_old + hat.P_cand + 512) >> 10) — no per-block
+    corner cache.  Same-color supports tile disjointly, so each color
+    pass is one batched update; rate reads come from a per-pass
+    snapshot (Jacobi within color), bit-identical to the (race-fixed)
+    C++ at any thread count.
+
+    g: (nvy, nvx, 2) int32 eighth-pel 32 px lattice, multiples of
+    1 << mv_res; returns the refined lattice.  exact_bits: use f64 for
+    the rate model (CPU parity tests vs the C++ double path; TPU runs
+    f32 — encoder-choice divergence only)."""
+    import os as _os
+
+    nvy, nvx = (h >> 5) + 1, (w >> 5) + 1
+    maxv = (1 << bitdepth) - 1
+    if lam is None:
+        lam = (float(_os.environ.get("DTPU_REFINE_LAM", 2.0))
+               * max(1, quantizer) / 16.0)
+    iters = int(_os.environ.get("DTPU_REFINE_ITERS", iters))
+    if iters <= 0:
+        return g
+    f = jnp.float64 if exact_bits else jnp.float32
+    steps = tuple(int(s) << mv_res for s in (8, 4, 2))
+    sp = (max(steps) + 7) >> 3          # candidate full-pel reach
+    hat = jnp.asarray(_hat32())
+    hatc = hat[:, :, None]
+    E = 48
+    K = 69 + 2 * sp
+    Kp = 69
+    pe = jnp.pad(refp8, E, mode="edge")
+
+    # Exact S from the vertex patches (pre-rounding Q10 accumulator).
+    from ..ops.mc_jax import _banded_windows, _vertex_patches
+
+    rid0 = jnp.zeros((nvy, nvx), dtype=jnp.int32)
+    P = _vertex_patches([refp8], 64, h, w, g, rid0, 32, bitdepth) \
+        .astype(jnp.int32)
+
+    cur_pad = jnp.pad(cur.astype(jnp.int32), 32)
+    mask_pad = jnp.pad(jnp.ones((h, w), dtype=jnp.int32), 32)
+
+    colors = []
+    for cy0 in (0, 1):
+        for cx0 in (0, 1):
+            vys = np.arange(cy0, nvy, 2)
+            vxs = np.arange(cx0, nvx, 2)
+            colors.append((cy0, cx0, vys, vxs))
+
+    def _region(plane_pad, cy0, cx0, R, C):
+        """(64, 64, R*C) channels-last view of the color's disjoint
+        64x64 supports (static slice + reshape)."""
+        sl = jax.lax.slice(plane_pad, (cy0 * 32, cx0 * 32),
+                           (cy0 * 32 + R * 64, cx0 * 32 + C * 64))
+        return (sl.reshape(R, 64, C, 64).transpose(1, 3, 0, 2)
+                .reshape(64, 64, R * C))
+
+    def _place(region_cl, cy0, cx0, R, C, S):
+        img = (region_cl.reshape(64, 64, R, C).transpose(2, 0, 3, 1)
+               .reshape(R * 64, C * 64))
+        return S.at[cy0 * 32:cy0 * 32 + R * 64,
+                    cx0 * 32:cx0 * 32 + C * 64].set(img)
+
+    def _build_S():
+        S = jnp.zeros((h + 64, w + 64), dtype=jnp.int32)
+        for (cy0, cx0, vys, vxs) in colors:
+            R, C = len(vys), len(vxs)
+            pc = P[cy0::2, cx0::2]          # (R, C, 64, 64)
+            w_pc = (pc * hat[None, None]).transpose(2, 3, 0, 1) \
+                .reshape(64, 64, R * C)
+            S = _place(_region(S, cy0, cx0, R, C) + w_pc,
+                       cy0, cx0, R, C, S)
+        return S
+
+    def color_pass(g, P, S, st, cy0, cx0, vys, vxs):
+        R, C = len(vys), len(vxs)
+        N = R * C
+        VY = jnp.asarray(np.broadcast_to(vys[:, None], (R, C)))
+        VX = jnp.asarray(np.broadcast_to(vxs[None, :], (R, C)))
+        mv = g[cy0::2, cx0::2]              # (R, C, 2)
+        snapres = (g >> mv_res).astype(jnp.int32)
+        st_lat = 2 if (cy0 == 0 and cx0 == 0) else 1
+        self_w = 1.0 if st_lat == 2 else 0.5
+        spred = _mesh_pred_j(snapres, VY, VX, st_lat)    # (R, C, 2)
+
+        # -- candidate windows (one banded fetch serves the 4 step
+        # directions; the predictor candidate gets its own fetch) ----
+        anchor = (mv >> 3) - sp
+        posy = (vys.astype(np.int64) * 32 + 30 + E).astype(np.int32)
+        posx = (vxs.astype(np.int64) * 32 + 30 + E).astype(np.int32)
+        iy = jnp.asarray(posy)[:, None] + anchor[..., 0]
+        ix = jnp.asarray(posx)[None, :] + anchor[..., 1]
+        rb = [int(p) - 60 - sp for p in posy]
+        win = _banded_windows(pe, rb, iy, ix, K, K + 121 + 2 * sp) \
+            .reshape(N, K, K).transpose(1, 2, 0)
+        base_rel = mv - (anchor << 3)       # (R, C, 2)
+
+        pmv = (spred << mv_res).astype(jnp.int32)        # predictor cand
+        ap = pmv >> 3
+        iy2 = jnp.asarray(posy)[:, None] + ap[..., 0]
+        ix2 = jnp.asarray(posx)[None, :] + ap[..., 1]
+        rb2 = [int(p) - 60 for p in posy]
+        winp = _banded_windows(pe, rb2, iy2, ix2, Kp, Kp + 121) \
+            .reshape(N, Kp, Kp).transpose(1, 2, 0)
+
+        # -- regions ---------------------------------------------------
+        Sreg = _region(S, cy0, cx0, R, C)
+        curreg = _region(cur_pad, cy0, cx0, R, C)
+        maskreg = _region(mask_pad, cy0, cx0, R, C)
+        Pcur = P[cy0::2, cx0::2].transpose(2, 3, 0, 1).reshape(64, 64, N)
+        S_f = Sreg - hatc * Pcur
+
+        deps = _REFINE_DEPS[(cy0, cx0)]
+
+        def rate_of(cmv):
+            """(R, C) rate of candidate cmv (eighth-pel, (R,C,2))."""
+            cres = cmv >> mv_res
+            r = self_w * (_mv_bits_j(cres[..., 0] - spred[..., 0], f)
+                          + _mv_bits_j(cres[..., 1] - spred[..., 1], f))
+            ov = (VY, VX, cres)
+            for (dy, dx, dst, dw) in deps:
+                uy, ux = VY + dy, VX + dx
+                ok = (uy < nvy) & (ux >= 0) & (ux < nvx)
+                dp = _mesh_pred_j(snapres, uy, ux, dst, ov=ov)
+                uval = snapres[jnp.clip(uy, 0, nvy - 1),
+                               jnp.clip(ux, 0, nvx - 1)]
+                db = (_mv_bits_j(uval[..., 0] - dp[..., 0], f)
+                      + _mv_bits_j(uval[..., 1] - dp[..., 1], f))
+                r = r + dw * jnp.where(ok, db, f(0.0))
+            return r
+
+        def sad_of(patch):
+            blend = jnp.clip((S_f + hatc * patch + 512) >> 10, 0, maxv)
+            return (jnp.abs(curreg - blend) * maskreg).sum((0, 1))
+
+        def cost_of(cmv, patch):
+            s = sad_of(patch).astype(jnp.int64)
+            r = (f(lam) * rate_of(cmv)).astype(jnp.int64).reshape(-1)
+            okr = ((jnp.abs(cmv[..., 0]) <= 480)
+                   & (jnp.abs(cmv[..., 1]) <= 480)).reshape(-1)
+            return jnp.where(okr, s + r, jnp.int64(1) << 62)
+
+        cands = [mv]
+        patches = [Pcur]
+        for (dy, dx) in ((st, 0), (-st, 0), (0, st), (0, -st)):
+            cmv = mv + jnp.asarray((dy, dx), jnp.int32)
+            rel = base_rel + jnp.asarray((dy, dx), jnp.int32)
+            pc = _interp_rel(win, rel[..., 0].reshape(-1),
+                             rel[..., 1].reshape(-1), 64, bitdepth)
+            cands.append(cmv)
+            patches.append(pc)
+        relp = pmv - (ap << 3)
+        pp = _interp_rel(winp, relp[..., 0].reshape(-1),
+                         relp[..., 1].reshape(-1), 64, bitdepth)
+        cands.append(pmv)
+        patches.append(pp)
+
+        costs = jnp.stack([cost_of(c, p)
+                           for c, p in zip(cands, patches)])  # (6, N)
+        pick = jnp.argmin(costs, axis=0)                      # (N,)
+        cst = jnp.stack([c.reshape(-1, 2) for c in cands])    # (6, N, 2)
+        best_mv = jnp.take_along_axis(
+            cst, pick[None, :, None], axis=0)[0].reshape(R, C, 2)
+        pstack = jnp.stack(patches)                     # (6, 64, 64, N)
+        best_p = patches[0]
+        for ci in range(1, 6):
+            best_p = jnp.where(pick[None, None, :] == ci,
+                               pstack[ci], best_p)
+
+        g = g.at[cy0::2, cx0::2].set(best_mv)
+        P = P.at[cy0::2, cx0::2].set(
+            best_p.reshape(64, 64, R, C).transpose(2, 3, 0, 1))
+        S = _place(S_f + hatc * best_p, cy0, cx0, R, C, S)
+        return g, P, S
+
+    S = _build_S()
+
+    def sweep(carry, st):
+        g, P, S = carry
+        for (cy0, cx0, vys, vxs) in colors:
+            g, P, S = color_pass(g, P, S, st, cy0, cx0, vys, vxs)
+        return (g, P, S), None
+
+    steps_arr = jnp.asarray(np.tile(np.asarray(steps, np.int32), iters))
+    (g, P, S), _ = jax.lax.scan(sweep, (g, P, S), steps_arr)
+    return g
+
+
 def motion_search_dense_jax(cur, refp8, h, w, bitdepth=8):
     """Twin of me.motion_search_dense: dense (h/8+1, w/8+1, 2) grid.
 

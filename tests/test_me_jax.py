@@ -31,3 +31,39 @@ def test_dense_grid_twin(h, w):
     dev = np.asarray(fn(cur, refp8))
     assert host.shape == dev.shape
     assert np.array_equal(host.astype(np.int64), dev.astype(np.int64))
+
+
+@pytest.mark.parametrize("lam_env,res", [("0", 0), (None, 0), (None, 1)])
+def test_refine_lattice_twin(lam_env, res, monkeypatch):
+    """refine_lattice_jax must reproduce the native dtpu_obmc_refine
+    lattice bit for bit (both are Jacobi-within-color with snapshot
+    rate reads; f64 rate path on CPU matches the C++ double)."""
+    from daala_tpu.ops.mc import pad_ref
+    from daala_tpu.search.me import refine_mesh_lattice
+    from daala_tpu.search.me_jax import refine_lattice_jax
+
+    import jax
+
+    if lam_env is not None:
+        monkeypatch.setenv("DTPU_REFINE_LAM", lam_env)
+    monkeypatch.delenv("DTPU_REFINE_ITERS", raising=False)
+    h, w = 128, 192
+    rng = np.random.default_rng(23)
+    cur, ref = _clip_pair(rng, h, w)
+    nvy, nvx = (h >> 5) + 1, (w >> 5) + 1
+    quantizer = 140
+    # Random lattice, multiples of 1 << res, within +-56 px.
+    g32 = ((rng.integers(-440, 441, (nvy, nvx, 2)) >> res) << res)
+    dense = np.zeros((4 * (nvy - 1) + 1, 4 * (nvx - 1) + 1, 2),
+                     dtype=np.int64)
+    dense[::4, ::4] = g32
+    rids = np.zeros(dense.shape[:2], dtype=np.int32)
+    host_g = refine_mesh_lattice(
+        cur, [pad_ref(ref, 80)], 80, dense.copy(), rids, quantizer,
+        iters=1, mv_res=res)[::4, ::4]
+    fn = jax.jit(lambda c, r, g: refine_lattice_jax(
+        c, r, g, h, w, quantizer, mv_res=res, iters=1,
+        exact_bits=True))
+    dev = np.asarray(fn(cur, pad_ref(ref, 64),
+                        g32.astype(np.int32)))
+    assert np.array_equal(host_g.astype(np.int64), dev.astype(np.int64))
