@@ -358,11 +358,14 @@ def sharded_gop_stream_encode(mesh, ys, us, vs, quantizer,
                  for b in range(4))
     pvq_qms = tuple(interp_pvq_qm(quantizer, pli, False, flat=qm_flat)
                     for pli in range(3))
+    import os as _os
+
+    rr = _os.environ.get("DTPU_DEV_REFINE", "1") not in ("0", "false")
     body = partial(_frame_body, h=h, w=w, quantizer=int(quantizer),
                    mv_res=_choose_mv_res(quantizer), qms=qms,
                    qm_invs=qmis, pvq_qms=pvq_qms,
                    use_dering=bool(use_dering), emit_recon=False,
-                   bs_luma=int(bs_luma))
+                   bs_luma=int(bs_luma), rate_refine=rr)
     if quality is not None:
         (_, kquant, kqms, kqmis, kpvq_qms, kdcq,
          kacq) = _key_quants(quality, qm_flat=qm_flat)

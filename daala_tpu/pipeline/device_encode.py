@@ -229,12 +229,32 @@ def _dering_select(recs, orig_y, flags_thr, quantizer, xdecs):
         return P.at[3:3 + hh, 3:3 + ww].set(plane)
 
     bufs0, dirs = dering_padded_jax(_pad(recs[0]), nhsb, nvsb, thr, 0, 0)
-    # flags: filtered-vs-unfiltered SSE on the luma source.
+    # Flags: filtered-vs-unfiltered SSE on the luma source PLUS the
+    # lambda * q^2 * flag-rate term of the host RDO
+    # (pipeline/intra._dering_pass, encode.c:2550-2686).  The host
+    # charges the LIVE adaptive CDF — rare flags stay rare because
+    # coding a 1 gets expensive.  The device models that feedback in
+    # mean field: estimate the flag probability from the current
+    # decisions, recompute both symbol rates, iterate (3 fixed
+    # rounds; all vectorized, no serial scan).
+    from ..pvq.core import PVQ_LAMBDA
+
+    qf = float(max(1, quantizer))
+    # orig/recs and the host's _dering_pass errors are both in the
+    # x16 coeff domain with the coeff-domain quantizer, so lambda *
+    # q^2 * bits applies unscaled.
+    lamq = np.float32(PVQ_LAMBDA * qf * qf)
     o = orig_y.reshape(nvsb, 32, nhsb, 32).transpose(0, 2, 1, 3)
     r = recs[0].reshape(nvsb, 32, nhsb, 32).transpose(0, 2, 1, 3)
     fe = ((o - bufs0).astype(jnp.float32) ** 2).sum((2, 3))
     ue = ((o - r).astype(jnp.float32) ** 2).sum((2, 3))
-    flags = (fe < ue).astype(jnp.int32)
+    flags = (fe < ue)
+    for _ in range(3):
+        p1 = jnp.clip(flags.mean(), 1.0 / 64, 1 - 1.0 / 64)
+        r1 = -jnp.log2(p1)
+        r0 = -jnp.log2(1 - p1)
+        flags = fe + lamq * r1 < ue + lamq * r0
+    flags = flags.astype(jnp.int32)
     out = []
     sel = jnp.where((flags > 0)[:, :, None, None], bufs0, r)
     out.append(sel.transpose(0, 2, 1, 3).reshape(h, w))
@@ -252,7 +272,8 @@ def _dering_select(recs, orig_y, flags_thr, quantizer, xdecs):
 
 
 def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
-                pvq_qms, use_dering, emit_recon, bs_luma=1):
+                pvq_qms, use_dering, emit_recon, bs_luma=1,
+                rate_refine=True):
     """One P frame of the device encode: search -> level RDO ->
     decoder-exact mixed OBMC -> residual symbols -> recon [-> dering].
     The reconstruction is carried as the next reference."""
@@ -270,66 +291,106 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     refp8 = ry[16:16 + h + 128, 16:16 + w + 128]
     g32 = motion_search_jax(cy, refp8[64:64 + h, 64:64 + w], refp8,
                             h, w, 5)
-    g_unref = _upsample_grid(_upsample_grid(g32))
-    gu_res = (g_unref >> mv_res).astype(jnp.int32)
-    gu = (gu_res << mv_res).astype(jnp.int32)
-    c64 = (_interp_stride4(gu_res[::8, ::8] * 1)  # interp in res domain
-           << mv_res).astype(jnp.int32)
-    # Level decision (encoder choice) scored on 2x-DOWNSAMPLED blends
-    # of the UNREFINED (dyadic-interpolated) fine lattices: the
-    # midpoint refinement below then runs only when a fine level is
-    # actually selected (~10 ms/frame at 1080p otherwise).
-    cy2 = _down2(cy)
-    ry2 = pad_edge(_down2(ry[PAD:PAD + h, PAD:PAD + w]), PAD)
-    half = []
-    for (gg, bl) in ((gu[::4, ::4], 4), (gu[::2, ::2], 3), (gu, 2),
-                     (c64, 4)):
-        half.append(obmc_predict_jax([ry2], PAD, h // 2, w // 2,
-                                     gg >> 1, bl))
-    levels = _choose_levels(cy2, half, quantizer, sb=16)
-    blend = jnp.where(levels == 3, 0, levels)
     import jax as _jax
 
-    lv_used = blend.max()      # finest blend level any SB needs
-                               # (coarse64 blends with level-0 geometry)
-    # Midpoint refinement of the 16 px lattice (level >= 1 SBs code
-    # these vertices) and the 8 px lattice (level 2), gated on use.
-    g16 = _jax.lax.cond(
-        lv_used >= 1,
-        lambda: _refine_midpoints_jax(cy, refp8, _upsample_grid(g32),
-                                      4, h, w),
-        lambda: _upsample_grid(g32))
-    grid = _jax.lax.cond(
-        lv_used >= 2,
-        lambda: _refine_midpoints_jax(cy, refp8, _upsample_grid(g16),
-                                      3, h, w),
-        lambda: _upsample_grid(g16))
-    g_res = (grid >> mv_res).astype(jnp.int32)
-    g = (g_res << mv_res).astype(jnp.int32)
+    cy2 = _down2(cy)
+    ry2 = pad_edge(_down2(ry[PAD:PAD + h, PAD:PAD + w]), PAD)
+    if rate_refine:
+        # RD mode (the host pipeline's structure): rate-aware blend
+        # refinement of the 32 px lattice (device twin of
+        # dtpu_obmc_refine; snap to the coded MV resolution first,
+        # exactly as pipeline/inter.py does), then the midpoint
+        # refinements of the 16/8 px lattices BEFORE the level
+        # decision, so the level RDO scores the fine levels it would
+        # actually get — scoring them on dyadic-interpolated lattices
+        # starves the mesh (~90% coarse64 at q30) and pays the bits
+        # back in residual (RDCOMP.md round-4 decomposition).
+        from ..search.me_jax import refine_lattice_jax
+
+        g32 = ((g32 >> mv_res) << mv_res).astype(jnp.int32)
+        g32 = refine_lattice_jax(cy, refp8, g32, h, w, quantizer,
+                                 mv_res=mv_res)
+        g16 = _refine_midpoints_jax(cy, refp8, _upsample_grid(g32),
+                                    4, h, w)
+        grid = _refine_midpoints_jax(cy, refp8, _upsample_grid(g16),
+                                     3, h, w)
+        g_res = (grid >> mv_res).astype(jnp.int32)
+        g = (g_res << mv_res).astype(jnp.int32)
+        c64 = (_interp_stride4(g_res[::8, ::8] * 1)
+               << mv_res).astype(jnp.int32)
+        # FULL-RES level scoring: the 2x-downsampled scoring smooths
+        # away exactly the high-frequency residual that distinguishes
+        # fine meshes, starving levels 1/2 (the host's choose_levels
+        # scores full-res; mesh.py).  The level-1/2 scoring blends ARE
+        # the final predictions — reused below, so RD mode pays two
+        # extra 32 px blends, not four.
+        p_lv0s = obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5)
+        p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
+        p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
+        p_c64 = obmc_predict_jax([ry], PAD, h, w, c64, 5)
+        levels = _choose_levels(cy, [p_lv0s, p_lv1, p_lv2, p_c64],
+                                quantizer, sb=32)
+        blend = jnp.where(levels == 3, 0, levels)
+    else:
+        g_unref = _upsample_grid(_upsample_grid(g32))
+        gu_res = (g_unref >> mv_res).astype(jnp.int32)
+        gu = (gu_res << mv_res).astype(jnp.int32)
+        c64 = (_interp_stride4(gu_res[::8, ::8] * 1)  # interp in res
+               << mv_res).astype(jnp.int32)
+        # Fast mode: level decision (encoder choice) scored on
+        # 2x-DOWNSAMPLED blends of the UNREFINED (dyadic-interpolated)
+        # fine lattices: the midpoint refinement below then runs only
+        # when a fine level is actually selected (~10 ms/frame at
+        # 1080p otherwise).
+        half = []
+        for (gg, bl) in ((gu[::4, ::4], 4), (gu[::2, ::2], 3), (gu, 2),
+                         (c64, 4)):
+            half.append(obmc_predict_jax([ry2], PAD, h // 2, w // 2,
+                                         gg >> 1, bl))
+        levels = _choose_levels(cy2, half, quantizer, sb=16)
+        blend = jnp.where(levels == 3, 0, levels)
+        lv_used = blend.max()  # finest blend level any SB needs
+        # (coarse64 blends with level-0 geometry)
+        # Midpoint refinement of the 16 px lattice (level >= 1 SBs
+        # code these vertices) and the 8 px lattice (level 2), gated
+        # on use.
+        g16 = _jax.lax.cond(
+            lv_used >= 1,
+            lambda: _refine_midpoints_jax(cy, refp8,
+                                          _upsample_grid(g32),
+                                          4, h, w),
+            lambda: _upsample_grid(g32))
+        grid = _jax.lax.cond(
+            lv_used >= 2,
+            lambda: _refine_midpoints_jax(cy, refp8,
+                                          _upsample_grid(g16),
+                                          3, h, w),
+            lambda: _upsample_grid(g16))
+        g_res = (grid >> mv_res).astype(jnp.int32)
+        g = (g_res << mv_res).astype(jnp.int32)
     # Decoder-exact final prediction: level-0 geometry reads the
     # simulated decoded stride-4 lattice.
     g4s = (_sim_stride4(g_res, levels) << mv_res).astype(jnp.int32)
     p0 = obmc_predict_jax([ry], PAD, h, w, g4s, 5)
-    # The level-1/2 full-res passes run ONLY when some SB actually
-    # selected that level (lax.cond: the fine-grid vertex-patch OBMC
-    # is ~9 ms/frame at 1080p and levels stay coarse at normal rates;
-    # the select below never reads an unselected level's pixels, so
-    # the zero fallback is bit-neutral).
-    import jax as _jax
-
     need1 = jnp.any(blend == 1)
     need2 = jnp.any(blend == 2)
     # Fallback zeros are DERIVED from the (varying) reference so both
     # cond branches carry the same varying type under shard_map.
     zy = (ry[0, 0] * 0).astype(jnp.uint8)
-    p_lv1 = _jax.lax.cond(
-        need1,
-        lambda: obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4),
-        lambda: jnp.broadcast_to(zy, (h, w)))
-    p_lv2 = _jax.lax.cond(
-        need2,
-        lambda: obmc_predict_jax([ry], PAD, h, w, g, 3),
-        lambda: jnp.broadcast_to(zy, (h, w)))
+    if not rate_refine:
+        # The level-1/2 full-res passes run ONLY when some SB actually
+        # selected that level (lax.cond: the fine-grid vertex-patch
+        # OBMC is ~9 ms/frame at 1080p and levels stay coarse at
+        # normal rates; the select below never reads an unselected
+        # level's pixels, so the zero fallback is bit-neutral).
+        p_lv1 = _jax.lax.cond(
+            need1,
+            lambda: obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4),
+            lambda: jnp.broadcast_to(zy, (h, w)))
+        p_lv2 = _jax.lax.cond(
+            need2,
+            lambda: obmc_predict_jax([ry], PAD, h, w, g, 3),
+            lambda: jnp.broadcast_to(zy, (h, w)))
     pred_y = _select_by_sb([p0, p_lv1, p_lv2], blend, 32)
     # U and V ride one vmapped pass per level (same grid, same
     # geometry: better lane utilization than two separate passes).
@@ -407,11 +468,15 @@ def make_device_chunk_fn(h, w, quantizer, use_dering=True,
                     for pli in range(3))
     if bs_luma not in (1, 2, 3):
         raise ValueError("device encode: bs_luma must be 1, 2 or 3")
+    import os as _os
+
+    rr = _os.environ.get("DTPU_DEV_REFINE", "1") not in ("0", "false")
     body = partial(_frame_body, h=h, w=w, quantizer=int(quantizer),
                    mv_res=_choose_mv_res(quantizer), qms=qms,
                    qm_invs=qmis, pvq_qms=pvq_qms,
                    use_dering=bool(use_dering),
-                   emit_recon=bool(emit_recon), bs_luma=int(bs_luma))
+                   emit_recon=bool(emit_recon), bs_luma=int(bs_luma),
+                   rate_refine=rr)
 
     def fn(ys, us, vs, ref_y, ref_u, ref_v):
         carry0 = (ref_y, ref_u, ref_v)
