@@ -152,6 +152,133 @@ def _sim_stride4(g_res, levels):
     return jnp.where((req <= 4)[:, :, None], g4t, u)
 
 
+def _fill_rid_up(r):
+    """One dyadic rid interpolation step — jax twin of fill_stride's
+    rid inheritance (mesh.py:110-149): horizontal midpoints inherit
+    the LEFT parent, vertical midpoints the UP parent, centers the
+    UP-LEFT parent."""
+    import jax.numpy as jnp
+
+    ny, nx = r.shape
+    u = jnp.zeros((2 * ny - 1, 2 * nx - 1), dtype=r.dtype)
+    u = u.at[::2, ::2].set(r)
+    u = u.at[::2, 1::2].set(r[:, :-1])
+    u = u.at[1::2, ::2].set(r[:-1, :])
+    u = u.at[1::2, 1::2].set(r[:-1, :-1])
+    return u
+
+
+def _sim_rid4(rid4, levels):
+    """Decoded-mesh rid lattice on the stride-4 (32 px) lattice: the
+    encoder's decision where any adjacent superblock forces the vertex
+    coded (required_stride <= 4), else fill_stride inheritance from
+    the 64 px lattice — the rid twin of _sim_stride4."""
+    import jax.numpy as jnp
+
+    u = _fill_rid_up(rid4[::2, ::2])
+    s = jnp.where(levels == 3, 8,
+                  4 >> jnp.minimum(levels, 2)).astype(jnp.int32)
+    sp = jnp.pad(s, 1, mode="edge")
+    req = jnp.minimum(jnp.minimum(sp[:-1, :-1], sp[1:, :-1]),
+                      jnp.minimum(sp[:-1, 1:], sp[1:, 1:]))
+    return jnp.where(req <= 4, rid4, u)
+
+
+def sim_rid_grids(rid4, levels):
+    """(d4, rid8): the decoded stride-4 rid lattice and the full fine
+    (8 px) rid grid the OBMC passes read — both sides derive fine rids
+    by fill inheritance from d4 (the encoder codes fine vertices' rids
+    equal to the interpolation, so coded == filled)."""
+    d4 = _sim_rid4(rid4, levels)
+    return d4, _fill_rid_up(_fill_rid_up(d4))
+
+
+def _gold_pass(cy, ry, gy, grid, g_res, mv_res, quantizer, h, w,
+               has_gold, veto):
+    """Golden-reference selection on the 32 px lattice: per vertex,
+    keep (prev, mv) or switch to (gold, mv=0) / (gold, mv), scored by
+    the hat-weighted 64x64 support SAD plus generic-model rate (the
+    encoder-side role of the reference's multi-ref EPZS init picking
+    GOLD candidates, mcenc.c:6480-6494, recast as a post-refinement
+    substitution: gold wins exactly where re-quantization drift on the
+    prev chain exceeds the rid+delta bits).  Returns (grid, g_res,
+    rid4) with gold vertices' MVs zeroed when the zero-MV candidate
+    won."""
+    import os as _os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.mc_jax import _vertex_patches
+    from ..search.me_jax import _hat32, _mesh_pred_j, _mv_bits_j
+    from ..search.mvcost import mv_cost_table
+
+    nvy, nvx = (h >> 5) + 1, (w >> 5) + 1
+    g32 = (g_res[::4, ::4] << mv_res).astype(jnp.int32)
+    rid0 = jnp.zeros((nvy, nvx), dtype=jnp.int32)
+    z32 = jnp.zeros_like(g32)
+    Pp = _vertex_patches([ry], PAD, h, w, g32, rid0, 32, 8) \
+        .astype(jnp.int32)
+    Pg0 = _vertex_patches([gy], PAD, h, w, z32, rid0, 32, 8) \
+        .astype(jnp.int32)
+    Pgm = _vertex_patches([gy], PAD, h, w, g32, rid0, 32, 8) \
+        .astype(jnp.int32)
+
+    hat = jnp.asarray(_hat32())[None, None]          # (1, 1, 64, 64)
+
+    def _supports(plane, fill):
+        p = jnp.pad(plane.astype(jnp.int32), 32,
+                    constant_values=fill)
+        nby, nbx = (h + 64) >> 5, (w + 64) >> 5
+        cb = (p.reshape(nby, 32, nbx, 32).transpose(0, 2, 1, 3))
+        top = jnp.concatenate([cb[:-1, :-1], cb[:-1, 1:]], axis=3)
+        bot = jnp.concatenate([cb[1:, :-1], cb[1:, 1:]], axis=3)
+        return jnp.concatenate([top, bot], axis=2)   # (nvy, nvx, 64, 64)
+
+    curW = _supports(cy, 0)
+    maskW = _supports(jnp.ones((h, w), dtype=jnp.uint8), 0)
+
+    def wsad(P):
+        d = jnp.abs(curW - P) * maskW * hat
+        return d.sum((2, 3), dtype=jnp.int64)
+
+    f = jnp.float32
+    tab = jnp.asarray(mv_cost_table(), dtype=f)
+    snap = g_res[::4, ::4]
+    VY = jnp.asarray(np.broadcast_to(np.arange(nvy)[:, None],
+                                     (nvy, nvx)))
+    VX = jnp.asarray(np.broadcast_to(np.arange(nvx)[None, :],
+                                     (nvy, nvx)))
+    even = ((VY & 1) == 0) & ((VX & 1) == 0)
+    sp1 = _mesh_pred_j(snap, VY, VX, 1)
+    sp2 = _mesh_pred_j(snap, VY, VX, 2)
+    spred = jnp.where(even[..., None], sp2, sp1)
+    mres = snap
+
+    def rbits(cres):
+        return (_mv_bits_j(cres[..., 0] - spred[..., 0], f, tab)
+                + _mv_bits_j(cres[..., 1] - spred[..., 1], f, tab))
+
+    lam = (float(_os.environ.get("DTPU_REFINE_LAM", 1.0))
+           * max(1, quantizer) / 16.0)
+    # rid symbol cost (adaptive binary CDF, gold rare) + a switching
+    # margin so prev keeps ties.
+    rid_bits = float(_os.environ.get("DTPU_GOLD_RID_BITS", 3.0))
+    c_keep = wsad(Pp).astype(f) / 1024.0 + lam * rbits(mres)
+    c_g0 = (wsad(Pg0).astype(f) / 1024.0
+            + lam * (rbits(jnp.zeros_like(mres)) + rid_bits))
+    c_gm = wsad(Pgm).astype(f) / 1024.0 + lam * (rbits(mres) + rid_bits)
+    costs = jnp.stack([c_keep, c_g0, c_gm])
+    pick = jnp.argmin(costs, axis=0).astype(jnp.int32)
+    pick = jnp.where(has_gold > 0, pick, 0)
+    pick = jnp.where(veto, 0, pick)
+    rid4 = (pick > 0).astype(jnp.int32)
+    new32 = jnp.where((pick == 1)[..., None], 0, g_res[::4, ::4])
+    g_res = g_res.at[::4, ::4].set(new32)
+    grid = (g_res << mv_res).astype(jnp.int32)
+    return grid, g_res, rid4
+
+
 def _select_by_sb(preds, levels, sb):
     """Per-SB select between candidate planes.  Elementwise nested
     where, NOT take_along_axis: the gather form costs ~25 ms/frame at
@@ -273,17 +400,27 @@ def _dering_select(recs, orig_y, flags_thr, quantizer, xdecs):
 
 def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
                 pvq_qms, use_dering, emit_recon, bs_luma=1,
-                rate_refine=True):
+                rate_refine=True, multiref=False):
     """One P frame of the device encode: search -> level RDO ->
     decoder-exact mixed OBMC -> residual symbols -> recon [-> dering].
-    The reconstruction is carried as the next reference."""
+    The reconstruction is carried as the next reference.
+
+    multiref: carry a golden reference beside prev ({prev, gold} — the
+    reference's P-frame ref set, encode.c:3146-3175); per-frame flags
+    in xs drive the golden cadence, and the 32 px lattice may assign
+    vertices to gold (_gold_pass), fixing the re-quantization drift of
+    long prev-only chains."""
     import jax.numpy as jnp
 
     from ..ops.mc_jax import obmc_predict_jax
     from ..search.me_jax import pad_edge
 
-    ry, ru, rv = carry
-    cy, cu, cv = xs
+    if multiref:
+        ry, ru, rv, gy, gu, gv = carry
+        cy, cu, cv, is_gold, has_gold = xs
+    else:
+        ry, ru, rv = carry
+        cy, cu, cv = xs
     hc, wc = h // 2, w // 2
     from ..search.me_jax import (_down2, _refine_midpoints_jax,
                                  _upsample_grid, motion_search_jax)
@@ -368,10 +505,27 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
             lambda: _upsample_grid(g16))
         g_res = (grid >> mv_res).astype(jnp.int32)
         g = (g_res << mv_res).astype(jnp.int32)
+    if multiref:
+        # Golden substitution on the 32 px lattice, vetoed at vertices
+        # any level-1/2 superblock reads: those SBs' predictions (the
+        # p_lv1/p_lv2 passes, computed prev-only) stay bit-exact, so
+        # gold applies exactly under level-0/coarse64 geometry — the
+        # static regions where re-quantization drift lives.
+        lvf = (levels == 1) | (levels == 2)
+        lp = jnp.pad(lvf, 1, constant_values=False)
+        veto = (lp[:-1, :-1] | lp[1:, :-1] | lp[:-1, 1:] | lp[1:, 1:])
+        grid, g_res, rid4 = _gold_pass(cy, ry, gy, grid, g_res, mv_res,
+                                       quantizer, h, w, has_gold, veto)
+        g = (g_res << mv_res).astype(jnp.int32)
+        d4, rid8 = sim_rid_grids(rid4, levels)
+        refs_y = [ry, gy]
+    else:
+        rid4 = d4 = None
+        refs_y = [ry]
     # Decoder-exact final prediction: level-0 geometry reads the
     # simulated decoded stride-4 lattice.
     g4s = (_sim_stride4(g_res, levels) << mv_res).astype(jnp.int32)
-    p0 = obmc_predict_jax([ry], PAD, h, w, g4s, 5)
+    p0 = obmc_predict_jax(refs_y, PAD, h, w, g4s, 5, ref_ids=d4)
     need1 = jnp.any(blend == 1)
     need2 = jnp.any(blend == 2)
     # Fallback zeros are DERIVED from the (varying) reference so both
@@ -395,8 +549,13 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     # U and V ride one vmapped pass per level (same grid, same
     # geometry: better lane utilization than two separate passes).
     ruv = jnp.stack([ru, rv])
-    uv0 = _jax.vmap(lambda r: obmc_predict_jax(
-        [r], PAD, hc, wc, g4s >> 1, 4))(ruv)
+    if multiref:
+        guv = jnp.stack([gu, gv])
+        uv0 = _jax.vmap(lambda r, gg: obmc_predict_jax(
+            [r, gg], PAD, hc, wc, g4s >> 1, 4, ref_ids=d4))(ruv, guv)
+    else:
+        uv0 = _jax.vmap(lambda r: obmc_predict_jax(
+            [r], PAD, hc, wc, g4s >> 1, 4))(ruv)
     uv1 = _jax.lax.cond(
         need1,
         lambda: _jax.vmap(lambda r: obmc_predict_jax(
@@ -432,7 +591,17 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     r8y = jnp.clip(((rec_y + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
     r8u = jnp.clip(((rec_u + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
     r8v = jnp.clip(((rec_v + 8) >> 4) + 128, 0, 255).astype(jnp.uint8)
-    carry = (pad_edge(r8y, PAD), pad_edge(r8u, PAD), pad_edge(r8v, PAD))
+    py_, pu_, pv_ = (pad_edge(r8y, PAD), pad_edge(r8u, PAD),
+                     pad_edge(r8v, PAD))
+    if multiref:
+        # FT_GOLDEN frames refresh the golden reference (decoder
+        # rotation, pipeline/inter.DecoderSession._rotate).
+        gy2 = jnp.where(is_gold > 0, py_, gy)
+        gu2 = jnp.where(is_gold > 0, pu_, gu)
+        gv2 = jnp.where(is_gold > 0, pv_, gv)
+        carry = (py_, pu_, pv_, gy2, gu2, gv2)
+    else:
+        carry = (py_, pu_, pv_)
     check = (jnp.sum(r8y.astype(jnp.int32)) & 0xffffff) \
         + (jnp.sum(r8u.astype(jnp.int32)) & 0xffffff) \
         + (jnp.sum(r8v.astype(jnp.int32)) & 0xffffff)
@@ -441,18 +610,25 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         "dc": (dc_y, dc_u, dc_v), "qg": (qg_y, qg_u, qg_v),
         "y": (y_y, y_u, y_v), "check": check,
     }
+    if multiref:
+        outs["rid4"] = rid4
     if emit_recon:
         outs["recon"] = (r8y, r8u, r8v)
     return carry, outs
 
 
 def make_device_chunk_fn(h, w, quantizer, use_dering=True,
-                         emit_recon=False, qm_flat=False, bs_luma=1):
+                         emit_recon=False, qm_flat=False, bs_luma=1,
+                         multiref=False):
     """Jit the chunked device encode for one frame geometry.  Returns
     fn(ys (T,h,w) u8, us, vs, ref_y (h+160, w+160) u8, ref_u, ref_v)
     -> (carry, outs) with every out stacked over T.  Runs (and must be
     called) under jax.enable_x64 — the integer synthesis is specified
-    in int64."""
+    in int64.
+
+    multiref: fn additionally takes (gold_y, gold_u, gold_v, is_gold
+    (T,) int32, has_gold (T,) int32) and carries the golden reference
+    ({prev, gold} P frames, FT_GOLDEN cadence driven by the flags)."""
     import jax
 
     from ..core.quant import QM8_FLAT
@@ -476,11 +652,18 @@ def make_device_chunk_fn(h, w, quantizer, use_dering=True,
                    qm_invs=qmis, pvq_qms=pvq_qms,
                    use_dering=bool(use_dering),
                    emit_recon=bool(emit_recon), bs_luma=int(bs_luma),
-                   rate_refine=rr)
+                   rate_refine=rr, multiref=bool(multiref))
 
-    def fn(ys, us, vs, ref_y, ref_u, ref_v):
-        carry0 = (ref_y, ref_u, ref_v)
-        return jax.lax.scan(body, carry0, (ys, us, vs))
+    if multiref:
+        def fn(ys, us, vs, ref_y, ref_u, ref_v, gold_y, gold_u,
+               gold_v, is_gold, has_gold):
+            carry0 = (ref_y, ref_u, ref_v, gold_y, gold_u, gold_v)
+            return jax.lax.scan(body, carry0,
+                                (ys, us, vs, is_gold, has_gold))
+    else:
+        def fn(ys, us, vs, ref_y, ref_u, ref_v):
+            carry0 = (ref_y, ref_u, ref_v)
+            return jax.lax.scan(body, carry0, (ys, us, vs))
 
     with jax.enable_x64(True):
         return jax.jit(fn)
@@ -957,13 +1140,41 @@ def _device_pre(info, syms, bs_luma=1):
     return pre
 
 
+def _sim_rid_grids_np(rid4, levels):
+    """Host twin of sim_rid_grids: expand the coded 32 px rid lattice
+    to the full fine grid with the decoder's fill inheritance."""
+    rid4 = np.asarray(rid4, dtype=np.int32)
+    levels = np.asarray(levels, dtype=np.int32)
+
+    def up(r):
+        ny, nx = r.shape
+        u = np.zeros((2 * ny - 1, 2 * nx - 1), dtype=r.dtype)
+        u[::2, ::2] = r
+        u[::2, 1::2] = r[:, :-1]
+        u[1::2, ::2] = r[:-1, :]
+        u[1::2, 1::2] = r[:-1, :-1]
+        return u
+
+    u = up(rid4[::2, ::2])
+    s = np.where(levels == 3, 8, 4 >> np.minimum(levels, 2))
+    sp = np.pad(s, 1, mode="edge")
+    req = np.minimum(np.minimum(sp[:-1, :-1], sp[1:, :-1]),
+                     np.minimum(sp[:-1, 1:], sp[1:, 1:]))
+    d4 = np.where(req <= 4, rid4, u)
+    return up(up(d4))
+
+
 def pack_device_frame(info, cq, grid, levels, syms, dflags,
                       use_dering=True, tiles=1, tile_workers=None,
-                      bs_luma=1):
+                      bs_luma=1, rid4=None):
     """Range-code one device-encoded P frame into a standard dres-mode
     packet (exact _code_inter_packet layout: per-plane quantizers in
     tile 0, MV mesh, coefficient walk, dering flags — each tile's rows
     in its own entropy stream).
+
+    rid4: the device's 32 px-lattice golden assignments — when given
+    the mesh is coded with nrefs=2 ({prev, gold} ref-id symbols per
+    coded vertex, fine vertices inheriting per fill_stride).
 
     tiles > 1 splits the SB rows into independent per-tile streams
     (tiles.tile_rows), and tile_workers threads the native walks: the
@@ -984,8 +1195,13 @@ def pack_device_frame(info, cq, grid, levels, syms, dflags,
     for _ in range(info.nplanes):
         ecs[0].encode_uint(cq, N_CODED_QUANTIZERS)
     truth = np.asarray(grid, dtype=np.int64)
-    rids = np.zeros(truth.shape[:2], dtype=np.int32)
-    _code_mesh(ecs, mvctxs, bounds, info, 1, True, truth=truth,
+    if rid4 is None:
+        nrefs = 1
+        rids = np.zeros(truth.shape[:2], dtype=np.int32)
+    else:
+        nrefs = 2
+        rids = _sim_rid_grids_np(rid4, levels)
+    _code_mesh(ecs, mvctxs, bounds, info, nrefs, True, truth=truth,
                truth_rids=rids, levels=np.asarray(levels, np.int32),
                quantizer=quantizer)
     states = _tile_states(info.nplanes, quantizer, False, len(bounds),
@@ -1044,7 +1260,8 @@ class DeviceEncoderSession:
     def __init__(self, info, quality=None, use_dering=True, chunk=8,
                  keyframe_rate=None, emit_recon=False,
                  gray_start=False, key=None, pack_tiles=None,
-                 pack_workers=None, config=None, bs_luma=None):
+                 pack_workers=None, config=None, bs_luma=None,
+                 multiref=None):
         # config: a core.config.EncoderConfig — the same unified object
         # EncoderSession consumes.  Device-relevant fields (quality,
         # use_dering, qm, chunk, gray_gop, keyframe_rate) are honored;
@@ -1111,10 +1328,23 @@ class DeviceEncoderSession:
             bs_luma = (1 if self.quantizer < 120
                        else 2 if self.quantizer < 170 else 3)
         self.bs_luma = int(bs_luma)
+        # Multi-ref P: {prev, gold} reference set with FT_GOLDEN
+        # cadence (encode.c:3146-3175 rotation) — fixes the
+        # re-quantization drift of long prev-only chains at coarse
+        # quantizers (RDCOMP.md round-4 q38 chain decay).
+        if multiref is None:
+            import os as _os
+
+            multiref = _os.environ.get("DTPU_DEV_MULTIREF", "1") \
+                not in ("0", "false")
+        self.multiref = bool(multiref)
+        self._since_golden = 0
+        self._prev_was_anchor = True
         self._fn = make_device_chunk_fn(
             info.frame_height, info.frame_width, self.quantizer,
             use_dering=self.use_dering, emit_recon=self.emit_recon,
-            qm_flat=self._qm_flat, bs_luma=self.bs_luma)
+            qm_flat=self._qm_flat, bs_luma=self.bs_luma,
+            multiref=self.multiref)
 
     # -- internals -------------------------------------------------------
 
@@ -1185,6 +1415,36 @@ class DeviceEncoderSession:
                 for p in range(3))
         return d
 
+    def _full_carry(self, c3):
+        """Seed the scan carry from a 3-plane reference: multiref
+        duplicates it as the initial golden (key/gray anchors seed
+        both prev and gold at the decoder too)."""
+        return tuple(c3) + tuple(c3) if self.multiref else tuple(c3)
+
+    def _chunk_flags(self, n):
+        """Per-frame (ftype, is_gold, has_gold) for the next n P
+        frames, advancing the golden cadence (GOLDEN_INTERVAL, the
+        OD_GOLDEN_FRAME_INTERVAL role).  has_gold mirrors the decoder:
+        gold is a distinct reference exactly when the previous coded
+        frame was not an anchor."""
+        from .inter import FT_GOLDEN, FT_P, GOLDEN_INTERVAL
+
+        ftypes = []
+        is_gold = np.zeros(n, dtype=np.int32)
+        has_gold = np.zeros(n, dtype=np.int32)
+        for t in range(n):
+            has_gold[t] = 0 if self._prev_was_anchor else 1
+            self._since_golden += 1
+            if self._since_golden >= GOLDEN_INTERVAL:
+                self._since_golden = 0
+                self._prev_was_anchor = True
+                is_gold[t] = 1
+                ftypes.append(FT_GOLDEN)
+            else:
+                self._prev_was_anchor = False
+                ftypes.append(FT_P)
+        return ftypes, is_gold, has_gold
+
     def _run_chunk(self, frames):
         import jax
         import jax.numpy as jnp
@@ -1198,6 +1458,16 @@ class DeviceEncoderSession:
                 [pad_plane(f[pli], w, h) for f in frames]))
 
         ys, us, vs = _stack(0), _stack(1), _stack(2)
+        if self.multiref:
+            ftypes, is_gold, has_gold = self._chunk_flags(len(frames))
+            with jax.enable_x64(True):
+                carry, outs = self._fn(ys, us, vs, *self._carry,
+                                       jnp.asarray(is_gold),
+                                       jnp.asarray(has_gold))
+            self._carry = carry
+            outs["_ftypes"] = ftypes
+            outs["_has_gold"] = has_gold
+            return outs
         with jax.enable_x64(True):
             carry, outs = self._fn(ys, us, vs, *self._carry)
         self._carry = carry
@@ -1212,18 +1482,25 @@ class DeviceEncoderSession:
         yys = [np.asarray(a) for a in outs["y"]]
         recs = ([tuple(np.asarray(a) for a in outs["recon"])]
                 if "recon" in outs else None)
+        ftypes = outs.get("_ftypes")
+        has_gold = outs.get("_has_gold")
+        rid4s = (np.asarray(outs["rid4"]) if "rid4" in outs else None)
         pkts = []
         for t in range(n):
             syms = {"dc": [d[t] for d in dcs],
                     "qg": [q[t] for q in qgs],
                     "y": [yv[t] for yv in yys]}
+            rid4 = (rid4s[t] if rid4s is not None and has_gold is not None
+                    and has_gold[t] else None)
             data = pack_device_frame(self.info, self.quality, grid[t],
                                      levels[t], syms, dflags[t],
                                      self.use_dering,
                                      tiles=self.pack_tiles,
                                      tile_workers=self.pack_workers,
-                                     bs_luma=self.bs_luma)
-            d = {"data": data, "ftype": 3, "display_order": idx0 + t,
+                                     bs_luma=self.bs_luma, rid4=rid4)
+            ftype = ftypes[t] if ftypes is not None else 3
+            d = {"data": data, "ftype": ftype,
+                 "display_order": idx0 + t,
                  "use_haar": False, "dres": True}
             if recs is not None:
                 d["recon"] = tuple(
@@ -1259,16 +1536,21 @@ class DeviceEncoderSession:
         idx = 0
         while idx < len(frames):
             gop_end = min(idx + self.keyframe_rate, len(frames))
+            # GOP anchors reset the golden cadence (keyframes are
+            # golden refreshes at the decoder's rotation).
+            self._since_golden = 0
+            self._prev_was_anchor = True
             if self.key == "gray":
-                self._carry = self._gray_carry()
+                self._carry = self._full_carry(self._gray_carry())
                 p0 = idx
             elif self.key == "device":
                 out.append(self._encode_key_device(frames[idx], idx))
+                self._carry = self._full_carry(self._carry)
                 p0 = idx + 1
             else:
                 key_pkt, rec = self._encode_key(frames[idx], idx)
                 out.append(key_pkt)
-                self._carry = self._seed_carry(rec)
+                self._carry = self._full_carry(self._seed_carry(rec))
                 p0 = idx + 1
             first_p = p0 if self.key == "gray" else None
             pending = None   # (outs, nframes, first_display_idx)

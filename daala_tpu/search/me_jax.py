@@ -455,12 +455,12 @@ def _hat32():
     return (a[:, None] * a[None, :]).astype(np.int32)
 
 
-def _mv_bits_j(d, f):
-    """Generic-model-shaped MV bits of a res-domain delta component —
-    twin of native mv_bits_c (fitted constants, see _code_mesh_pass)."""
-    a = jnp.abs(d).astype(f)
-    return jnp.where(d == 0, f(0.8), f(1.9) + f(1.35)
-                     * jnp.log2(f(1.0) + a))
+def _mv_bits_j(d, f, tab):
+    """Generic-model MV bits of a res-domain delta component: lookup
+    into the model-derived cost table (search/mvcost.py) — twin of
+    native mv_bits_tab, identical entries by construction."""
+    a = jnp.minimum(jnp.abs(d), tab.shape[0] - 1)
+    return tab[a].astype(f)
 
 
 def _med3_j(a, b, c):
@@ -550,18 +550,29 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
     nvy, nvx = (h >> 5) + 1, (w >> 5) + 1
     maxv = (1 << bitdepth) - 1
     if lam is None:
-        lam = (float(_os.environ.get("DTPU_REFINE_LAM", 2.0))
+        lam = (float(_os.environ.get("DTPU_REFINE_LAM", 1.0))
                * max(1, quantizer) / 16.0)
     iters = int(_os.environ.get("DTPU_REFINE_ITERS", iters))
     if iters <= 0:
         return g
     f = jnp.float64 if exact_bits else jnp.float32
+    from .mvcost import mv_cost_table
+
+    # f-typed so the exact_bits CPU parity path reads the very doubles
+    # the C++ walk reads (TPU runs the f32 cast of the same table).
+    tab = jnp.asarray(mv_cost_table(), dtype=f)
     steps = tuple(int(s) << mv_res for s in (8, 4, 2))
-    sp = (max(steps) + 7) >> 3          # candidate full-pel reach
+    # Per-iteration movement cap (eighth-pel): all step passes of one
+    # iteration reuse ONE fetched window per color, so the candidate
+    # walk may not leave it.  The cap equals the maximum possible
+    # drift (sum of steps), so it only rejects candidates the window
+    # cannot serve — mirrored exactly in the C++ twin.
+    CAP = sum(steps)
+    M = (CAP + 7) >> 3                  # window margin, full pels
     hat = jnp.asarray(_hat32())
     hatc = hat[:, :, None]
     E = 48
-    K = 69 + 2 * sp
+    K = 69 + 2 * M
     Kp = 69
     pe = jnp.pad(refp8, E, mode="edge")
 
@@ -607,51 +618,42 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
                        cy0, cx0, R, C, S)
         return S
 
-    def color_pass(g, P, S, st, cy0, cx0, vys, vxs):
+    def _ctx(color):
+        cy0, cx0, vys, vxs = color
         R, C = len(vys), len(vxs)
-        N = R * C
         VY = jnp.asarray(np.broadcast_to(vys[:, None], (R, C)))
         VX = jnp.asarray(np.broadcast_to(vxs[None, :], (R, C)))
-        mv = g[cy0::2, cx0::2]              # (R, C, 2)
-        snapres = (g >> mv_res).astype(jnp.int32)
         st_lat = 2 if (cy0 == 0 and cx0 == 0) else 1
         self_w = 1.0 if st_lat == 2 else 0.5
-        spred = _mesh_pred_j(snapres, VY, VX, st_lat)    # (R, C, 2)
-
-        # -- candidate windows (one banded fetch serves the 4 step
-        # directions; the predictor candidate gets its own fetch) ----
-        anchor = (mv >> 3) - sp
         posy = (vys.astype(np.int64) * 32 + 30 + E).astype(np.int32)
         posx = (vxs.astype(np.int64) * 32 + 30 + E).astype(np.int32)
-        iy = jnp.asarray(posy)[:, None] + anchor[..., 0]
-        ix = jnp.asarray(posx)[None, :] + anchor[..., 1]
-        rb = [int(p) - 60 - sp for p in posy]
-        win = _banded_windows(pe, rb, iy, ix, K, K + 121 + 2 * sp) \
-            .reshape(N, K, K).transpose(1, 2, 0)
-        base_rel = mv - (anchor << 3)       # (R, C, 2)
+        return (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx,
+                _REFINE_DEPS[(cy0, cx0)])
 
-        pmv = (spred << mv_res).astype(jnp.int32)        # predictor cand
-        ap = pmv >> 3
-        iy2 = jnp.asarray(posy)[:, None] + ap[..., 0]
-        ix2 = jnp.asarray(posx)[None, :] + ap[..., 1]
-        rb2 = [int(p) - 60 for p in posy]
-        winp = _banded_windows(pe, rb2, iy2, ix2, Kp, Kp + 121) \
-            .reshape(N, Kp, Kp).transpose(1, 2, 0)
+    ctxs = [_ctx(c) for c in colors]
 
-        # -- regions ---------------------------------------------------
+    def _pass(g, P, S, ctx, mk_cands):
+        """One colored accept pass: mk_cands(mv, spred, ctx) returns
+        (cands, patches, extra_ok) — candidate 0 is the incumbent (its
+        patch is Pcur, so ties keep it, matching the C++ strict <)."""
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps) = ctx
+        N = R * C
+        mv = g[cy0::2, cx0::2]              # (R, C, 2)
+        snapres = (g >> mv_res).astype(jnp.int32)
+        spred = _mesh_pred_j(snapres, VY, VX, st_lat)    # (R, C, 2)
+
         Sreg = _region(S, cy0, cx0, R, C)
         curreg = _region(cur_pad, cy0, cx0, R, C)
         maskreg = _region(mask_pad, cy0, cx0, R, C)
         Pcur = P[cy0::2, cx0::2].transpose(2, 3, 0, 1).reshape(64, 64, N)
         S_f = Sreg - hatc * Pcur
 
-        deps = _REFINE_DEPS[(cy0, cx0)]
-
         def rate_of(cmv):
             """(R, C) rate of candidate cmv (eighth-pel, (R,C,2))."""
             cres = cmv >> mv_res
-            r = self_w * (_mv_bits_j(cres[..., 0] - spred[..., 0], f)
-                          + _mv_bits_j(cres[..., 1] - spred[..., 1], f))
+            r = self_w * (_mv_bits_j(cres[..., 0] - spred[..., 0], f, tab)
+                          + _mv_bits_j(cres[..., 1] - spred[..., 1], f,
+                                       tab))
             ov = (VY, VX, cres)
             for (dy, dx, dst, dw) in deps:
                 uy, ux = VY + dy, VX + dx
@@ -659,8 +661,8 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
                 dp = _mesh_pred_j(snapres, uy, ux, dst, ov=ov)
                 uval = snapres[jnp.clip(uy, 0, nvy - 1),
                                jnp.clip(ux, 0, nvx - 1)]
-                db = (_mv_bits_j(uval[..., 0] - dp[..., 0], f)
-                      + _mv_bits_j(uval[..., 1] - dp[..., 1], f))
+                db = (_mv_bits_j(uval[..., 0] - dp[..., 0], f, tab)
+                      + _mv_bits_j(uval[..., 1] - dp[..., 1], f, tab))
                 r = r + dw * jnp.where(ok, db, f(0.0))
             return r
 
@@ -668,39 +670,27 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
             blend = jnp.clip((S_f + hatc * patch + 512) >> 10, 0, maxv)
             return (jnp.abs(curreg - blend) * maskreg).sum((0, 1))
 
-        def cost_of(cmv, patch):
+        def cost_of(cmv, patch, ok_extra=None):
             s = sad_of(patch).astype(jnp.int64)
             r = (f(lam) * rate_of(cmv)).astype(jnp.int64).reshape(-1)
             okr = ((jnp.abs(cmv[..., 0]) <= 480)
-                   & (jnp.abs(cmv[..., 1]) <= 480)).reshape(-1)
-            return jnp.where(okr, s + r, jnp.int64(1) << 62)
+                   & (jnp.abs(cmv[..., 1]) <= 480))
+            if ok_extra is not None:
+                okr = okr & ok_extra
+            return jnp.where(okr.reshape(-1), s + r, jnp.int64(1) << 62)
 
-        cands = [mv]
-        patches = [Pcur]
-        for (dy, dx) in ((st, 0), (-st, 0), (0, st), (0, -st)):
-            cmv = mv + jnp.asarray((dy, dx), jnp.int32)
-            rel = base_rel + jnp.asarray((dy, dx), jnp.int32)
-            pc = _interp_rel(win, rel[..., 0].reshape(-1),
-                             rel[..., 1].reshape(-1), 64, bitdepth)
-            cands.append(cmv)
-            patches.append(pc)
-        relp = pmv - (ap << 3)
-        pp = _interp_rel(winp, relp[..., 0].reshape(-1),
-                         relp[..., 1].reshape(-1), 64, bitdepth)
-        cands.append(pmv)
-        patches.append(pp)
-
-        costs = jnp.stack([cost_of(c, p)
-                           for c, p in zip(cands, patches)])  # (6, N)
+        cands, patches, oks = mk_cands(mv, Pcur, spred, ctx)
+        nc = len(cands)
+        costs = jnp.stack([cost_of(c, p, o)
+                           for c, p, o in zip(cands, patches, oks)])
         pick = jnp.argmin(costs, axis=0)                      # (N,)
-        cst = jnp.stack([c.reshape(-1, 2) for c in cands])    # (6, N, 2)
+        cst = jnp.stack([c.reshape(-1, 2) for c in cands])
         best_mv = jnp.take_along_axis(
             cst, pick[None, :, None], axis=0)[0].reshape(R, C, 2)
-        pstack = jnp.stack(patches)                     # (6, 64, 64, N)
         best_p = patches[0]
-        for ci in range(1, 6):
+        for ci in range(1, nc):
             best_p = jnp.where(pick[None, None, :] == ci,
-                               pstack[ci], best_p)
+                               patches[ci], best_p)
 
         g = g.at[cy0::2, cx0::2].set(best_mv)
         P = P.at[cy0::2, cx0::2].set(
@@ -708,16 +698,74 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         S = _place(S_f + hatc * best_p, cy0, cx0, R, C, S)
         return g, P, S
 
+    def _jump_cands(mv, Pcur, spred, ctx):
+        """Predictor-jump candidates: {incumbent, coding-order median
+        predictor} — the joint MV/rate move that matters at coarse
+        lambda, evaluated once per iteration (its window is anchored at
+        the predictor itself, so it needs its own fetch)."""
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps) = ctx
+        N = R * C
+        pmv = (spred << mv_res).astype(jnp.int32)
+        ap = pmv >> 3
+        iy2 = jnp.asarray(posy)[:, None] + ap[..., 0]
+        ix2 = jnp.asarray(posx)[None, :] + ap[..., 1]
+        rb2 = [int(p) - 60 for p in posy]
+        winp = _banded_windows(pe, rb2, iy2, ix2, Kp, Kp + 121) \
+            .reshape(N, Kp, Kp).transpose(1, 2, 0)
+        relp = pmv - (ap << 3)
+        pp = _interp_rel(winp, relp[..., 0].reshape(-1),
+                         relp[..., 1].reshape(-1), 64, bitdepth)
+        return [mv, pmv], [Pcur, pp], [None, None]
+
+    def _fetch_win(g0, ctx):
+        """One candidate window per vertex per iteration, anchored at
+        the post-jump lattice; every step pass of the iteration
+        interpolates its candidates from it (the CAP rule keeps them
+        inside)."""
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps) = ctx
+        N = R * C
+        mv0 = g0[cy0::2, cx0::2]
+        anchor = (mv0 >> 3) - M
+        iy = jnp.asarray(posy)[:, None] + anchor[..., 0]
+        ix = jnp.asarray(posx)[None, :] + anchor[..., 1]
+        rb = [int(p) - 60 - M for p in posy]
+        win = _banded_windows(pe, rb, iy, ix, K, K + 121) \
+            .reshape(N, K, K).transpose(1, 2, 0)
+        return win, anchor, mv0
+
+    def _dir_cands(st, win, anchor, mv0):
+        def mk(mv, Pcur, spred, ctx):
+            cands, patches, oks = [mv], [Pcur], [None]
+            for (dy, dx) in ((st, 0), (-st, 0), (0, st), (0, -st)):
+                cmv = mv + jnp.stack(
+                    [jnp.asarray(dy, jnp.int32),
+                     jnp.asarray(dx, jnp.int32)])
+                rel = cmv - (anchor << 3)
+                pc = _interp_rel(win, rel[..., 0].reshape(-1),
+                                 rel[..., 1].reshape(-1), 64, bitdepth)
+                ok = ((jnp.abs(cmv[..., 0] - mv0[..., 0]) <= CAP)
+                      & (jnp.abs(cmv[..., 1] - mv0[..., 1]) <= CAP))
+                cands.append(cmv)
+                patches.append(pc)
+                oks.append(ok)
+            return cands, patches, oks
+        return mk
+
     S = _build_S()
+    steps_arr = jnp.asarray(np.asarray(steps, np.int32))
+    for _ in range(iters):
+        for ctx in ctxs:
+            g, P, S = _pass(g, P, S, ctx, _jump_cands)
+        wins = [_fetch_win(g, ctx) for ctx in ctxs]
 
-    def sweep(carry, st):
-        g, P, S = carry
-        for (cy0, cx0, vys, vxs) in colors:
-            g, P, S = color_pass(g, P, S, st, cy0, cx0, vys, vxs)
-        return (g, P, S), None
+        def sweep(carry, st):
+            g, P, S = carry
+            for ctx, (win, anchor, mv0) in zip(ctxs, wins):
+                g, P, S = _pass(g, P, S, ctx,
+                                _dir_cands(st, win, anchor, mv0))
+            return (g, P, S), None
 
-    steps_arr = jnp.asarray(np.tile(np.asarray(steps, np.int32), iters))
-    (g, P, S), _ = jax.lax.scan(sweep, (g, P, S), steps_arr)
+        (g, P, S), _ = jax.lax.scan(sweep, (g, P, S), steps_arr)
     return g
 
 

@@ -3591,14 +3591,15 @@ inline void mesh_pred_c(const int64_t* g4, int nvy, int nvx, int vy,
   *px = med_component(cx, nn);
 }
 
-// Generic-model-shaped MV bits for one coded delta component in the
-// MV-resolution domain (the magnitude ~log-cost of generic_encode with
-// an adapted small expectation + the sign bit; measured-fit constants,
-// see _code_mesh_pass).
-inline double mv_bits_c(int64_t d) {
-  if (d == 0) return 0.8;
-  double a = (double)(d < 0 ? -d : d);
-  return 1.9 + 1.35 * std::log2(1.0 + a);
+// Generic-model MV bits for one coded delta component in the
+// MV-resolution domain: table lookup into the model-derived cost
+// table (search/mvcost.py — actual generic-coder bits at a canonical
+// adapted state, sign bit included), shared verbatim with the jax
+// twin so both refinements make identical rate decisions.
+inline double mv_bits_tab(int64_t d, const double* tab, int ntab) {
+  int64_t a = d < 0 ? -d : d;
+  if (a >= ntab) a = ntab - 1;
+  return tab[a];
 }
 
 }  // namespace
@@ -3608,7 +3609,7 @@ extern "C" void dtpu_obmc_refine(
     int pad, const uint8_t* cur, int h, int w,
     int64_t* g4 /* (nvy, nvx, 2) */, const int32_t* rids,
     const int64_t* steps, int nsteps, int iters, int bitdepth,
-    double lam, int mv_res) {
+    double lam, int mv_res, const double* mvtab, int ntab) {
   if (elem != 1) return;  // 8-bit path (high depth falls back)
   int nvy = (h >> 5) + 1, nvx = (w >> 5) + 1;
   int nby = h >> 5, nbx = w >> 5;
@@ -3658,9 +3659,21 @@ extern "C" void dtpu_obmc_refine(
   // blocks adjacent to vertex (vy,vx) and which corner the vertex is.
   static const int bdy[4] = {-1, -1, 0, 0}, bdx[4] = {-1, 0, 0, -1};
   static const int bc[4] = {2, 3, 0, 1};  // vertex's corner role: BR,BL,TL,TR
+  int64_t cap = 0;
+  for (int si = 0; si < nsteps; si++) cap += steps[si];
+  std::vector<int64_t> g0((size_t)nvy * nvx * 2);
   for (int it = 0; it < iters; it++) {
-    for (int si = 0; si < nsteps; si++) {
-      int64_t st = steps[si];
+    // si == -1: predictor-jump phase — the coding-order median
+    // predictor as the sole candidate, evaluated once per iteration.
+    // si >= 0: the step passes, with per-vertex movement capped to
+    // `cap` (= sum of steps: only candidates the walk could not reach
+    // anyway are rejected) around the post-jump lattice g0, so the
+    // jax twin can serve every step candidate of the iteration from
+    // ONE window fetch per color (search/me_jax.refine_lattice_jax).
+    for (int si = -1; si < nsteps; si++) {
+      int64_t st = si < 0 ? 0 : steps[si];
+      if (si == 0)
+        std::copy(g4, g4 + (size_t)nvy * nvx * 2, g0.begin());
       const int64_t cand[4][2] = {
           {st, 0}, {-st, 0}, {0, st}, {0, -st}};
       // Distance-2 colored Jacobi-within-color sweeps: same-color
@@ -3716,7 +3729,7 @@ extern "C" void dtpu_obmc_refine(
           // m is an eighth-pel multiple of 1 << res; pred is already
           // in the res domain.
           auto delta_bits = [&](int64_t m, int64_t pred) -> double {
-            return mv_bits_c((m >> res_sh) - pred);
+            return mv_bits_tab((m >> res_sh) - pred, mvtab, ntab);
           };
           auto rate_of = [&](int64_t my, int64_t mx) -> double {
             // The candidate is passed by value into the dependents'
@@ -3768,11 +3781,15 @@ extern "C" void dtpu_obmc_refine(
           int64_t best = eval(mv[0], mv[1], 0);
           int64_t bmy = mv[0], bmx = mv[1];
           int moved = 0;
+          const int64_t* v0 = g0.data() + ((int64_t)vy * nvx + vx) * 2;
           for (int ci = 0; ci < 5; ci++) {
             int64_t my, mx;
+            if (si < 0 ? ci != 4 : ci == 4) continue;
             if (ci < 4) {
               my = mv[0] + cand[ci][0];
               mx = mv[1] + cand[ci][1];
+              if (my - v0[0] > cap || v0[0] - my > cap
+                  || mx - v0[1] > cap || v0[1] - mx > cap) continue;
             } else {
               // The coding-order predictor itself: a zero-delta MV is
               // nearly free — the joint MV/rate candidate that matters

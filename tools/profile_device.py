@@ -108,6 +108,18 @@ def main():
         g_res = (grid >> mv_res).astype(jnp.int32)
         g = (g_res << mv_res).astype(jnp.int32)
 
+        # --- rate-aware lattice refinement (RD path) ------------------------
+        if "refine" in stages or "all" in stages:
+            from daala_tpu.search.me_jax import refine_lattice_jax
+
+            refp8 = ry[16:16 + h + 128, 16:16 + w + 128]
+            g32 = jax.jit(lambda c, r: motion_search_jax(
+                c, r[64:64 + h, 64:64 + w], r, h, w, 5))(cy, ry)
+            g32 = ((g32 >> mv_res) << mv_res).astype(jnp.int32)
+            rf_fn = jax.jit(lambda c, r, gg: refine_lattice_jax(
+                c, r, gg, h, w, quantizer, mv_res=mv_res))
+            timeit(rf_fn, (cy, refp8, g32), name="refine_lattice (32px RD)")
+
         # --- OBMC candidates ----------------------------------------------
         ob1 = jax.jit(lambda r, gg: obmc_predict_jax([r], PAD, h, w,
                                                      gg, 4))
