@@ -432,21 +432,26 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
 
     cy2 = _down2(cy)
     ry2 = pad_edge(_down2(ry[PAD:PAD + h, PAD:PAD + w]), PAD)
+    import os as _os
+
+    levels_full = rate_refine and _os.environ.get(
+        "DTPU_DEV_LEVELS", "full") == "full"
     if rate_refine:
         # RD mode (the host pipeline's structure): rate-aware blend
         # refinement of the 32 px lattice (device twin of
         # dtpu_obmc_refine; snap to the coded MV resolution first,
-        # exactly as pipeline/inter.py does), then the midpoint
-        # refinements of the 16/8 px lattices BEFORE the level
-        # decision, so the level RDO scores the fine levels it would
-        # actually get — scoring them on dyadic-interpolated lattices
-        # starves the mesh (~90% coarse64 at q30) and pays the bits
-        # back in residual (RDCOMP.md round-4 decomposition).
+        # exactly as pipeline/inter.py does).
         from ..search.me_jax import refine_lattice_jax
 
         g32 = ((g32 >> mv_res) << mv_res).astype(jnp.int32)
         g32 = refine_lattice_jax(cy, refp8, g32, h, w, quantizer,
                                  mv_res=mv_res)
+    if levels_full:
+        # Then the midpoint refinements of the 16/8 px lattices BEFORE
+        # the level decision, so the level RDO scores the fine levels
+        # it would actually get — scoring them on dyadic-interpolated
+        # lattices starves the mesh (~90% coarse64 at q30) and pays
+        # the bits back in residual (RDCOMP.md round-4 decomposition).
         g16 = _refine_midpoints_jax(cy, refp8, _upsample_grid(g32),
                                     4, h, w)
         grid = _refine_midpoints_jax(cy, refp8, _upsample_grid(g16),
@@ -474,11 +479,12 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         gu = (gu_res << mv_res).astype(jnp.int32)
         c64 = (_interp_stride4(gu_res[::8, ::8] * 1)  # interp in res
                << mv_res).astype(jnp.int32)
-        # Fast mode: level decision (encoder choice) scored on
-        # 2x-DOWNSAMPLED blends of the UNREFINED (dyadic-interpolated)
-        # fine lattices: the midpoint refinement below then runs only
-        # when a fine level is actually selected (~10 ms/frame at
-        # 1080p otherwise).
+        # Gated mode (DTPU_DEV_LEVELS=half, or rate_refine off): level
+        # decision (encoder choice) scored on 2x-DOWNSAMPLED blends of
+        # the dyadic-interpolated fine lattices (built from the
+        # rate-refined 32 px lattice when rate_refine is on): the
+        # midpoint refinement below then runs only when a fine level
+        # is actually selected (~10 ms/frame at 1080p otherwise).
         half = []
         for (gg, bl) in ((gu[::4, ::4], 4), (gu[::2, ::2], 3), (gu, 2),
                          (c64, 4)):
@@ -531,7 +537,7 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     # Fallback zeros are DERIVED from the (varying) reference so both
     # cond branches carry the same varying type under shard_map.
     zy = (ry[0, 0] * 0).astype(jnp.uint8)
-    if not rate_refine:
+    if not levels_full:
         # The level-1/2 full-res passes run ONLY when some SB actually
         # selected that level (lax.cond: the fine-grid vertex-patch
         # OBMC is ~9 ms/frame at 1080p and levels stay coarse at

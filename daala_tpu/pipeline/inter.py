@@ -140,12 +140,12 @@ def _code_mesh_pass(ec, mvctx, wrk, wrids, truth, truth_rids, req, s,
     encoder's searched dense grid (None on the decoder)."""
     from ..entropy.adapt import decode_cdf_adapt, encode_cdf_adapt
 
-    if (nrefs == 1 and getattr(ec, "acct", None) is None
+    if (getattr(ec, "acct", None) is None
             and getattr(ec, "_h", None) is not None):
         from ..pvq.native_walk import mesh_pass_native
 
         if mesh_pass_native(ec, mvctx, wrk, truth, req, s, vspan,
-                            encoder, limit):
+                            encoder, limit, nrefs, wrids, truth_rids):
             return
 
     v0, v1 = vspan

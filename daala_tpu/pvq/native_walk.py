@@ -139,8 +139,9 @@ def _vp(a):
 
 
 def mesh_pass_native(ec, mvctx, wrk, truth, req, s, vspan, encoder,
-                     limit):
-    """Native twin of pipeline/inter.py _code_mesh_pass (single-ref).
+                     limit, nrefs=1, wrids=None, truth_rids=None):
+    """Native twin of pipeline/inter.py _code_mesh_pass (single- or
+    multi-ref: nrefs=2 also codes the per-vertex ref-id symbols).
     Returns False when the lib is unavailable (caller falls back)."""
     import os
 
@@ -151,7 +152,8 @@ def mesh_pass_native(ec, mvctx, wrk, truth, req, s, vspan, encoder,
         lib.dtpu_mesh_pass.argtypes = [
             c_void_p, c_int32, c_void_p, c_void_p, c_void_p, c_int32,
             c_int32, c_int32, c_int32, c_int32, c_void_p, c_int32,
-            c_void_p, c_int32]
+            c_void_p, c_int32, c_int32, c_void_p, c_void_p, c_void_p,
+            c_int32]
         lib.dtpu_mesh_pass.restype = c_int32
         lib._mesh_ready = True
     nvy, nvx = wrk.shape[:2]
@@ -164,11 +166,25 @@ def mesh_pass_native(ec, mvctx, wrk, truth, req, s, vspan, encoder,
     ex = np.array([mvctx.ex, mvctx.ey], dtype=np.int64)
     cdf = mvctx.model.cdf
     assert cdf.dtype == np.int32 and cdf.flags["C_CONTIGUOUS"]
+    if nrefs > 1:
+        assert wrids is not None and wrids.dtype == np.int32 \
+            and wrids.flags["C_CONTIGUOUS"]
+        if encoder:
+            trid = np.ascontiguousarray(truth_rids, dtype=np.int32)
+        else:
+            trid = wrids
+        rcdf = mvctx.ref_cdf
+        assert rcdf.dtype == np.int32 and rcdf.flags["C_CONTIGUOUS"]
+        rid_args = (_vp(wrids), _vp(trid), _vp(rcdf),
+                    int(mvctx.ref_increment))
+    else:
+        rid_args = (None, None, None, 0)
     v0, v1 = vspan
     err = lib.dtpu_mesh_pass(
         ec._h, int(bool(encoder)), _vp(wrk), _vp(truth), _vp(req),
         nvy, nvx, int(v0), int(v1), int(s), _vp(cdf),
-        int(mvctx.model.increment), _vp(ex), int(limit))
+        int(mvctx.model.increment), _vp(ex), int(limit), int(nrefs),
+        *rid_args)
     if not encoder and hasattr(ec, "error"):
         ec.error = ec.error or int(err)
     mvctx.ex = int(ex[0])

@@ -607,17 +607,6 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         return S.at[cy0 * 32:cy0 * 32 + R * 64,
                     cx0 * 32:cx0 * 32 + C * 64].set(img)
 
-    def _build_S():
-        S = jnp.zeros((h + 64, w + 64), dtype=jnp.int32)
-        for (cy0, cx0, vys, vxs) in colors:
-            R, C = len(vys), len(vxs)
-            pc = P[cy0::2, cx0::2]          # (R, C, 64, 64)
-            w_pc = (pc * hat[None, None]).transpose(2, 3, 0, 1) \
-                .reshape(64, 64, R * C)
-            S = _place(_region(S, cy0, cx0, R, C) + w_pc,
-                       cy0, cx0, R, C, S)
-        return S
-
     def _ctx(color):
         cy0, cx0, vys, vxs = color
         R, C = len(vys), len(vxs)
@@ -627,83 +616,101 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         self_w = 1.0 if st_lat == 2 else 0.5
         posy = (vys.astype(np.int64) * 32 + 30 + E).astype(np.int32)
         posx = (vxs.astype(np.int64) * 32 + 30 + E).astype(np.int32)
+        # cur/mask supports are loop-invariant: extracted once, closed
+        # over by every pass of every iteration.
+        curreg = _region(cur_pad, cy0, cx0, R, C)
+        maskreg = _region(mask_pad, cy0, cx0, R, C)
         return (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx,
-                _REFINE_DEPS[(cy0, cx0)])
+                _REFINE_DEPS[(cy0, cx0)], curreg, maskreg)
 
     ctxs = [_ctx(c) for c in colors]
 
-    def _pass(g, P, S, ctx, mk_cands):
-        """One colored accept pass: mk_cands(mv, spred, ctx) returns
-        (cands, patches, extra_ok) — candidate 0 is the incumbent (its
-        patch is Pcur, so ties keep it, matching the C++ strict <)."""
-        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps) = ctx
+    # Per-color channels-last patch tensors (64, 64, N): the scan
+    # carries these instead of the (nvy, nvx, 64, 64) array — the
+    # strided slice + transpose + scatter per pass were a large share
+    # of the pass time in the op trace.
+    Pcs = []
+    for (cy0, cx0, vys, vxs) in colors:
+        R, C = len(vys), len(vxs)
+        Pcs.append(P[cy0::2, cx0::2].transpose(2, 3, 0, 1)
+                   .reshape(64, 64, R * C))
+    del P
+
+    def _build_S(Pcs):
+        S = jnp.zeros((h + 64, w + 64), dtype=jnp.int32)
+        for ci, (cy0, cx0, vys, vxs) in enumerate(colors):
+            R, C = len(vys), len(vxs)
+            S = _place(_region(S, cy0, cx0, R, C) + hatc * Pcs[ci],
+                       cy0, cx0, R, C, S)
+        return S
+
+    def _pass(g, Pc, S, ctx, mk_cands):
+        """One colored accept pass: mk_cands returns STACKED candidate
+        MVs (nc, R, C, 2), patches (nc, 64, 64, N) and validity
+        (nc, R, C) — every candidate's SAD/rate rides one fused op.
+        Candidate 0 is the incumbent (patch = Pc), so argmin ties keep
+        it, matching the C++ strict <."""
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps,
+         curreg, maskreg) = ctx
         N = R * C
         mv = g[cy0::2, cx0::2]              # (R, C, 2)
         snapres = (g >> mv_res).astype(jnp.int32)
         spred = _mesh_pred_j(snapres, VY, VX, st_lat)    # (R, C, 2)
 
         Sreg = _region(S, cy0, cx0, R, C)
-        curreg = _region(cur_pad, cy0, cx0, R, C)
-        maskreg = _region(mask_pad, cy0, cx0, R, C)
-        Pcur = P[cy0::2, cx0::2].transpose(2, 3, 0, 1).reshape(64, 64, N)
-        S_f = Sreg - hatc * Pcur
+        S_f = Sreg - hatc * Pc
 
-        def rate_of(cmv):
-            """(R, C) rate of candidate cmv (eighth-pel, (R,C,2))."""
-            cres = cmv >> mv_res
-            r = self_w * (_mv_bits_j(cres[..., 0] - spred[..., 0], f, tab)
-                          + _mv_bits_j(cres[..., 1] - spred[..., 1], f,
-                                       tab))
-            ov = (VY, VX, cres)
-            for (dy, dx, dst, dw) in deps:
-                uy, ux = VY + dy, VX + dx
-                ok = (uy < nvy) & (ux >= 0) & (ux < nvx)
-                dp = _mesh_pred_j(snapres, uy, ux, dst, ov=ov)
-                uval = snapres[jnp.clip(uy, 0, nvy - 1),
-                               jnp.clip(ux, 0, nvx - 1)]
-                db = (_mv_bits_j(uval[..., 0] - dp[..., 0], f, tab)
-                      + _mv_bits_j(uval[..., 1] - dp[..., 1], f, tab))
-                r = r + dw * jnp.where(ok, db, f(0.0))
-            return r
+        cands, patches, ok = mk_cands(mv, Pc, spred, ctx)
+        cres = cands >> mv_res                           # (nc, R, C, 2)
+        rate = self_w * (
+            _mv_bits_j(cres[..., 0] - spred[..., 0][None], f, tab)
+            + _mv_bits_j(cres[..., 1] - spred[..., 1][None], f, tab))
+        ov = (VY, VX, cres)
+        for (dy, dx, dst, dw) in deps:
+            uy, ux = VY + dy, VX + dx
+            okd = (uy < nvy) & (ux >= 0) & (ux < nvx)
+            dp = _mesh_pred_j(snapres, uy, ux, dst, ov=ov)  # (nc,R,C,2)
+            uval = snapres[jnp.clip(uy, 0, nvy - 1),
+                           jnp.clip(ux, 0, nvx - 1)]
+            db = (_mv_bits_j(uval[None, ..., 0] - dp[..., 0], f, tab)
+                  + _mv_bits_j(uval[None, ..., 1] - dp[..., 1], f, tab))
+            rate = rate + dw * jnp.where(okd[None], db, f(0.0))
 
-        def sad_of(patch):
-            blend = jnp.clip((S_f + hatc * patch + 512) >> 10, 0, maxv)
-            return (jnp.abs(curreg - blend) * maskreg).sum((0, 1))
-
-        def cost_of(cmv, patch, ok_extra=None):
-            s = sad_of(patch).astype(jnp.int64)
-            r = (f(lam) * rate_of(cmv)).astype(jnp.int64).reshape(-1)
-            okr = ((jnp.abs(cmv[..., 0]) <= 480)
-                   & (jnp.abs(cmv[..., 1]) <= 480))
-            if ok_extra is not None:
-                okr = okr & ok_extra
-            return jnp.where(okr.reshape(-1), s + r, jnp.int64(1) << 62)
-
-        cands, patches, oks = mk_cands(mv, Pcur, spred, ctx)
-        nc = len(cands)
-        costs = jnp.stack([cost_of(c, p, o)
-                           for c, p, o in zip(cands, patches, oks)])
+        blend = jnp.clip((S_f[None] + hatc[None] * patches + 512) >> 10,
+                         0, maxv)
+        # int32 cost accumulation: SAD <= 64*64*255 and lam*rate <=
+        # ~60k bits-worth, so int32 is exact and orders identically to
+        # the C++ int64 total — int64 argmin lowers to a slow
+        # bitcast-reduce pair on TPU (op trace).
+        sad = (jnp.abs(curreg[None] - blend)
+               * maskreg[None]).sum((1, 2)).astype(jnp.int32)  # (nc, N)
+        okr = ((jnp.abs(cands[..., 0]) <= 480)
+               & (jnp.abs(cands[..., 1]) <= 480))
+        if ok is not None:
+            okr = okr & ok
+        rat = (f(lam) * rate).astype(jnp.int32).reshape(len(cands), N)
+        costs = jnp.where(okr.reshape(len(cands), N), sad + rat,
+                          jnp.int32(1) << 30)
         pick = jnp.argmin(costs, axis=0)                      # (N,)
-        cst = jnp.stack([c.reshape(-1, 2) for c in cands])
         best_mv = jnp.take_along_axis(
-            cst, pick[None, :, None], axis=0)[0].reshape(R, C, 2)
+            cands.reshape(-1, N, 2), pick[None, :, None],
+            axis=0)[0].reshape(R, C, 2)
         best_p = patches[0]
-        for ci in range(1, nc):
+        for ci in range(1, len(patches)):
             best_p = jnp.where(pick[None, None, :] == ci,
                                patches[ci], best_p)
 
         g = g.at[cy0::2, cx0::2].set(best_mv)
-        P = P.at[cy0::2, cx0::2].set(
-            best_p.reshape(64, 64, R, C).transpose(2, 3, 0, 1))
         S = _place(S_f + hatc * best_p, cy0, cx0, R, C, S)
-        return g, P, S
+        return g, best_p, S
 
-    def _jump_cands(mv, Pcur, spred, ctx):
+    def _jump_cands(mv, Pc, spred, ctx):
         """Predictor-jump candidates: {incumbent, coding-order median
         predictor} — the joint MV/rate move that matters at coarse
         lambda, evaluated once per iteration (its window is anchored at
         the predictor itself, so it needs its own fetch)."""
-        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps) = ctx
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps,
+         curreg, maskreg) = ctx
         N = R * C
         pmv = (spred << mv_res).astype(jnp.int32)
         ap = pmv >> 3
@@ -715,14 +722,15 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         relp = pmv - (ap << 3)
         pp = _interp_rel(winp, relp[..., 0].reshape(-1),
                          relp[..., 1].reshape(-1), 64, bitdepth)
-        return [mv, pmv], [Pcur, pp], [None, None]
+        return (jnp.stack([mv, pmv]), jnp.stack([Pc, pp]), None)
 
     def _fetch_win(g0, ctx):
         """One candidate window per vertex per iteration, anchored at
         the post-jump lattice; every step pass of the iteration
         interpolates its candidates from it (the CAP rule keeps them
         inside)."""
-        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps) = ctx
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps,
+         curreg, maskreg) = ctx
         N = R * C
         mv0 = g0[cy0::2, cx0::2]
         anchor = (mv0 >> 3) - M
@@ -734,38 +742,49 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         return win, anchor, mv0
 
     def _dir_cands(st, win, anchor, mv0):
-        def mk(mv, Pcur, spred, ctx):
-            cands, patches, oks = [mv], [Pcur], [None]
-            for (dy, dx) in ((st, 0), (-st, 0), (0, st), (0, -st)):
-                cmv = mv + jnp.stack(
-                    [jnp.asarray(dy, jnp.int32),
-                     jnp.asarray(dx, jnp.int32)])
-                rel = cmv - (anchor << 3)
-                pc = _interp_rel(win, rel[..., 0].reshape(-1),
-                                 rel[..., 1].reshape(-1), 64, bitdepth)
-                ok = ((jnp.abs(cmv[..., 0] - mv0[..., 0]) <= CAP)
-                      & (jnp.abs(cmv[..., 1] - mv0[..., 1]) <= CAP))
-                cands.append(cmv)
-                patches.append(pc)
-                oks.append(ok)
-            return cands, patches, oks
+        def mk(mv, Pc, spred, ctx):
+            (cy0, cx0, R, C) = ctx[:4]
+            N = R * C
+            offs = jnp.stack([
+                jnp.stack([st, jnp.int32(0)]),
+                jnp.stack([-st, jnp.int32(0)]),
+                jnp.stack([jnp.int32(0), st]),
+                jnp.stack([jnp.int32(0), -st])]).astype(jnp.int32)
+            cmv = mv[None] + offs[:, None, None, :]     # (4, R, C, 2)
+            # All 4 direction candidates ride ONE interpolation call:
+            # the shared window is tiled along the channel axis, so
+            # the 6-tap passes run 4x wider instead of 4x more often.
+            rel = (cmv - (anchor << 3)[None]).reshape(4 * N, 2)
+            pc = _interp_rel(jnp.tile(win, (1, 1, 4)), rel[:, 0],
+                             rel[:, 1], 64, bitdepth)
+            pc = jnp.moveaxis(pc.reshape(64, 64, 4, N), 2, 0)
+            okc = ((jnp.abs(cmv[..., 0] - mv0[None, ..., 0]) <= CAP)
+                   & (jnp.abs(cmv[..., 1] - mv0[None, ..., 1]) <= CAP))
+            cands = jnp.concatenate([mv[None], cmv])
+            patches = jnp.concatenate([Pc[None], pc])
+            ok = jnp.concatenate(
+                [jnp.ones((1, R, C), dtype=bool), okc])
+            return cands, patches, ok
         return mk
 
-    S = _build_S()
+    S = _build_S(Pcs)
     steps_arr = jnp.asarray(np.asarray(steps, np.int32))
     for _ in range(iters):
-        for ctx in ctxs:
-            g, P, S = _pass(g, P, S, ctx, _jump_cands)
+        for ci, ctx in enumerate(ctxs):
+            g, Pcs[ci], S = _pass(g, Pcs[ci], S, ctx, _jump_cands)
         wins = [_fetch_win(g, ctx) for ctx in ctxs]
 
         def sweep(carry, st):
-            g, P, S = carry
-            for ctx, (win, anchor, mv0) in zip(ctxs, wins):
-                g, P, S = _pass(g, P, S, ctx,
-                                _dir_cands(st, win, anchor, mv0))
-            return (g, P, S), None
+            g, P0, P1, P2, P3, S = carry
+            Ps = [P0, P1, P2, P3]
+            for ci, (ctx, (win, anchor, mv0)) in enumerate(
+                    zip(ctxs, wins)):
+                g, Ps[ci], S = _pass(g, Ps[ci], S, ctx,
+                                     _dir_cands(st, win, anchor, mv0))
+            return (g, Ps[0], Ps[1], Ps[2], Ps[3], S), None
 
-        (g, P, S), _ = jax.lax.scan(sweep, (g, P, S), steps_arr)
+        (g, Pcs[0], Pcs[1], Pcs[2], Pcs[3], S), _ = jax.lax.scan(
+            sweep, (g, Pcs[0], Pcs[1], Pcs[2], Pcs[3], S), steps_arr)
     return g
 
 

@@ -3857,7 +3857,9 @@ int dtpu_mesh_pass(void* ec, int encoder, int64_t* wrk,
                    const int64_t* truth, const int32_t* req,
                    int nvy, int nvx, int v0, int v1, int s,
                    int32_t* model_cdf, int model_inc, int64_t* ex,
-                   int limit) {
+                   int limit, int nrefs, int32_t* wrids,
+                   const int32_t* truth_rids, int32_t* ref_cdf,
+                   int ref_inc) {
   (void)nvy;
   int S = 2 * s;
   for (int vy = v0; vy < v1; vy += s) {
@@ -3865,6 +3867,26 @@ int dtpu_mesh_pass(void* ec, int encoder, int64_t* wrk,
       if (s != 8) {
         if ((vy - v0) % S == 0 && vx % S == 0) continue;
         if (req[(int64_t)vy * nvx + vx] > s) continue;
+      }
+      if (nrefs > 1) {
+        // Per-vertex ref-id symbol, neighbor-majority context
+        // (_code_mesh_pass; the mv_ref_cdf role, state.c:602).
+        int nb = 0, sum = 0;
+        if (vx >= s) { sum += wrids[(int64_t)vy * nvx + vx - s]; nb++; }
+        if (vy - s >= v0) {
+          sum += wrids[(int64_t)(vy - s) * nvx + vx]; nb++;
+        }
+        int rp = (nb && sum * 2 > nb) ? 1 : 0;
+        if (encoder) {
+          int rid = truth_rids[(int64_t)vy * nvx + vx];
+          wrids[(int64_t)vy * nvx + vx] = rid;
+          enc_cdf_adapt32((Encoder*)ec, rid, ref_cdf + 2 * rp, 2,
+                          ref_inc);
+        } else {
+          wrids[(int64_t)vy * nvx + vx] =
+              dec_cdf_adapt32((Decoder*)ec, ref_cdf + 2 * rp, 2,
+                              ref_inc);
+        }
       }
       int64_t cy[3], cx[3];
       int nc = 0;
