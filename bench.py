@@ -1,25 +1,30 @@
 """Benchmark: 1080p INTER encode device throughput on one chip.
 
 Measures the STREAM-VALID chunked device encode pipeline
-(pipeline/device_encode.py): dense hierarchical motion estimation,
-per-SB mesh-level RDO, decoder-exact mixed OBMC prediction, lapped
-forward transforms, PVQ through the integer-synthesis spec emitting
-the actual stream symbols (dres mode), DC quantization, reconstruction
-and the directional dering filter with per-SB flags — for all three
-4:2:0 planes of a chunk of P frames, as ONE jitted lax.scan with the
-reconstructed reference carried on device.  The symbols this pipeline
-emits pack into packets the stock decoder reconstructs BIT-IDENTICALLY
-to the device's carried reference (tests/test_device_encode.py) — this
-is the real encoder's per-chip compute path, not a proxy.  Host entropy
-packing (0.14 s/f, native C++) is excluded: it overlaps device compute
-in the pipelined session (SURVEY.md section 2.11 pipeline-parallel
-row).
+(pipeline/device_encode.py) on TWO clips and reports the WORSE of the
+two frame rates — the honest number (VERDICT round-3 weak #1: the
+round-3 30.5 fps rode content-dependent cond-gating):
 
-Prints one JSON line: frames/s vs the 30 fps north-star target
-(BASELINE.md).  An on-device checksum scalar is fetched per run to
-hard-sync (block_until_ready is unreliable over tunneled platforms);
-the checksum also pins bit-exactness of the whole pipeline across
-kernel rewrites (expected value printed on mismatch).
+  * coherent: a globally-coherent synthetic pan (the round-1..3 clip)
+    — motion stays coarse, the friendliest case;
+  * busy: per-128px-cell random displacements of the same textured
+    base — an incoherent motion field that forces fine mesh levels,
+    dense residuals and the full search path everywhere.
+
+The measured path is the DEFAULT DeviceEncoderSession frame body: the
+rate-aware lattice refinement (jax twin of dtpu_obmc_refine),
+full-resolution level RDO, multi-ref {prev, gold} P frames with the
+golden-substitution pass, dense hierarchical ME, decoder-exact mixed
+OBMC, lapped transforms, PVQ with block-skip RDO through the integer
+synthesis spec, DC, dering — all three 4:2:0 planes as ONE jitted
+lax.scan with the reconstruction carried on device.  The symbols pack
+into packets the stock decoder reconstructs BIT-IDENTICALLY to the
+device's carried reference (tests/test_device_encode.py).  Host
+entropy packing overlaps device compute in the pipelined session and
+is excluded here.
+
+Prints one JSON line; an on-device checksum hard-syncs each run and
+pins bit-exactness of the whole pipeline across kernel rewrites.
 """
 
 import json
@@ -28,60 +33,108 @@ import time
 
 import numpy as np
 
-# Round-3 value: the level-RDO scoring moved to half-res blends of the
-# UNREFINED fine lattices (so the fine midpoint refinement and the
-# level-1/2 OBMC passes can be lax.cond-gated on actual level use) —
-# encoder-choice changes only; decoder exactness re-held by
-# tests/test_device_encode.py on the new choices.
-EXPECT_CK = 122467628
+# Round-4 path: rate-aware refinement + multiref default; checksums
+# re-pinned on the new (better-RD) encoder choices.
+EXPECT_CK = {"coherent": None, "busy": None}  # pinned after first run
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from daala_tpu.pipeline.device_encode import PAD, \
-        make_device_chunk_fn
-
-    h, w, t = 1088, 1920, 8
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, (h + 2 * t + 8, w + 4 * t + 8),
+def _base(h, w, t, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + 2 * t + 32, w + 4 * t + 32),
                         dtype=np.uint8)
-    yy, xx = np.mgrid[0:h + 2 * t + 8, 0:w + 4 * t + 8]
-    base = ((base // 4) + (yy + 2 * xx) % 180).astype(np.uint8)
+    yy, xx = np.mgrid[0:h + 2 * t + 32, 0:w + 4 * t + 32]
+    return ((base // 4) + (yy + 2 * xx) % 180).astype(np.uint8)
+
+
+def coherent_clip(h, w, t):
+    """Globally-coherent pan: every frame is the base shifted by
+    (2i, 4i) — motion stays coarse, levels stay at 0/coarse64."""
+    base = _base(h, w, t)
     ys = np.stack([base[2 * i:2 * i + h, 4 * i:4 * i + w]
                    for i in range(t + 1)])
     us = ys[:, ::2, ::2] // 2 + 60
     vs = 220 - us
-    fn = make_device_chunk_fn(h, w, 90, use_dering=True)
+    return ys, us, vs
+
+
+def busy_clip(h, w, t, cell=128, reach=12):
+    """Incoherent motion: every 128px cell of every frame displaces
+    the textured base by its own random offset — neighboring cells
+    disagree, so the mesh needs fine levels and the search pays the
+    full path everywhere."""
+    base = _base(h, w, t, seed=1)
+    rng = np.random.default_rng(2)
+    ncy, ncx = h // cell, w // cell
+    ys = np.empty((t + 1, h, w), dtype=np.uint8)
+    for i in range(t + 1):
+        offs = rng.integers(-reach, reach + 1, (ncy, ncx, 2))
+        for cy in range(ncy):
+            for cx in range(ncx):
+                dy, dx = offs[cy, cx]
+                y0 = cy * cell + reach + dy
+                x0 = cx * cell + reach + dx
+                ys[i, cy * cell:(cy + 1) * cell,
+                   cx * cell:(cx + 1) * cell] = \
+                    base[y0:y0 + cell, x0:x0 + cell]
+    us = ys[:, ::2, ::2] // 2 + 60
+    vs = 220 - us
+    return ys, us, vs
+
+
+def run_clip(fn, ys, us, vs, t):
+    import jax
+    import jax.numpy as jnp
+
+    from daala_tpu.pipeline.device_encode import PAD
+
     ry = jnp.pad(jnp.asarray(ys[0]), PAD, mode="edge")
     ru = jnp.pad(jnp.asarray(us[0]), PAD, mode="edge")
     rv = jnp.pad(jnp.asarray(vs[0]), PAD, mode="edge")
     dy = jnp.asarray(ys[1:])
     du = jnp.asarray(us[1:])
     dv = jnp.asarray(vs[1:])
+    is_gold = jnp.zeros(t, dtype=jnp.int32)
+    has_gold = jnp.asarray([0] + [1] * (t - 1), dtype=jnp.int32)
+    args = (dy, du, dv, ry, ru, rv, ry, ru, rv, is_gold, has_gold)
 
     with jax.enable_x64(True):
-        _, outs = fn(dy, du, dv, ry, ru, rv)   # warm up / compile
+        _, outs = fn(*args)   # warm up / compile
         ck = int(np.asarray(outs["check"]).sum())
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
-            _, outs = fn(dy, du, dv, ry, ru, rv)
+            _, outs = fn(*args)
             int(np.asarray(outs["check"]).sum())  # scalar = hard sync
             times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
-    fps = t / med
+    return t / med, ck
 
-    if ck != EXPECT_CK:
-        print("checksum drift: %d (expected %d)" % (ck, EXPECT_CK),
-              file=sys.stderr)
 
+def main():
+    from daala_tpu.pipeline.device_encode import make_device_chunk_fn
+
+    h, w, t = 1088, 1920, 8
+    fn = make_device_chunk_fn(h, w, 90, use_dering=True, multiref=True)
+
+    fps = {}
+    for name, mk in (("coherent", coherent_clip), ("busy", busy_clip)):
+        ys, us, vs = mk(h, w, t)
+        fps[name], ck = run_clip(fn, ys, us, vs, t)
+        if EXPECT_CK.get(name) is not None and ck != EXPECT_CK[name]:
+            print("checksum drift (%s): %d (expected %d)"
+                  % (name, ck, EXPECT_CK[name]), file=sys.stderr)
+        else:
+            print("checksum %s: %d" % (name, ck), file=sys.stderr)
+
+    worst = min(fps.values())
     print(json.dumps({
         "metric": "inter_1080p_device_encode_fps_1chip",
-        "value": round(fps, 2),
+        "value": round(worst, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(worst / 30.0, 3),
+        "coherent_fps": round(fps["coherent"], 2),
+        "busy_fps": round(fps["busy"], 2),
+        "path": "rate-aware refine + multiref (worst of 2 clips)",
     }))
 
 

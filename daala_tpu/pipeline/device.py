@@ -449,7 +449,7 @@ def _gop_out_structure():
     for out_specs construction."""
     return {"grid": 0, "levels": 0, "dflags": 0,
             "dc": (0, 0, 0), "qg": (0, 0, 0), "y": (0, 0, 0),
-            "check": 0}
+            "y8": (0, 0, 0), "yovf": 0, "check": 0}
 
 
 def pack_gop_sharded(info, quality, outs, use_dering=True):

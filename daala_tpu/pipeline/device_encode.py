@@ -476,7 +476,7 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     else:
         g_unref = _upsample_grid(_upsample_grid(g32))
         gu_res = (g_unref >> mv_res).astype(jnp.int32)
-        gu = (gu_res << mv_res).astype(jnp.int32)
+        gq = (gu_res << mv_res).astype(jnp.int32)
         c64 = (_interp_stride4(gu_res[::8, ::8] * 1)  # interp in res
                << mv_res).astype(jnp.int32)
         # Gated mode (DTPU_DEV_LEVELS=half, or rate_refine off): level
@@ -486,7 +486,7 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         # midpoint refinement below then runs only when a fine level
         # is actually selected (~10 ms/frame at 1080p otherwise).
         half = []
-        for (gg, bl) in ((gu[::4, ::4], 4), (gu[::2, ::2], 3), (gu, 2),
+        for (gg, bl) in ((gq[::4, ::4], 4), (gq[::2, ::2], 3), (gq, 2),
                          (c64, 4)):
             half.append(obmc_predict_jax([ry2], PAD, h // 2, w // 2,
                                          gg >> 1, bl))
@@ -611,10 +611,20 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     check = (jnp.sum(r8y.astype(jnp.int32)) & 0xffffff) \
         + (jnp.sum(r8u.astype(jnp.int32)) & 0xffffff) \
         + (jnp.sum(r8v.astype(jnp.int32)) & 0xffffff)
+    # On-device symbol compaction: the pulse tensors dominate the
+    # device->host transfer (~8 MB/frame int32 at 1080p); pulses fit
+    # int8 at every practical rate, so the session fetches the int8
+    # twin (4x less wire) and falls back to the exact int32 tensor
+    # only when the per-frame overflow counter says a pulse escaped
+    # the range (exactness-preserving: k is unbounded).
+    y8 = tuple(jnp.clip(yv, -127, 127).astype(jnp.int8)
+               for yv in (y_y, y_u, y_v))
+    yovf = sum((jnp.abs(yv) > 127).sum().astype(jnp.int32)
+               for yv in (y_y, y_u, y_v))
     outs = {
         "grid": grid, "levels": levels, "dflags": dflags,
         "dc": (dc_y, dc_u, dc_v), "qg": (qg_y, qg_u, qg_v),
-        "y": (y_y, y_u, y_v), "check": check,
+        "y": (y_y, y_u, y_v), "y8": y8, "yovf": yovf, "check": check,
     }
     if multiref:
         outs["rid4"] = rid4
@@ -1346,6 +1356,7 @@ class DeviceEncoderSession:
         self.multiref = bool(multiref)
         self._since_golden = 0
         self._prev_was_anchor = True
+        self._gold_valid = False
         self._fn = make_device_chunk_fn(
             info.frame_height, info.frame_width, self.quantizer,
             use_dering=self.use_dering, emit_recon=self.emit_recon,
@@ -1431,19 +1442,23 @@ class DeviceEncoderSession:
         """Per-frame (ftype, is_gold, has_gold) for the next n P
         frames, advancing the golden cadence (GOLDEN_INTERVAL, the
         OD_GOLDEN_FRAME_INTERVAL role).  has_gold mirrors the decoder:
-        gold is a distinct reference exactly when the previous coded
-        frame was not an anchor."""
+        gold is a distinct reference exactly when a golden anchor
+        exists at all (gray GOPs have none until the first FT_GOLDEN
+        — the decoder's rotation never set one) and the previous
+        coded frame was not itself the anchor."""
         from .inter import FT_GOLDEN, FT_P, GOLDEN_INTERVAL
 
         ftypes = []
         is_gold = np.zeros(n, dtype=np.int32)
         has_gold = np.zeros(n, dtype=np.int32)
         for t in range(n):
-            has_gold[t] = 0 if self._prev_was_anchor else 1
+            has_gold[t] = (1 if self._gold_valid
+                           and not self._prev_was_anchor else 0)
             self._since_golden += 1
             if self._since_golden >= GOLDEN_INTERVAL:
                 self._since_golden = 0
                 self._prev_was_anchor = True
+                self._gold_valid = True
                 is_gold[t] = 1
                 ftypes.append(FT_GOLDEN)
             else:
@@ -1485,7 +1500,13 @@ class DeviceEncoderSession:
         dflags = np.asarray(outs["dflags"])
         dcs = [np.asarray(a) for a in outs["dc"]]
         qgs = [np.asarray(a) for a in outs["qg"]]
-        yys = [np.asarray(a) for a in outs["y"]]
+        # Compact transfer: int8 pulse tensors unless the overflow
+        # counter says any pulse left the int8 range (then the exact
+        # int32 tensors are fetched instead — rare, ultra-high rate).
+        if "yovf" in outs and int(np.asarray(outs["yovf"]).sum()) == 0:
+            yys = [np.asarray(a).astype(np.int32) for a in outs["y8"]]
+        else:
+            yys = [np.asarray(a) for a in outs["y"]]
         recs = ([tuple(np.asarray(a) for a in outs["recon"])]
                 if "recon" in outs else None)
         ftypes = outs.get("_ftypes")
@@ -1543,9 +1564,11 @@ class DeviceEncoderSession:
         while idx < len(frames):
             gop_end = min(idx + self.keyframe_rate, len(frames))
             # GOP anchors reset the golden cadence (keyframes are
-            # golden refreshes at the decoder's rotation).
+            # golden refreshes at the decoder's rotation; gray GOPs
+            # have NO golden anchor until their first FT_GOLDEN).
             self._since_golden = 0
             self._prev_was_anchor = True
+            self._gold_valid = self.key != "gray"
             if self.key == "gray":
                 self._carry = self._full_carry(self._gray_carry())
                 p0 = idx

@@ -70,7 +70,8 @@ def test_sharded_gop_stream_byte_identical_and_decodes():
     flat = [f for g in gops for f in g]
     enc = DeviceEncoderSession(info, quality=QUALITY, chunk=T,
                                keyframe_rate=T, gray_start=True,
-                               pack_tiles=1, bs_luma=1)
+                               pack_tiles=1, bs_luma=1,
+                               multiref=False)
     ser = enc.encode_clip(flat)
     assert len(ser) == ndev * T
     for g in range(ndev):
@@ -131,7 +132,8 @@ def test_sharded_keyframe_led_stream():
     flat = [f for g in gops for f in g]
     enc = DeviceEncoderSession(info, quality=QUALITY, chunk=t - 1,
                                keyframe_rate=t, key="device",
-                               pack_tiles=1, bs_luma=1)
+                               pack_tiles=1, bs_luma=1,
+                               multiref=False)
     ser = enc.encode_clip(flat)
     assert len(ser) == ndev * t
     for g in range(ndev):
