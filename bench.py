@@ -34,8 +34,9 @@ import time
 import numpy as np
 
 # Round-4 path: rate-aware refinement + multiref default; checksums
-# re-pinned on the new (better-RD) encoder choices.
-EXPECT_CK = {"coherent": None, "busy": None}  # pinned after first run
+# pinned on the new (better-RD) encoder choices (real chip,
+# 2026-08-21).
+EXPECT_CK = {"coherent": 122501186, "busy": 156147950}
 
 
 def _base(h, w, t, seed=0):

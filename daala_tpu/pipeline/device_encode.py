@@ -30,10 +30,12 @@ bit-exact with mesh.required_stride + fill_stride.
 Stream constraints of this mode (all enforced):
   * dres P frames (container flag bit 6): bands are noref residuals,
     integer k rule + integer synthesis;
-  * every inter frame is coded FT_GOLDEN so the reference set is
-    always {prev} (single-ref device search);
-  * fixed block sizes (bs_luma=1: 8x8 luma, 4x4 chroma), masking off,
-    8-bit, frame dims 64-aligned.
+  * multi-ref P by default (round 4): {prev, gold} with the
+    FT_P/FT_GOLDEN cadence and rotation the host decoder implements
+    (encode.c:3146-3175); multiref=False falls back to the round-3
+    single-ref FT_GOLDEN chain;
+  * uniform per-frame block sizes (bs ladder 8/16/32 px by rate
+    point), masking off, 8-bit, frame dims 64-aligned.
 """
 
 from __future__ import annotations

@@ -32,8 +32,6 @@ filter.c:1861-1867):
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 __all__ = ["key_tiled_single", "sharded_key_tiled",
