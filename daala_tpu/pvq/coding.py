@@ -301,9 +301,15 @@ def _codeword_rate(adapt: PvqAdapt, y, n, k, noref, bs) -> float:
     return (enc.tell_frac() - tell) / 8.0
 
 
-# Use the analytic codeword-rate model by default (the reference's
-# OD_PVQ_RATE_APPROX, pvq_encoder.c:254-259): ~5x faster search with
-# near-identical RD.  Exact mode trial-encodes through a scratch coder.
+# This PYTHON fallback keeps the analytic codeword-rate model (the
+# reference's OD_PVQ_RATE_APPROX branch, pvq_encoder.c:254-259).  The
+# NATIVE search — the path every real encode takes — charges the
+# ACTUAL codeword bits per candidate since round 4 (trial-encode at
+# the reset adaptation state, native/ec.cpp cw_rate; opt-out
+# DTPU_APPROX_CW_RATE=1), matching the reference's default
+# OD_PVQ_RATE_APPROX=0 behavior.  EXACT_RATE=True makes the Python
+# path trial-encode too (with the LIVE adaptation — slower but used
+# by parity experiments).
 EXACT_RATE = False
 
 

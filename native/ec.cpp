@@ -540,10 +540,58 @@ extern "C" int dtpu_pvq_search(const double* x, int n, int k, double g2,
 
 namespace {
 
+// Defined in a later anonymous-namespace block (same namespace).
+void laplace_encode_vector_c(Encoder* e, const int64_t* y, int n, int k,
+                             int64_t* curr, const int64_t* means);
+
+// Reset-state codeword adaptation means (PvqAdapt.pvq_adapt rows —
+// identical for every (bs, noref) row at frame start, the
+// od_adapt_pvq_ctx_reset values).
+const int64_t CW_MEANS[4] = {384, 256, 104, 128};
+
+// Actual K-tokens codeword bits of a candidate pulse vector,
+// trial-encoded through the real coder at the reset adaptation state
+// — the od_pvq_rate role with OD_PVQ_RATE_APPROX=0
+// (pvq_encoder.c:248-284).  The round-3 matched-input proof showed the
+// coder itself is bit-equal to the reference; charging its true cost
+// in the search (instead of the n*log2(1+ln(2n)k/n) curve) is what
+// closes the high-rate gain/theta/pulse choice gap.
+double cw_rate(const int32_t* y, int nred, int k) {
+  if (k <= 0 || nred <= 0) return 0;
+  if (nred > 256)
+    return nred * std::log2(1.0 + std::log(nred * 2.0) * k / nred);
+  Encoder e;
+  int64_t yy[256];
+  for (int i = 0; i < nred; i++) yy[i] = y[i];
+  int64_t curr[4] = {0, 0, 0, 0};
+  int t0 = dtpu_enc_tell_frac(&e);
+  laplace_encode_vector_c(&e, yy, nred, k, curr, CW_MEANS);
+  return (dtpu_enc_tell_frac(&e) - t0) / 8.0;
+}
+
+int cw_exact_mode() {
+  static int mode = -1;
+  if (mode < 0) {
+    const char* v = std::getenv("DTPU_APPROX_CW_RATE");
+    mode = (v && v[0] && v[0] != '0') ? 0 : 1;
+  }
+  return mode;
+}
+
 double rate_approx(int qg, int icgr, int theta, int ts, int k, int n,
-                   int is_keyframe, int pli) {
+                   int is_keyframe, int pli,
+                   const int32_t* ycand = nullptr) {
   double rate = 0;
-  if (k > 0) rate = n * std::log2(1.0 + std::log(n * 2.0) * k / n);
+  if (k > 0) {
+    if (ycand == nullptr || !cw_exact_mode()) {
+      rate = n * std::log2(1.0 + std::log(n * 2.0) * k / n);
+    } else if (k == 1 && n < 16) {
+      // k1 position CDF (flat at reset) + sign bit.
+      rate = std::log2((double)(n - (theta >= 0 ? 1 : 0))) + 1.0;
+    } else {
+      rate = cw_rate(ycand, n - (theta >= 0 ? 1 : 0), k);
+    }
+  }
   if (qg > 0 && theta >= 0) {
     rate += 0.9 * std::log2(ts > 1 ? ts : 1);
     if (is_keyframe && pli == 0) rate += 6;
@@ -696,7 +744,8 @@ extern "C" int dtpu_pvq_theta(
         double dist = gain_weight * (qcg - cg) * (qcg - cg)
             + qcg * cg * dist_theta;
         double cost = dist + lambda * rate_approx(i, icgr, j, ts, k, n,
-                                                  is_keyframe, pli);
+                                                  is_keyframe, pli,
+                                                  y_tmp.data());
         if (cost < best_cost) {
           best_cost = cost;
           best_dist = dist;
@@ -725,7 +774,8 @@ extern "C" int dtpu_pvq_theta(
       double dist = gain_weight * (qcg - cg) * (qcg - cg)
           + qcg * cg * (2 - 2 * cos_dist);
       double cost = dist + lambda * rate_approx(i, 0, -1, 0, k, n,
-                                                is_keyframe, pli);
+                                                is_keyframe, pli,
+                                                y_tmp.data());
       if (cost <= best_cost) {
         best_cost = cost;
         best_dist = dist;

@@ -51,8 +51,10 @@ def main():
                      xdec=(0, 1, 1), ydec=(0, 1, 1),
                      keyframe_rate=256)
     sess = DeviceEncoderSession(info, quality=args.q, chunk=8)
-    # warm-up GOP compiles device fns and the pack path.
-    sess.encode_clip(frames[:3])
+    # warm-up pass over the SAME clip so every chunk length the timed
+    # pass uses is already compiled (a shorter warm-up leaves the
+    # final partial-chunk scan to compile inside the timing).
+    sess.encode_clip(frames)
     t0 = time.perf_counter()
     pkts = sess.encode_clip(frames)
     dt = time.perf_counter() - t0
