@@ -33,12 +33,13 @@ import time
 
 import numpy as np
 
-# Round-4 path: rate-aware refinement + multiref default; checksums
-# pinned on the new (better-RD) encoder choices (real chip,
-# 2026-08-21).  NOTE: the busy checksum is sensitive to XLA fusion
-# (f32 cost ties in the gold pass flip across recompiles of a changed
-# program) — re-pin after any frame-body change.
-EXPECT_CK = {"coherent": 122501186, "busy": 153710473}
+# Round-4 path: rate-aware refinement + multiref default.  The
+# coherent checksum is stable across every round-4 run and pins
+# bit-exactness of the pipeline; the busy clip's dense near-ties in
+# the f32 cost argmins turned out to vary run to run on the axon
+# backend (three values observed on one program, 2026-08-21), so it
+# is printed but not pinned.
+EXPECT_CK = {"coherent": 122501186, "busy": None}
 
 
 def _base(h, w, t, seed=0):

@@ -311,8 +311,17 @@ def _choose_levels(cur, preds, quantizer, sb=32):
     import os as _os
 
     sse = jnp.stack(sses).astype(jnp.float32)
+    # Device-side lambda cap 1800 (the host keeps 15000): the sweep on
+    # the warp ladder (2026-08-21, real chip) showed the capped-lambda
+    # region — coarse quantizers — is exactly where the device
+    # underspends on motion vs the host (RDCOMP.md decomposition);
+    # cap 1800 buys +0.27 dB @q30 (+3.6% bytes) and +0.52 dB @q38
+    # (+7.3% bytes), both far inside the ~7.6 kB/dB ladder slope.
+    # The host's own cap sweep prefers 15000 (its search spends
+    # motion bits well without the crutch).
     lam = min(float(_os.environ.get("DTPU_LEVEL_LAM", "40.0"))
-              * (max(1, quantizer) / 16.0) ** 2, 15000.0)
+              * (max(1, quantizer) / 16.0) ** 2,
+              float(_os.environ.get("DTPU_LEVEL_LAM_CAP", "1800")))
     lam *= (sb * sb) / 1024.0
     bits = np.array([1, 4, 16, 0.3], dtype=np.float32) * 7.0 + 1.6
     cost = sse + (lam * bits)[:, None, None]
