@@ -158,35 +158,36 @@ def _vertex_patches(refs, pad, h, w, mv_grid, ref_ids, n, bitdepth):
     K = 2 * n + 5
     filters = jnp.asarray(SUBPEL_FILTERS, dtype=jnp.int32)
     center = 128 << (bitdepth - 8)
-    patches = None
+    iy = ys + (mvy >> 3) + pad + E - TOP_APRON
+    ix = xs + (mvx >> 3) + pad + E - TOP_APRON
+    # Banded one-hot fetch at every size: the vmapped dynamic_slice
+    # loop costs ~1.8 us/window on a real chip (2135 windows of a
+    # 32 px lattice = ~3 ms/frame per pass), the banded form ~0.3.
+    row_base = [int(rr * n - n - 62 + pad + E)
+                for rr in range(nvy)]
+    win = None
     for r in range(len(refs)):
+        # Multi-ref: select WINDOWS per vertex, then run ONE shared
+        # interpolation cascade — bit-identical to interpolating each
+        # ref and selecting patches (the cascade is elementwise per
+        # vertex), at half the multiply-accumulate work.
         p = jnp.pad(refs[r], ((E, E), (E, E)), mode="edge")
-        iy = ys + (mvy >> 3) + pad + E - TOP_APRON
-        ix = xs + (mvx >> 3) + pad + E - TOP_APRON
-        # Banded one-hot fetch at every size: the vmapped dynamic_slice
-        # loop costs ~1.8 us/window on a real chip (2135 windows of a
-        # 32 px lattice = ~3 ms/frame per pass), the banded form ~0.3.
-        row_base = [int(rr * n - n - 62 + pad + E)
-                    for rr in range(nvy)]
-        win = _banded_windows(
+        wr = _banded_windows(
             p, row_base, iy.reshape(nvy, nvx),
-            ix.reshape(nvy, nvx), K, K + 121)
-        win = win.reshape(-1, K, K)
-        fh = filters[(mvx & 7).astype(jnp.int32)]
-        hacc = jnp.zeros((win.shape[0], K, 2 * n), dtype=jnp.int32)
-        for k in range(6):
-            hacc = hacc + win[:, :, k:k + 2 * n] * fh[:, k][:, None, None]
-        hacc = hacc - (center << 7)
-        fv = filters[(mvy & 7).astype(jnp.int32)]
-        vacc = jnp.zeros((win.shape[0], 2 * n, 2 * n), dtype=jnp.int32)
-        for k in range(6):
-            vacc = vacc + hacc[:, k:k + 2 * n, :] * fv[:, k][:, None, None]
-        out = (vacc + (1 << 13) + (center << 14)) >> 14
-        out = jnp.clip(out, 0, (1 << bitdepth) - 1)
-        if patches is None:
-            patches = out
-        else:
-            patches = jnp.where((rid == r)[:, None, None], out, patches)
+            ix.reshape(nvy, nvx), K, K + 121).reshape(-1, K, K)
+        win = wr if win is None else \
+            jnp.where((rid == r)[:, None, None], wr, win)
+    fh = filters[(mvx & 7).astype(jnp.int32)]
+    hacc = jnp.zeros((win.shape[0], K, 2 * n), dtype=jnp.int32)
+    for k in range(6):
+        hacc = hacc + win[:, :, k:k + 2 * n] * fh[:, k][:, None, None]
+    hacc = hacc - (center << 7)
+    fv = filters[(mvy & 7).astype(jnp.int32)]
+    vacc = jnp.zeros((win.shape[0], 2 * n, 2 * n), dtype=jnp.int32)
+    for k in range(6):
+        vacc = vacc + hacc[:, k:k + 2 * n, :] * fv[:, k][:, None, None]
+    out = (vacc + (1 << 13) + (center << 14)) >> 14
+    patches = jnp.clip(out, 0, (1 << bitdepth) - 1)
     return patches.reshape(nvy, nvx, 2 * n, 2 * n)
 
 

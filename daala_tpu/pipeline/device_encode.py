@@ -186,15 +186,6 @@ def _sim_rid4(rid4, levels):
     return jnp.where(req <= 4, rid4, u)
 
 
-def sim_rid_grids(rid4, levels):
-    """(d4, rid8): the decoded stride-4 rid lattice and the full fine
-    (8 px) rid grid the OBMC passes read — both sides derive fine rids
-    by fill inheritance from d4 (the encoder codes fine vertices' rids
-    equal to the interpolation, so coded == filled)."""
-    d4 = _sim_rid4(rid4, levels)
-    return d4, _fill_rid_up(_fill_rid_up(d4))
-
-
 def _gold_pass(cy, ry, gy, grid, g_res, mv_res, quantizer, h, w,
                has_gold, veto):
     """Golden-reference selection on the 32 px lattice: per vertex,
@@ -212,8 +203,8 @@ def _gold_pass(cy, ry, gy, grid, g_res, mv_res, quantizer, h, w,
     import jax.numpy as jnp
 
     from ..ops.mc_jax import _vertex_patches
-    from ..search.me_jax import _hat32, _mesh_pred_j, _mv_bits_j
-    from ..search.mvcost import mv_cost_table
+    from ..search.me_jax import _hat32, _mesh_pred_j, _mv_bits8_j
+    from ..search.mvcost import mv_cost_table8
 
     nvy, nvx = (h >> 5) + 1, (w >> 5) + 1
     g32 = (g_res[::4, ::4] << mv_res).astype(jnp.int32)
@@ -244,8 +235,7 @@ def _gold_pass(cy, ry, gy, grid, g_res, mv_res, quantizer, h, w,
         d = jnp.abs(curW - P) * maskW * hat
         return d.sum((2, 3), dtype=jnp.int64)
 
-    f = jnp.float32
-    tab = jnp.asarray(mv_cost_table(), dtype=f)
+    tab8 = jnp.asarray(mv_cost_table8(), dtype=jnp.int32)
     snap = g_res[::4, ::4]
     VY = jnp.asarray(np.broadcast_to(np.arange(nvy)[:, None],
                                      (nvy, nvx)))
@@ -257,19 +247,26 @@ def _gold_pass(cy, ry, gy, grid, g_res, mv_res, quantizer, h, w,
     spred = jnp.where(even[..., None], sp2, sp1)
     mres = snap
 
-    def rbits(cres):
-        return (_mv_bits_j(cres[..., 0] - spred[..., 0], f, tab)
-                + _mv_bits_j(cres[..., 1] - spred[..., 1], f, tab))
+    def rbits8(cres):
+        return (_mv_bits8_j(cres[..., 0] - spred[..., 0], tab8)
+                + _mv_bits8_j(cres[..., 1] - spred[..., 1], tab8))
 
     lam = (float(_os.environ.get("DTPU_REFINE_LAM", 1.0))
            * max(1, quantizer) / 16.0)
+    lamq = np.int64(round(lam * 16.0))
     # rid symbol cost (adaptive binary CDF, gold rare) + a switching
     # margin so prev keeps ties.
-    rid_bits = float(_os.environ.get("DTPU_GOLD_RID_BITS", 3.0))
-    c_keep = wsad(Pp).astype(f) / 1024.0 + lam * rbits(mres)
-    c_g0 = (wsad(Pg0).astype(f) / 1024.0
-            + lam * (rbits(jnp.zeros_like(mres)) + rid_bits))
-    c_gm = wsad(Pgm).astype(f) / 1024.0 + lam * (rbits(mres) + rid_bits)
+    rid8 = np.int64(round(
+        float(_os.environ.get("DTPU_GOLD_RID_BITS", 3.0)) * 8.0))
+    # INTEGER costs in Q10-SAD units: wsad is the hat-weighted Q10
+    # accumulator, and lam*bits scaled by 1024 is 8*lamq*rate8 exactly
+    # — order-independent, so the pick is deterministic across runs
+    # and recompiles (round-4 weak #4 lived in these f32 costs).
+    c_keep = wsad(Pp) + 8 * lamq * rbits8(mres).astype(jnp.int64)
+    c_g0 = wsad(Pg0) + 8 * lamq * (
+        rbits8(jnp.zeros_like(mres)).astype(jnp.int64) + rid8)
+    c_gm = wsad(Pgm) + 8 * lamq * (
+        rbits8(mres).astype(jnp.int64) + rid8)
     costs = jnp.stack([c_keep, c_g0, c_gm])
     pick = jnp.argmin(costs, axis=0).astype(jnp.int32)
     pick = jnp.where(has_gold > 0, pick, 0)
@@ -310,7 +307,7 @@ def _choose_levels(cur, preds, quantizer, sb=32):
         sses.append((e * e).reshape(nsby, sb, nsbx, sb).sum((1, 3)))
     import os as _os
 
-    sse = jnp.stack(sses).astype(jnp.float32)
+    sse = jnp.stack(sses)                      # int32, exact
     # Device-side lambda cap 1800 (the host keeps 15000): the sweep on
     # the warp ladder (2026-08-21, real chip) showed the capped-lambda
     # region — coarse quantizers — is exactly where the device
@@ -323,8 +320,12 @@ def _choose_levels(cur, preds, quantizer, sb=32):
               * (max(1, quantizer) / 16.0) ** 2,
               float(_os.environ.get("DTPU_LEVEL_LAM_CAP", "1800")))
     lam *= (sb * sb) / 1024.0
-    bits = np.array([1, 4, 16, 0.3], dtype=np.float32) * 7.0 + 1.6
-    cost = sse + (lam * bits)[:, None, None]
+    bits = np.array([1, 4, 16, 0.3], dtype=np.float64) * 7.0 + 1.6
+    # Host-side integer rate constants: the whole cost is int32, so
+    # the level pick is reduction-order independent (deterministic
+    # across runs/recompiles — round-4 weak #4).
+    rate_i = np.round(lam * bits).astype(np.int32)
+    cost = sse + jnp.asarray(rate_i)[:, None, None]
     return jnp.argmin(cost, axis=0).astype(jnp.int32)
 
 
@@ -381,17 +382,27 @@ def _dering_select(recs, orig_y, flags_thr, quantizer, xdecs):
     # orig/recs and the host's _dering_pass errors are both in the
     # x16 coeff domain with the coeff-domain quantizer, so lambda *
     # q^2 * bits applies unscaled.
-    lamq = np.float32(PVQ_LAMBDA * qf * qf)
+    lamq = np.float64(PVQ_LAMBDA * qf * qf)
     o = orig_y.reshape(nvsb, 32, nhsb, 32).transpose(0, 2, 1, 3)
     r = recs[0].reshape(nvsb, 32, nhsb, 32).transpose(0, 2, 1, 3)
-    fe = ((o - bufs0).astype(jnp.float32) ** 2).sum((2, 3))
-    ue = ((o - r).astype(jnp.float32) ** 2).sum((2, 3))
+    # int64 SSE sums: the x16-domain squares overflow f32's 2^24
+    # mantissa, and float reductions are not order-independent — the
+    # integer form makes the flag decisions deterministic across
+    # runs/recompiles (round-4 weak #4).
+    d_f = (o - bufs0).astype(jnp.int64)
+    d_u = (o - r).astype(jnp.int64)
+    fe = (d_f * d_f).sum((2, 3))
+    ue = (d_u * d_u).sum((2, 3))
     flags = (fe < ue)
     for _ in range(3):
-        p1 = jnp.clip(flags.mean(), 1.0 / 64, 1 - 1.0 / 64)
-        r1 = -jnp.log2(p1)
-        r0 = -jnp.log2(1 - p1)
-        flags = fe + lamq * r1 < ue + lamq * r0
+        # The mean-field flag probability is a scalar: its f32 math is
+        # elementwise (no reduction ordering), and the per-SB compare
+        # rounds the rate terms to integers first.
+        p1 = jnp.clip(flags.astype(jnp.float32).mean(),
+                      1.0 / 64, 1 - 1.0 / 64)
+        r1 = jnp.round(lamq * -jnp.log2(p1)).astype(jnp.int64)
+        r0 = jnp.round(lamq * -jnp.log2(1 - p1)).astype(jnp.int64)
+        flags = fe + r1 < ue + r0
     flags = flags.astype(jnp.int32)
     out = []
     sel = jnp.where((flags > 0)[:, :, None, None], bufs0, r)
@@ -457,6 +468,12 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         g32 = ((g32 >> mv_res) << mv_res).astype(jnp.int32)
         g32 = refine_lattice_jax(cy, refp8, g32, h, w, quantizer,
                                  mv_res=mv_res)
+        # The refine's fused scan output feeding lax.cond branches
+        # kernel-faults the TPU backend at 1080p (round-4 bisect); the
+        # barrier stops XLA from fusing the refine into the gated
+        # consumers and sidesteps the miscompile.
+        g32 = _jax.lax.optimization_barrier(g32)
+    nvy32, nvx32 = (h >> 5) + 1, (w >> 5) + 1
     if levels_full:
         # Then the midpoint refinements of the 16/8 px lattices BEFORE
         # the level decision, so the level RDO scores the fine levels
@@ -468,6 +485,37 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         grid = _refine_midpoints_jax(cy, refp8, _upsample_grid(g16),
                                      3, h, w)
         g_res = (grid >> mv_res).astype(jnp.int32)
+        if multiref:
+            # VETO DECOUPLED (round-4 weak #2): the gold pass runs
+            # BEFORE the level RDO with no fine-level veto, and the
+            # scoring blends below are rid-aware, so the level
+            # decision and the golden substitution no longer fight —
+            # a fine SB near a gold vertex scores exactly the blend
+            # the decoder would run and the RDO arbitrates.  (The
+            # old order vetoed gold wherever a fine level won, which
+            # made the level-lambda response non-monotonic: lower
+            # lambda bought a finer mesh but silently disabled the
+            # drift fix.)
+            grid, g_res, rid4 = _jax.lax.cond(
+                has_gold > 0,
+                lambda: _gold_pass(cy, ry, gy, grid, g_res, mv_res,
+                                   quantizer, h, w, has_gold,
+                                   jnp.zeros((nvy32, nvx32),
+                                             dtype=bool)),
+                lambda: (grid, g_res,
+                         jnp.zeros((nvy32, nvx32), dtype=jnp.int32)))
+            any_gold = _jax.lax.optimization_barrier(
+                jnp.sum(rid4) > 0)
+            # Scoring-time rid lattices: rid4 taken as coded at every
+            # stride-4 vertex, fine strides by fill inheritance.  For
+            # the pixels of any level-1/2 SB these agree with the
+            # decoder's _sim_rid_grids_np view (every stride-4 vertex
+            # adjacent to a fine SB has required_stride <= 4, and the
+            # fill reads stay on the SB's closed vertex set), so the
+            # reused blends remain decoder-exact.
+            rid_s2 = _fill_rid_up(rid4)
+            rid_s1 = _fill_rid_up(rid_s2)
+            rid_c64 = _fill_rid_up(rid4[::2, ::2])
         g = (g_res << mv_res).astype(jnp.int32)
         c64 = (_interp_stride4(g_res[::8, ::8] * 1)
                << mv_res).astype(jnp.int32)
@@ -477,10 +525,32 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         # scores full-res; mesh.py).  The level-1/2 scoring blends ARE
         # the final predictions — reused below, so RD mode pays two
         # extra 32 px blends, not four.
-        p_lv0s = obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5)
-        p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
-        p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
-        p_c64 = obmc_predict_jax([ry], PAD, h, w, c64, 5)
+        if multiref:
+            def _score_mr():
+                return (
+                    obmc_predict_jax([ry, gy], PAD, h, w, g[::4, ::4],
+                                     5, ref_ids=rid4),
+                    obmc_predict_jax([ry, gy], PAD, h, w, g[::2, ::2],
+                                     4, ref_ids=rid_s2),
+                    obmc_predict_jax([ry, gy], PAD, h, w, g, 3,
+                                     ref_ids=rid_s1),
+                    obmc_predict_jax([ry, gy], PAD, h, w, c64, 5,
+                                     ref_ids=rid_c64))
+
+            def _score_sr():
+                return (
+                    obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5),
+                    obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4),
+                    obmc_predict_jax([ry], PAD, h, w, g, 3),
+                    obmc_predict_jax([ry], PAD, h, w, c64, 5))
+
+            p_lv0s, p_lv1, p_lv2, p_c64 = _jax.lax.cond(
+                any_gold, _score_mr, _score_sr)
+        else:
+            p_lv0s = obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5)
+            p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
+            p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
+            p_c64 = obmc_predict_jax([ry], PAD, h, w, c64, 5)
         levels = _choose_levels(cy, [p_lv0s, p_lv1, p_lv2, p_c64],
                                 quantizer, sb=32)
         blend = jnp.where(levels == 3, 0, levels)
@@ -502,49 +572,76 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
             half.append(obmc_predict_jax([ry2], PAD, h // 2, w // 2,
                                          gg >> 1, bl))
         levels = _choose_levels(cy2, half, quantizer, sb=16)
+        # Keep the level decision (and the cond predicates derived
+        # from it) out of the refine/search fusion neighborhood: the
+        # fused combination kernel-faults the TPU backend at 1080p
+        # (round-4 bisect).
+        levels = _jax.lax.optimization_barrier(levels)
         blend = jnp.where(levels == 3, 0, levels)
-        lv_used = blend.max()  # finest blend level any SB needs
+        lv_used = _jax.lax.optimization_barrier(blend.max())
         # (coarse64 blends with level-0 geometry)
         # Midpoint refinement of the 16 px lattice (level >= 1 SBs
         # code these vertices) and the 8 px lattice (level 2), gated
         # on use.
+        # The dyadic upsample (scatter-based) is hoisted OUT of the
+        # cond: both branches share one upsampled lattice and the
+        # skip branch is a pure passthrough.
+        g16u = _upsample_grid(g32)
         g16 = _jax.lax.cond(
             lv_used >= 1,
-            lambda: _refine_midpoints_jax(cy, refp8,
-                                          _upsample_grid(g32),
-                                          4, h, w),
-            lambda: _upsample_grid(g32))
+            lambda: _refine_midpoints_jax(cy, refp8, g16u, 4, h, w),
+            lambda: g16u)
+        g8u = _upsample_grid(g16)
         grid = _jax.lax.cond(
             lv_used >= 2,
-            lambda: _refine_midpoints_jax(cy, refp8,
-                                          _upsample_grid(g16),
-                                          3, h, w),
-            lambda: _upsample_grid(g16))
+            lambda: _refine_midpoints_jax(cy, refp8, g8u, 3, h, w),
+            lambda: g8u)
         g_res = (grid >> mv_res).astype(jnp.int32)
         g = (g_res << mv_res).astype(jnp.int32)
-    if multiref:
-        # Golden substitution on the 32 px lattice, vetoed at vertices
-        # any level-1/2 superblock reads: those SBs' predictions (the
-        # p_lv1/p_lv2 passes, computed prev-only) stay bit-exact, so
-        # gold applies exactly under level-0/coarse64 geometry — the
-        # static regions where re-quantization drift lives.
+    if multiref and not levels_full:
+        # Gated mode keeps the round-4 order: golden substitution on
+        # the 32 px lattice AFTER the level decision, vetoed at
+        # vertices any level-1/2 superblock reads — those SBs'
+        # cond-computed predictions below are prev-only, so gold
+        # applies exactly under level-0/coarse64 geometry only.
         lvf = (levels == 1) | (levels == 2)
         lp = jnp.pad(lvf, 1, constant_values=False)
         veto = (lp[:-1, :-1] | lp[1:, :-1] | lp[:-1, 1:] | lp[1:, 1:])
-        grid, g_res, rid4 = _gold_pass(cy, ry, gy, grid, g_res, mv_res,
-                                       quantizer, h, w, has_gold, veto)
+        # The whole gold pass (3 vertex-patch fetches + weighted SADs,
+        # ~3 ms/frame at 1080p) only runs when a distinct golden
+        # reference exists; _gold_pass's internal has_gold gate makes
+        # the skip branch bit-identical.
+        grid, g_res, rid4 = _jax.lax.cond(
+            has_gold > 0,
+            lambda: _gold_pass(cy, ry, gy, grid, g_res, mv_res,
+                               quantizer, h, w, has_gold, veto),
+            lambda: (grid, g_res,
+                     jnp.zeros((nvy32, nvx32), dtype=jnp.int32)))
         g = (g_res << mv_res).astype(jnp.int32)
-        d4, rid8 = sim_rid_grids(rid4, levels)
-        refs_y = [ry, gy]
+        any_gold = _jax.lax.optimization_barrier(jnp.sum(rid4) > 0)
+    if multiref:
+        # The decoded stride-4 rid lattice feeding the level-0 OBMC
+        # (the host pack derives the full fine grid with
+        # _sim_rid_grids_np for the mesh coder).
+        d4 = _sim_rid4(rid4, levels)
     else:
         rid4 = d4 = None
         refs_y = [ry]
     # Decoder-exact final prediction: level-0 geometry reads the
-    # simulated decoded stride-4 lattice.
+    # simulated decoded stride-4 lattice.  The gold-plane window fetch
+    # in the multiref OBMC only runs when some vertex actually picked
+    # gold (rid all-zero makes the single-ref pass bit-identical).
     g4s = (_sim_stride4(g_res, levels) << mv_res).astype(jnp.int32)
-    p0 = obmc_predict_jax(refs_y, PAD, h, w, g4s, 5, ref_ids=d4)
-    need1 = jnp.any(blend == 1)
-    need2 = jnp.any(blend == 2)
+    if multiref:
+        p0 = _jax.lax.cond(
+            any_gold,
+            lambda: obmc_predict_jax([ry, gy], PAD, h, w, g4s, 5,
+                                     ref_ids=d4),
+            lambda: obmc_predict_jax([ry], PAD, h, w, g4s, 5))
+    else:
+        p0 = obmc_predict_jax(refs_y, PAD, h, w, g4s, 5)
+    need1 = _jax.lax.optimization_barrier(jnp.any(blend == 1))
+    need2 = _jax.lax.optimization_barrier(jnp.any(blend == 2))
     # Fallback zeros are DERIVED from the (varying) reference so both
     # cond branches carry the same varying type under shard_map.
     zy = (ry[0, 0] * 0).astype(jnp.uint8)
@@ -568,21 +665,58 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     ruv = jnp.stack([ru, rv])
     if multiref:
         guv = jnp.stack([gu, gv])
-        uv0 = _jax.vmap(lambda r, gg: obmc_predict_jax(
-            [r, gg], PAD, hc, wc, g4s >> 1, 4, ref_ids=d4))(ruv, guv)
+        uv0 = _jax.lax.cond(
+            any_gold,
+            lambda: _jax.vmap(lambda r, gg: obmc_predict_jax(
+                [r, gg], PAD, hc, wc, g4s >> 1, 4,
+                ref_ids=d4))(ruv, guv),
+            lambda: _jax.vmap(lambda r: obmc_predict_jax(
+                [r], PAD, hc, wc, g4s >> 1, 4))(ruv))
     else:
         uv0 = _jax.vmap(lambda r: obmc_predict_jax(
             [r], PAD, hc, wc, g4s >> 1, 4))(ruv)
-    uv1 = _jax.lax.cond(
-        need1,
-        lambda: _jax.vmap(lambda r: obmc_predict_jax(
-            [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv),
-        lambda: jnp.broadcast_to(zy, (2, hc, wc)))
-    uv2 = _jax.lax.cond(
-        need2,
-        lambda: _jax.vmap(lambda r: obmc_predict_jax(
-            [r], PAD, hc, wc, g >> 1, 2))(ruv),
-        lambda: jnp.broadcast_to(zy, (2, hc, wc)))
+    if multiref and levels_full:
+        # Veto-decoupled mode: fine SBs can sit on gold vertices, so
+        # the chroma fine-level blends must read the same fill-
+        # inherited rid lattices the decoder uses (rid all-zero makes
+        # the single-ref inner branch bit-identical).
+        def _uv1_mr():
+            return _jax.vmap(lambda r, gg: obmc_predict_jax(
+                [r, gg], PAD, hc, wc, (g[::2, ::2]) >> 1, 3,
+                ref_ids=rid_s2))(ruv, guv)
+
+        def _uv1_sr():
+            return _jax.vmap(lambda r: obmc_predict_jax(
+                [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv)
+
+        def _uv2_mr():
+            return _jax.vmap(lambda r, gg: obmc_predict_jax(
+                [r, gg], PAD, hc, wc, g >> 1, 2,
+                ref_ids=rid_s1))(ruv, guv)
+
+        def _uv2_sr():
+            return _jax.vmap(lambda r: obmc_predict_jax(
+                [r], PAD, hc, wc, g >> 1, 2))(ruv)
+
+        uv1 = _jax.lax.cond(
+            need1,
+            lambda: _jax.lax.cond(any_gold, _uv1_mr, _uv1_sr),
+            lambda: jnp.broadcast_to(zy, (2, hc, wc)))
+        uv2 = _jax.lax.cond(
+            need2,
+            lambda: _jax.lax.cond(any_gold, _uv2_mr, _uv2_sr),
+            lambda: jnp.broadcast_to(zy, (2, hc, wc)))
+    else:
+        uv1 = _jax.lax.cond(
+            need1,
+            lambda: _jax.vmap(lambda r: obmc_predict_jax(
+                [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv),
+            lambda: jnp.broadcast_to(zy, (2, hc, wc)))
+        uv2 = _jax.lax.cond(
+            need2,
+            lambda: _jax.vmap(lambda r: obmc_predict_jax(
+                [r], PAD, hc, wc, g >> 1, 2))(ruv),
+            lambda: jnp.broadcast_to(zy, (2, hc, wc)))
     pred_u = _select_by_sb([uv0[0], uv1[0], uv2[0]], blend, 16)
     pred_v = _select_by_sb([uv0[1], uv1[1], uv2[1]], blend, 16)
     bsy = bs_luma
@@ -1575,13 +1709,25 @@ class DeviceEncoderSession:
         while idx < len(frames):
             gop_end = min(idx + self.keyframe_rate, len(frames))
             # GOP anchors reset the golden cadence (keyframes are
-            # golden refreshes at the decoder's rotation; gray GOPs
-            # have NO golden anchor until their first FT_GOLDEN).
+            # golden refreshes at the decoder's rotation).  Gray RAPs
+            # do NOT touch the decoder's ref_gold (only FT_INTRA /
+            # FT_GOLDEN rotate it, DecoderSession._rotate), so a
+            # golden anchor from a previous GOP SURVIVES a gray GOP
+            # start: _gold_valid persists and the golden carry planes
+            # are kept — only prev re-seeds from gray.  (Resetting
+            # _gold_valid here desynced nrefs after the first
+            # FT_GOLDEN: the encoder packed nrefs=1 while the decoder
+            # computed nrefs=2 — round-4 advisor finding.)
             self._since_golden = 0
             self._prev_was_anchor = True
-            self._gold_valid = self.key != "gray"
+            if self.key != "gray":
+                self._gold_valid = True
             if self.key == "gray":
-                self._carry = self._full_carry(self._gray_carry())
+                g3 = self._gray_carry()
+                if self.multiref and self._gold_valid:
+                    self._carry = tuple(g3) + tuple(self._carry[3:6])
+                else:
+                    self._carry = self._full_carry(g3)
                 p0 = idx
             elif self.key == "device":
                 out.append(self._encode_key_device(frames[idx], idx))

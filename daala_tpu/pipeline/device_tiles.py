@@ -154,8 +154,11 @@ def _dering_band(recs_ext, oy_band, quantizer, aprons, is_top, is_bot):
     o = oy_band.reshape(nvsb, 32, nhsb, 32).transpose(0, 2, 1, 3)
     r = (recs_ext[0][a0:a0 + hb].reshape(nvsb, 32, nhsb, 32)
          .transpose(0, 2, 1, 3))
-    fe = ((o - bufs0).astype(jnp.float32) ** 2).sum((2, 3))
-    ue = ((o - r).astype(jnp.float32) ** 2).sum((2, 3))
+    # int64 SSE (deterministic; see device_encode._dering_select).
+    d_f = (o - bufs0).astype(jnp.int64)
+    d_u = (o - r).astype(jnp.int64)
+    fe = (d_f * d_f).sum((2, 3))
+    ue = (d_u * d_u).sum((2, 3))
     bufs = [bufs0]
     for pli in range(1, len(recs_ext)):
         a = aprons[pli]
@@ -175,15 +178,17 @@ def _dering_flags(fe, ue, quantizer, total, gsum):
     from ..pvq.core import PVQ_LAMBDA
 
     qf = float(max(1, quantizer))
-    lamq = np.float32(PVQ_LAMBDA * qf * qf)
+    lamq = np.float64(PVQ_LAMBDA * qf * qf)
     flags = (fe < ue)
     for _ in range(3):
         cnt = gsum(flags.sum(dtype=jnp.int32))
         p1 = jnp.clip(cnt.astype(jnp.float32) / total,
                       1.0 / 64, 1 - 1.0 / 64)
-        r1 = -jnp.log2(p1)
-        r0 = -jnp.log2(1 - p1)
-        flags = fe + lamq * r1 < ue + lamq * r0
+        # Integer-rounded rate terms on int64 SSEs: deterministic and
+        # identical to device_encode._dering_select's decision.
+        r1 = jnp.round(lamq * -jnp.log2(p1)).astype(jnp.int64)
+        r0 = jnp.round(lamq * -jnp.log2(1 - p1)).astype(jnp.int64)
+        flags = fe + r1 < ue + r0
     return flags.astype(jnp.int32)
 
 

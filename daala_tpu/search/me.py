@@ -268,7 +268,7 @@ def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
         lib.dtpu_obmc_refine.argtypes = [
             p, ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
             p, ctypes.c_int, ctypes.c_int, p, p, p, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
             p, ctypes.c_int]
         lib._refine_ready = True
     h, w = cur.shape
@@ -287,14 +287,16 @@ def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
     iters = int(os.environ.get("DTPU_REFINE_ITERS", iters))
     # The refine pass charges generic-model mesh bits on coding-order
     # median deltas of the vertex and its dependent readers.  The rate
-    # of one delta is a lookup into the model-derived cost table
-    # (search/mvcost.py: actual generic-coder bits at a canonical
-    # adapted state — the true 16-symbol head / raw-LSB / Laplace-tail
-    # shape, not a fitted curve).  lam converts bits to SAD at this
-    # quantizer (role of the reference's rate-aware DP, mcenc.c λ).
-    from .mvcost import mv_cost_table
+    # of one delta is a lookup into the model-derived INTEGER cost
+    # table (search/mvcost.mv_cost_table8: actual generic-coder
+    # tell_frac 1/8-bits at a canonical adapted state — the true
+    # 16-symbol head / raw-LSB / Laplace-tail shape, not a fitted
+    # curve).  lamq = round(lam * 16) converts bits to SAD at this
+    # quantizer (role of the reference's rate-aware DP, mcenc.c λ);
+    # all-integer costs make the refinement deterministic.
+    from .mvcost import mv_cost_table8
 
-    mvtab = np.ascontiguousarray(mv_cost_table())
+    mvtab = np.ascontiguousarray(mv_cost_table8(), dtype=np.int32)
     lam = (float(os.environ.get("DTPU_REFINE_LAM", 1.0))
            * max(1, quantizer) / 16.0)
     cur_c = np.ascontiguousarray(cur)
@@ -302,7 +304,7 @@ def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
     lib.dtpu_obmc_refine(
         arr, len(refs), 1, refs[0].shape[1], int(pad), vp(cur_c), h, w,
         vp(g4), vp(r4), vp(steps), len(steps), int(iters), 8,
-        float(lam), int(mv_res), vp(mvtab), len(mvtab))
+        int(round(lam * 16.0)), int(mv_res), vp(mvtab), len(mvtab))
     grid[::4, ::4] = g4
     return grid
 

@@ -455,12 +455,16 @@ def _hat32():
     return (a[:, None] * a[None, :]).astype(np.int32)
 
 
-def _mv_bits_j(d, f, tab):
-    """Generic-model MV bits of a res-domain delta component: lookup
-    into the model-derived cost table (search/mvcost.py) — twin of
-    native mv_bits_tab, identical entries by construction."""
-    a = jnp.minimum(jnp.abs(d), tab.shape[0] - 1)
-    return tab[a].astype(f)
+def _mv_bits8_j(d, tab8):
+    """Generic-model MV cost of a res-domain delta component in
+    INTEGER 1/8-bit units: lookup into the model-derived cost table
+    (search/mvcost.mv_cost_table8) — twin of native mv_bits_tab,
+    identical entries by construction.  Integer rate keeps every
+    cost comparison order-independent (deterministic across runs and
+    recompiles; the round-4 f32 near-tie nondeterminism lived in the
+    float rate terms)."""
+    a = jnp.minimum(jnp.abs(d), tab8.shape[0] - 1)
+    return tab8[a]
 
 
 def _med3_j(a, b, c):
@@ -511,20 +515,22 @@ def _mesh_pred_j(snapres, vy, vx, st, ov=None):
 
 
 # Dependent coding-order readers of a vertex per color parity, as
-# (dy, dx, st, weight): which finer/coarser-lattice vertices' median
+# (dy, dx, st, w2): which finer/coarser-lattice vertices' median
 # predictors read this vertex (native dtpu_obmc_refine's deps table
-# with the parity filtering applied statically per color).
+# with the parity filtering applied statically per color).  w2 is the
+# doubled integer weight (2 = full, 1 = half for midpoint readers
+# whose coding depends on the later level RDO).
 _REFINE_DEPS = {
-    (0, 0): (((0, 2, 2, 1.0), (2, 0, 2, 1.0), (2, -2, 2, 1.0),
-              (0, 1, 1, 0.5), (1, 0, 1, 0.5), (1, -1, 1, 0.5))),
-    (0, 1): (((1, 0, 1, 0.5), (1, -1, 1, 0.5))),
-    (1, 0): (((0, 1, 1, 0.5), (1, -1, 1, 0.5))),
-    (1, 1): (((0, 1, 1, 0.5), (1, 0, 1, 0.5))),
+    (0, 0): (((0, 2, 2, 2), (2, 0, 2, 2), (2, -2, 2, 2),
+              (0, 1, 1, 1), (1, 0, 1, 1), (1, -1, 1, 1))),
+    (0, 1): (((1, 0, 1, 1), (1, -1, 1, 1))),
+    (1, 0): (((0, 1, 1, 1), (1, -1, 1, 1))),
+    (1, 1): (((0, 1, 1, 1), (1, 0, 1, 1))),
 }
 
 
 def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
-                       lam=None, iters=1, bitdepth=8, exact_bits=False):
+                       lam=None, iters=1, bitdepth=8):
     """Device twin of native dtpu_obmc_refine: rate-aware Gauss-Seidel
     refinement of the 32 px OBMC vertex lattice, scored by the EXACT
     4-block bilinear-blend SAD plus generic-model MV bits of the vertex
@@ -541,10 +547,13 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
     snapshot (Jacobi within color), bit-identical to the (race-fixed)
     C++ at any thread count.
 
+    All costs are INTEGER: cost = sad * 256 + lamq * rate16 with
+    rate16 in doubled 1/8-bit units and lamq = round(lam * 16) — both
+    twins compute the identical int32, so decisions are reproducible
+    across runs, recompiles and platforms (round-4 weak #4).
+
     g: (nvy, nvx, 2) int32 eighth-pel 32 px lattice, multiples of
-    1 << mv_res; returns the refined lattice.  exact_bits: use f64 for
-    the rate model (CPU parity tests vs the C++ double path; TPU runs
-    f32 — encoder-choice divergence only)."""
+    1 << mv_res; returns the refined lattice."""
     import os as _os
 
     nvy, nvx = (h >> 5) + 1, (w >> 5) + 1
@@ -552,15 +561,13 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
     if lam is None:
         lam = (float(_os.environ.get("DTPU_REFINE_LAM", 1.0))
                * max(1, quantizer) / 16.0)
+    lamq = int(round(lam * 16.0))
     iters = int(_os.environ.get("DTPU_REFINE_ITERS", iters))
     if iters <= 0:
         return g
-    f = jnp.float64 if exact_bits else jnp.float32
-    from .mvcost import mv_cost_table
+    from .mvcost import mv_cost_table8
 
-    # f-typed so the exact_bits CPU parity path reads the very doubles
-    # the C++ walk reads (TPU runs the f32 cast of the same table).
-    tab = jnp.asarray(mv_cost_table(), dtype=f)
+    tab8 = jnp.asarray(mv_cost_table8(), dtype=jnp.int32)
     steps = tuple(int(s) << mv_res for s in (8, 4, 2))
     # Per-iteration movement cap (eighth-pel): all step passes of one
     # iteration reuse ONE fetched window per color, so the candidate
@@ -613,14 +620,14 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         VY = jnp.asarray(np.broadcast_to(vys[:, None], (R, C)))
         VX = jnp.asarray(np.broadcast_to(vxs[None, :], (R, C)))
         st_lat = 2 if (cy0 == 0 and cx0 == 0) else 1
-        self_w = 1.0 if st_lat == 2 else 0.5
+        self_w2 = 2 if st_lat == 2 else 1
         posy = (vys.astype(np.int64) * 32 + 30 + E).astype(np.int32)
         posx = (vxs.astype(np.int64) * 32 + 30 + E).astype(np.int32)
         # cur/mask supports are loop-invariant: extracted once, closed
         # over by every pass of every iteration.
         curreg = _region(cur_pad, cy0, cx0, R, C)
         maskreg = _region(mask_pad, cy0, cx0, R, C)
-        return (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx,
+        return (cy0, cx0, R, C, VY, VX, st_lat, self_w2, posy, posx,
                 _REFINE_DEPS[(cy0, cx0)], curreg, maskreg)
 
     ctxs = [_ctx(c) for c in colors]
@@ -650,7 +657,7 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         (nc, R, C) — every candidate's SAD/rate rides one fused op.
         Candidate 0 is the incumbent (patch = Pc), so argmin ties keep
         it, matching the C++ strict <."""
-        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps,
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w2, posy, posx, deps,
          curreg, maskreg) = ctx
         N = R * C
         mv = g[cy0::2, cx0::2]              # (R, C, 2)
@@ -662,34 +669,35 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
 
         cands, patches, ok = mk_cands(mv, Pc, spred, ctx)
         cres = cands >> mv_res                           # (nc, R, C, 2)
-        rate = self_w * (
-            _mv_bits_j(cres[..., 0] - spred[..., 0][None], f, tab)
-            + _mv_bits_j(cres[..., 1] - spred[..., 1][None], f, tab))
+        rate16 = self_w2 * (
+            _mv_bits8_j(cres[..., 0] - spred[..., 0][None], tab8)
+            + _mv_bits8_j(cres[..., 1] - spred[..., 1][None], tab8))
         ov = (VY, VX, cres)
-        for (dy, dx, dst, dw) in deps:
+        for (dy, dx, dst, dw2) in deps:
             uy, ux = VY + dy, VX + dx
             okd = (uy < nvy) & (ux >= 0) & (ux < nvx)
             dp = _mesh_pred_j(snapres, uy, ux, dst, ov=ov)  # (nc,R,C,2)
             uval = snapres[jnp.clip(uy, 0, nvy - 1),
                            jnp.clip(ux, 0, nvx - 1)]
-            db = (_mv_bits_j(uval[None, ..., 0] - dp[..., 0], f, tab)
-                  + _mv_bits_j(uval[None, ..., 1] - dp[..., 1], f, tab))
-            rate = rate + dw * jnp.where(okd[None], db, f(0.0))
+            db = (_mv_bits8_j(uval[None, ..., 0] - dp[..., 0], tab8)
+                  + _mv_bits8_j(uval[None, ..., 1] - dp[..., 1], tab8))
+            rate16 = rate16 + dw2 * jnp.where(okd[None], db, 0)
 
         blend = jnp.clip((S_f[None] + hatc[None] * patches + 512) >> 10,
                          0, maxv)
-        # int32 cost accumulation: SAD <= 64*64*255 and lam*rate <=
-        # ~60k bits-worth, so int32 is exact and orders identically to
-        # the C++ int64 total — int64 argmin lowers to a slow
-        # bitcast-reduce pair on TPU (op trace).
+        # int32 cost: sad * 256 <= 2^28 and lamq * rate16 <= ~2^26, so
+        # the total is exact in int32 and orders identically to the
+        # C++ int64 — int64 argmin lowers to a slow bitcast-reduce
+        # pair on TPU (op trace).  All-integer costs are reduction-
+        # order independent: deterministic across runs/recompiles.
         sad = (jnp.abs(curreg[None] - blend)
                * maskreg[None]).sum((1, 2)).astype(jnp.int32)  # (nc, N)
         okr = ((jnp.abs(cands[..., 0]) <= 480)
                & (jnp.abs(cands[..., 1]) <= 480))
         if ok is not None:
             okr = okr & ok
-        rat = (f(lam) * rate).astype(jnp.int32).reshape(len(cands), N)
-        costs = jnp.where(okr.reshape(len(cands), N), sad + rat,
+        rat = (lamq * rate16).reshape(len(cands), N)
+        costs = jnp.where(okr.reshape(len(cands), N), sad * 256 + rat,
                           jnp.int32(1) << 30)
         pick = jnp.argmin(costs, axis=0)                      # (N,)
         best_mv = jnp.take_along_axis(
@@ -709,7 +717,7 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         predictor} — the joint MV/rate move that matters at coarse
         lambda, evaluated once per iteration (its window is anchored at
         the predictor itself, so it needs its own fetch)."""
-        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps,
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w2, posy, posx, deps,
          curreg, maskreg) = ctx
         N = R * C
         pmv = (spred << mv_res).astype(jnp.int32)
@@ -729,7 +737,7 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         the post-jump lattice; every step pass of the iteration
         interpolates its candidates from it (the CAP rule keeps them
         inside)."""
-        (cy0, cx0, R, C, VY, VX, st_lat, self_w, posy, posx, deps,
+        (cy0, cx0, R, C, VY, VX, st_lat, self_w2, posy, posx, deps,
          curreg, maskreg) = ctx
         N = R * C
         mv0 = g0[cy0::2, cx0::2]
@@ -768,23 +776,23 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         return mk
 
     S = _build_S(Pcs)
-    steps_arr = jnp.asarray(np.asarray(steps, np.int32))
+    # Step passes statically unrolled (NOT a lax.scan): the step-scan
+    # carried ~27 MB (the S accumulator + 4 per-color patch tensors)
+    # and, nested inside the chunk's frame scan with cond-gated
+    # consumers downstream, kernel-faulted the TPU backend at 1080p
+    # (round-4/5 bisect).  The unrolled form is also marginally
+    # faster — the steps are compile-time constants, so every
+    # candidate offset folds into static slices.
     for _ in range(iters):
         for ci, ctx in enumerate(ctxs):
             g, Pcs[ci], S = _pass(g, Pcs[ci], S, ctx, _jump_cands)
         wins = [_fetch_win(g, ctx) for ctx in ctxs]
-
-        def sweep(carry, st):
-            g, P0, P1, P2, P3, S = carry
-            Ps = [P0, P1, P2, P3]
+        for st in steps:
             for ci, (ctx, (win, anchor, mv0)) in enumerate(
                     zip(ctxs, wins)):
-                g, Ps[ci], S = _pass(g, Ps[ci], S, ctx,
-                                     _dir_cands(st, win, anchor, mv0))
-            return (g, Ps[0], Ps[1], Ps[2], Ps[3], S), None
-
-        (g, Pcs[0], Pcs[1], Pcs[2], Pcs[3], S), _ = jax.lax.scan(
-            sweep, (g, Pcs[0], Pcs[1], Pcs[2], Pcs[3], S), steps_arr)
+                g, Pcs[ci], S = _pass(
+                    g, Pcs[ci], S, ctx,
+                    _dir_cands(jnp.int32(st), win, anchor, mv0))
     return g
 
 

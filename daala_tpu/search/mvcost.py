@@ -34,11 +34,12 @@ import os
 
 import numpy as np
 
-__all__ = ["mv_cost_table", "MV_COST_N"]
+__all__ = ["mv_cost_table", "mv_cost_table8", "MV_COST_N"]
 
 MV_COST_N = 1024
 
 _CACHE = {}
+_CACHE8 = {}
 
 
 def _canonical_magnitudes(mean: float, n: int = 4096,
@@ -53,13 +54,17 @@ def _canonical_magnitudes(mean: float, n: int = 4096,
     return np.minimum(a, 64)
 
 
-def mv_cost_table(mean: float = None, n: int = MV_COST_N) -> np.ndarray:
-    """(n,) float64 bits of coding a res-domain delta of magnitude i
-    (sign bit included), from the adapted generic model."""
+def mv_cost_table8(mean: float = None, n: int = MV_COST_N) -> np.ndarray:
+    """(n,) int32 cost of coding a res-domain delta of magnitude i, in
+    1/8-bit (tell_frac) units, sign bit included — the INTEGER primitive
+    both refinement twins consume.  Integer rate terms make every
+    refinement decision order-independent and therefore reproducible
+    run to run and across recompiles (the round-4 f32 near-tie
+    nondeterminism lived exactly here)."""
     if mean is None:
         mean = float(os.environ.get("DTPU_MVCOST_MEAN", "1.2"))
     key = (round(mean, 6), n)
-    tab = _CACHE.get(key)
+    tab = _CACHE8.get(key)
     if tab is not None:
         return tab
     from ..entropy import make_encoder
@@ -70,15 +75,29 @@ def mv_cost_table(mean: float = None, n: int = MV_COST_N) -> np.ndarray:
     enc = make_encoder()
     for a in _canonical_magnitudes(mean):
         ex = generic_encode(enc, model, int(a), -1, ex, 2)
-    # Actual bits at the settled state, measured through the coder
+    # Actual 1/8-bits at the settled state, measured through the coder
     # itself (tell_frac deltas) so the Laplace tail and raw-LSB
     # regions are exact — generic_encode_cost's flat "+2" tail
     # approximation loses the rate gradient at large magnitudes.
-    tab = np.empty(n, dtype=np.float64)
+    tab = np.empty(n, dtype=np.int32)
     for a in range(n):
         m = model.copy()
         t0 = enc.tell_frac()
         generic_encode(enc, m, a, -1, ex, 2)
-        tab[a] = (enc.tell_frac() - t0) / 8.0 + (1.0 if a else 0.0)
-    _CACHE[key] = tab
+        tab[a] = (enc.tell_frac() - t0) + (8 if a else 0)
+    _CACHE8[key] = tab
+    return tab
+
+
+def mv_cost_table(mean: float = None, n: int = MV_COST_N) -> np.ndarray:
+    """(n,) float64 bits of coding a res-domain delta of magnitude i
+    (sign bit included) — exactly mv_cost_table8 / 8 (1/8-bit entries
+    are dyadic, so the float view is lossless)."""
+    key = (round(mean if mean is not None
+                 else float(os.environ.get("DTPU_MVCOST_MEAN", "1.2")),
+                 6), n)
+    tab = _CACHE.get(key)
+    if tab is None:
+        tab = mv_cost_table8(mean, n).astype(np.float64) / 8.0
+        _CACHE[key] = tab
     return tab

@@ -3641,12 +3641,14 @@ inline void mesh_pred_c(const int64_t* g4, int nvy, int nvx, int vy,
   *px = med_component(cx, nn);
 }
 
-// Generic-model MV bits for one coded delta component in the
-// MV-resolution domain: table lookup into the model-derived cost
-// table (search/mvcost.py — actual generic-coder bits at a canonical
-// adapted state, sign bit included), shared verbatim with the jax
-// twin so both refinements make identical rate decisions.
-inline double mv_bits_tab(int64_t d, const double* tab, int ntab) {
+// Generic-model MV cost for one coded delta component in the
+// MV-resolution domain, in INTEGER 1/8-bit units: table lookup into
+// the model-derived cost table (search/mvcost.mv_cost_table8 —
+// actual generic-coder tell_frac deltas at a canonical adapted
+// state, sign bit included), shared verbatim with the jax twin so
+// both refinements make identical — and, being all-integer,
+// reproducible — rate decisions.
+inline int64_t mv_bits_tab(int64_t d, const int32_t* tab, int ntab) {
   int64_t a = d < 0 ? -d : d;
   if (a >= ntab) a = ntab - 1;
   return tab[a];
@@ -3659,7 +3661,8 @@ extern "C" void dtpu_obmc_refine(
     int pad, const uint8_t* cur, int h, int w,
     int64_t* g4 /* (nvy, nvx, 2) */, const int32_t* rids,
     const int64_t* steps, int nsteps, int iters, int bitdepth,
-    double lam, int mv_res, const double* mvtab, int ntab) {
+    int64_t lamq /* round(lam * 16) */, int mv_res,
+    const int32_t* mvtab, int ntab) {
   if (elem != 1) return;  // 8-bit path (high depth falls back)
   int nvy = (h >> 5) + 1, nvx = (w >> 5) + 1;
   int nby = h >> 5, nbx = w >> 5;
@@ -3754,38 +3757,40 @@ extern "C" void dtpu_obmc_refine(
           // the refinement.
           int self_even = ((vy & 1) == 0) && ((vx & 1) == 0);
           int self_st = self_even ? 2 : 1;
-          double self_w = self_even ? 1.0 : 0.5;
+          int self_w2 = self_even ? 2 : 1;  // doubled integer weight
           int64_t spy, spx;   // res-domain predictor of this vertex
           mesh_pred_c(sn, nvy, nvx, vy, vx, self_st, mv_res, &spy,
                       &spx);
           // Dependent vertices whose coding-order predictor reads this
           // vertex: as left (v, vx+st), up (vy+st, v), up-right
           // (vy+st, vx-st) on the vertex's own-parity lattices.
-          struct Dep { int dy, dx, st; double w; };
+          struct Dep { int dy, dx, st, w2; };
           Dep deps[6];
           int ndeps = 0;
           if (self_even) {
             // 64 px-lattice readers of this vertex (left/up/up-right).
-            deps[ndeps++] = {0, 2, 2, 1.0};
-            deps[ndeps++] = {2, 0, 2, 1.0};
-            deps[ndeps++] = {2, -2, 2, 1.0};
+            deps[ndeps++] = {0, 2, 2, 2};
+            deps[ndeps++] = {2, 0, 2, 2};
+            deps[ndeps++] = {2, -2, 2, 2};
           }
           // Midpoint-pass readers (even-even targets are coded in the
-          // coarser pass, filtered below).
-          deps[ndeps++] = {0, 1, 1, 0.5};
-          deps[ndeps++] = {1, 0, 1, 0.5};
-          deps[ndeps++] = {1, -1, 1, 0.5};
+          // coarser pass, filtered below; half weight = 1 of 2).
+          deps[ndeps++] = {0, 1, 1, 1};
+          deps[ndeps++] = {1, 0, 1, 1};
+          deps[ndeps++] = {1, -1, 1, 1};
           int res_sh = mv_res;
           // m is an eighth-pel multiple of 1 << res; pred is already
           // in the res domain.
-          auto delta_bits = [&](int64_t m, int64_t pred) -> double {
+          auto delta_bits = [&](int64_t m, int64_t pred) -> int64_t {
             return mv_bits_tab((m >> res_sh) - pred, mvtab, ntab);
           };
-          auto rate_of = [&](int64_t my, int64_t mx) -> double {
+          // rate in doubled 1/8-bit units (integer; the half weights
+          // ride the doubling) — identical to the jax twin's rate16.
+          auto rate_of = [&](int64_t my, int64_t mx) -> int64_t {
             // The candidate is passed by value into the dependents'
             // predictor reads; nothing is written to shared state.
-            double r = self_w * (delta_bits(my, spy)
-                                 + delta_bits(mx, spx));
+            int64_t r = self_w2 * (delta_bits(my, spy)
+                                   + delta_bits(mx, spx));
             for (int di = 0; di < ndeps; di++) {
               int uy = vy + deps[di].dy, ux = vx + deps[di].dx;
               if (uy >= nvy || ux < 0 || ux >= nvx) continue;
@@ -3799,8 +3804,8 @@ extern "C" void dtpu_obmc_refine(
               mesh_pred_c(sn, nvy, nvx, uy, ux, deps[di].st, res_sh,
                           &py, &px, vy, vx, my, mx);
               const int64_t* u = sn + ((int64_t)uy * nvx + ux) * 2;
-              r += deps[di].w * (delta_bits(u[0], py)
-                                 + delta_bits(u[1], px));
+              r += deps[di].w2 * (delta_bits(u[0], py)
+                                  + delta_bits(u[1], px));
             }
             return r;
           };
@@ -3826,7 +3831,9 @@ extern "C" void dtpu_obmc_refine(
                   cur + (int64_t)by * RB * w + (int64_t)bx * RB, w,
                   maxv);
             }
-            return total + (int64_t)(lam * rate_of(my, mx));
+            // cost = sad * 256 + lamq * rate16 — the jax twin's int32
+            // cost widened to int64 (identical ordering: both exact).
+            return total * 256 + lamq * rate_of(my, mx);
           };
           int64_t best = eval(mv[0], mv[1], 0);
           int64_t bmy = mv[0], bmx = mv[1];

@@ -206,6 +206,38 @@ def test_device_encode_gray_start_exact():
                 (p["display_order"], pl)
 
 
+def test_gray_multigop_golden_survives():
+    """A golden anchor from a previous GOP SURVIVES a gray RAP: the
+    decoder's ref_gold only rotates at FT_INTRA/FT_GOLDEN, so gray
+    GOPs after the first FT_GOLDEN are two-ref from their second
+    frame.  The encoder must mirror that persistent state or the
+    nrefs desync corrupts every later ref-id symbol (round-4 advisor
+    high finding; needs keyframe_rate > GOLDEN_INTERVAL)."""
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+    from daala_tpu.pipeline.inter import DecoderSession, GOLDEN_INTERVAL
+
+    kf = GOLDEN_INTERVAL + 2
+    frames = _clip(2 * kf + 3)
+    info = _info(kf=kf)
+    enc = DeviceEncoderSession(info, quality=30, chunk=4,
+                               emit_recon=True, gray_start=True,
+                               multiref=True)
+    pkts = enc.encode_clip(frames)
+    assert len(pkts) == len(frames)
+    # One FT_GOLDEN inside each full GOP (cadence restarts per GOP).
+    assert [p["ftype"] for p in pkts[:kf]].count(3) == 1
+    dec = DecoderSession(info)
+    for p in pkts:
+        rec = dec.decode_frame(p["data"], False, ftype=p["ftype"],
+                               dres=p["dres"],
+                               gray_ref=bool(p.get("gray_ref")))
+        for pl in range(3):
+            assert np.array_equal(np.asarray(rec[pl]),
+                                  np.asarray(p["recon"][pl])), \
+                (p["display_order"], pl)
+
+
 def test_gray_ref_resilience():
     """A stream that opens with a P frame (no decoded reference yet)
     must decode against the synthesized gray frame, not crash."""

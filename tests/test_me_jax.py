@@ -37,7 +37,7 @@ def test_dense_grid_twin(h, w):
 def test_refine_lattice_twin(lam_env, res, monkeypatch):
     """refine_lattice_jax must reproduce the native dtpu_obmc_refine
     lattice bit for bit (both are Jacobi-within-color with snapshot
-    rate reads; f64 rate path on CPU matches the C++ double)."""
+    rate reads; all-integer costs, so parity needs no float mode)."""
     from daala_tpu.ops.mc import pad_ref
     from daala_tpu.search.me import refine_mesh_lattice
     from daala_tpu.search.me_jax import refine_lattice_jax
@@ -62,8 +62,7 @@ def test_refine_lattice_twin(lam_env, res, monkeypatch):
         cur, [pad_ref(ref, 80)], 80, dense.copy(), rids, quantizer,
         iters=1, mv_res=res)[::4, ::4]
     fn = jax.jit(lambda c, r, g: refine_lattice_jax(
-        c, r, g, h, w, quantizer, mv_res=res, iters=1,
-        exact_bits=True))
+        c, r, g, h, w, quantizer, mv_res=res, iters=1))
     dev = np.asarray(fn(cur, pad_ref(ref, 64),
                         g32.astype(np.int32)))
     assert np.array_equal(host_g.astype(np.int64), dev.astype(np.int64))
