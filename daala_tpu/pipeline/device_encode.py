@@ -485,75 +485,72 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         grid = _refine_midpoints_jax(cy, refp8, _upsample_grid(g16),
                                      3, h, w)
         g_res = (grid >> mv_res).astype(jnp.int32)
+        g = (g_res << mv_res).astype(jnp.int32)
         if multiref:
             # VETO DECOUPLED (round-4 weak #2): the gold pass runs
             # BEFORE the level RDO with no fine-level veto, and the
-            # scoring blends below are rid-aware, so the level
-            # decision and the golden substitution no longer fight —
-            # a fine SB near a gold vertex scores exactly the blend
-            # the decoder would run and the RDO arbitrates.  (The
-            # old order vetoed gold wherever a fine level won, which
-            # made the level-lambda response non-monotonic: lower
-            # lambda bought a finer mesh but silently disabled the
-            # drift fix.)
-            grid, g_res, rid4 = _jax.lax.cond(
-                has_gold > 0,
-                lambda: _gold_pass(cy, ry, gy, grid, g_res, mv_res,
-                                   quantizer, h, w, has_gold,
-                                   jnp.zeros((nvy32, nvx32),
-                                             dtype=bool)),
-                lambda: (grid, g_res,
-                         jnp.zeros((nvy32, nvx32), dtype=jnp.int32)))
-            any_gold = _jax.lax.optimization_barrier(
-                jnp.sum(rid4) > 0)
-            # Scoring-time rid lattices: rid4 taken as coded at every
-            # stride-4 vertex, fine strides by fill inheritance.  For
-            # the pixels of any level-1/2 SB these agree with the
-            # decoder's _sim_rid_grids_np view (every stride-4 vertex
-            # adjacent to a fine SB has required_stride <= 4, and the
-            # fill reads stay on the SB's closed vertex set), so the
-            # reused blends remain decoder-exact.
-            rid_s2 = _fill_rid_up(rid4)
-            rid_s1 = _fill_rid_up(rid_s2)
+            # COARSE candidates (lv0 / coarse64 — the geometries gold
+            # actually applies under) are scored rid-aware, while the
+            # fine candidates are scored prev-only from the PRE-gold
+            # lattice.  The level decision therefore arbitrates the
+            # real decoder tradeoff explicitly — "finer mesh WITHOUT
+            # gold vs coarse WITH gold" — instead of the old order
+            # where a fine win silently disabled the drift fix (the
+            # non-monotonic level-lambda mechanism).  After the
+            # decision, rid and the substituted MVs are rolled back at
+            # fine-adjacent vertices (post-veto), so the fine blends
+            # stay prev-only and bit-exact for reuse.
+            # No lax.cond around any of this: conds whose branches
+            # contain full-res banded-window scans downstream of the
+            # refine kernel-fault the TPU backend at 1080p (round-5
+            # bisect).  _gold_pass's internal has_gold gate keeps
+            # no-gold frames bit-identical.
+            pre32 = g_res[::4, ::4]
+            grid, g_res, rid4 = _gold_pass(
+                cy, ry, gy, grid, g_res, mv_res, quantizer, h, w,
+                has_gold, jnp.zeros((nvy32, nvx32), dtype=bool))
+            gg32 = (g_res[::4, ::4] << mv_res).astype(jnp.int32)
             rid_c64 = _fill_rid_up(rid4[::2, ::2])
-        g = (g_res << mv_res).astype(jnp.int32)
-        c64 = (_interp_stride4(g_res[::8, ::8] * 1)
-               << mv_res).astype(jnp.int32)
+            c64 = (_interp_stride4(g_res[::8, ::8] * 1)
+                   << mv_res).astype(jnp.int32)
+            # Window-select multiref blends: one shared interpolation,
+            # marginal cost = one extra fetch; rid all-zero makes them
+            # bit-identical to single-ref.
+            p_lv0s = obmc_predict_jax([ry, gy], PAD, h, w, gg32, 5,
+                                      ref_ids=rid4)
+            p_c64 = obmc_predict_jax([ry, gy], PAD, h, w, c64, 5,
+                                     ref_ids=rid_c64)
+        else:
+            c64 = (_interp_stride4(g_res[::8, ::8] * 1)
+                   << mv_res).astype(jnp.int32)
+            p_lv0s = obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5)
+            p_c64 = obmc_predict_jax([ry], PAD, h, w, c64, 5)
         # FULL-RES level scoring: the 2x-downsampled scoring smooths
         # away exactly the high-frequency residual that distinguishes
         # fine meshes, starving levels 1/2 (the host's choose_levels
         # scores full-res; mesh.py).  The level-1/2 scoring blends ARE
-        # the final predictions — reused below, so RD mode pays two
-        # extra 32 px blends, not four.
-        if multiref:
-            def _score_mr():
-                return (
-                    obmc_predict_jax([ry, gy], PAD, h, w, g[::4, ::4],
-                                     5, ref_ids=rid4),
-                    obmc_predict_jax([ry, gy], PAD, h, w, g[::2, ::2],
-                                     4, ref_ids=rid_s2),
-                    obmc_predict_jax([ry, gy], PAD, h, w, g, 3,
-                                     ref_ids=rid_s1),
-                    obmc_predict_jax([ry, gy], PAD, h, w, c64, 5,
-                                     ref_ids=rid_c64))
-
-            def _score_sr():
-                return (
-                    obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5),
-                    obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4),
-                    obmc_predict_jax([ry], PAD, h, w, g, 3),
-                    obmc_predict_jax([ry], PAD, h, w, c64, 5))
-
-            p_lv0s, p_lv1, p_lv2, p_c64 = _jax.lax.cond(
-                any_gold, _score_mr, _score_sr)
-        else:
-            p_lv0s = obmc_predict_jax([ry], PAD, h, w, g[::4, ::4], 5)
-            p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
-            p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
-            p_c64 = obmc_predict_jax([ry], PAD, h, w, c64, 5)
+        # the final predictions — reused below (prev-only from the
+        # pre-gold lattice; the post-veto guarantees fine SBs' coded
+        # vertices equal exactly these values).
+        p_lv1 = obmc_predict_jax([ry], PAD, h, w, g[::2, ::2], 4)
+        p_lv2 = obmc_predict_jax([ry], PAD, h, w, g, 3)
         levels = _choose_levels(cy, [p_lv0s, p_lv1, p_lv2, p_c64],
                                 quantizer, sb=32)
         blend = jnp.where(levels == 3, 0, levels)
+        if multiref:
+            # Post-veto: fine-adjacent vertices roll back to prev ref
+            # and their pre-gold MVs, so every vertex a level-1/2 SB
+            # reads is the value the prev-only scoring blends used.
+            lvf = (levels == 1) | (levels == 2)
+            lp = jnp.pad(lvf, 1, constant_values=False)
+            veto = (lp[:-1, :-1] | lp[1:, :-1]
+                    | lp[:-1, 1:] | lp[1:, 1:])
+            new32 = jnp.where(veto[..., None], pre32,
+                              g_res[::4, ::4])
+            g_res = g_res.at[::4, ::4].set(new32)
+            grid = grid.at[::4, ::4].set(
+                (new32 << mv_res).astype(jnp.int32))
+            rid4 = jnp.where(veto, 0, rid4)
     else:
         g_unref = _upsample_grid(_upsample_grid(g32))
         gu_res = (g_unref >> mv_res).astype(jnp.int32)
@@ -585,17 +582,27 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         # on use.
         # The dyadic upsample (scatter-based) is hoisted OUT of the
         # cond: both branches share one upsampled lattice and the
-        # skip branch is a pure passthrough.
+        # skip branch is a pure passthrough.  DTPU_DEV_GATECOND=0
+        # drops the lax.cond gating (midpoints always refine) — the
+        # structural bisect knob for the 1080p TPU kernel fault.
+        gatecond = _os.environ.get("DTPU_DEV_GATECOND", "1") \
+            not in ("0", "false")
         g16u = _upsample_grid(g32)
-        g16 = _jax.lax.cond(
-            lv_used >= 1,
-            lambda: _refine_midpoints_jax(cy, refp8, g16u, 4, h, w),
-            lambda: g16u)
+        if gatecond:
+            g16 = _jax.lax.cond(
+                lv_used >= 1,
+                lambda: _refine_midpoints_jax(cy, refp8, g16u, 4, h, w),
+                lambda: g16u)
+        else:
+            g16 = _refine_midpoints_jax(cy, refp8, g16u, 4, h, w)
         g8u = _upsample_grid(g16)
-        grid = _jax.lax.cond(
-            lv_used >= 2,
-            lambda: _refine_midpoints_jax(cy, refp8, g8u, 3, h, w),
-            lambda: g8u)
+        if gatecond:
+            grid = _jax.lax.cond(
+                lv_used >= 2,
+                lambda: _refine_midpoints_jax(cy, refp8, g8u, 3, h, w),
+                lambda: g8u)
+        else:
+            grid = _refine_midpoints_jax(cy, refp8, g8u, 3, h, w)
         g_res = (grid >> mv_res).astype(jnp.int32)
         g = (g_res << mv_res).astype(jnp.int32)
     if multiref and not levels_full:
@@ -607,18 +614,14 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         lvf = (levels == 1) | (levels == 2)
         lp = jnp.pad(lvf, 1, constant_values=False)
         veto = (lp[:-1, :-1] | lp[1:, :-1] | lp[:-1, 1:] | lp[1:, 1:])
-        # The whole gold pass (3 vertex-patch fetches + weighted SADs,
-        # ~3 ms/frame at 1080p) only runs when a distinct golden
-        # reference exists; _gold_pass's internal has_gold gate makes
-        # the skip branch bit-identical.
-        grid, g_res, rid4 = _jax.lax.cond(
-            has_gold > 0,
-            lambda: _gold_pass(cy, ry, gy, grid, g_res, mv_res,
-                               quantizer, h, w, has_gold, veto),
-            lambda: (grid, g_res,
-                     jnp.zeros((nvy32, nvx32), dtype=jnp.int32)))
+        # Unconditional (no lax.cond — the cond-wrapped vertex-patch
+        # scans kernel-fault the TPU backend at 1080p; see above):
+        # _gold_pass's internal has_gold gate makes no-gold frames
+        # bit-identical.
+        grid, g_res, rid4 = _gold_pass(cy, ry, gy, grid, g_res,
+                                       mv_res, quantizer, h, w,
+                                       has_gold, veto)
         g = (g_res << mv_res).astype(jnp.int32)
-        any_gold = _jax.lax.optimization_barrier(jnp.sum(rid4) > 0)
     if multiref:
         # The decoded stride-4 rid lattice feeding the level-0 OBMC
         # (the host pack derives the full fine grid with
@@ -633,11 +636,7 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     # gold (rid all-zero makes the single-ref pass bit-identical).
     g4s = (_sim_stride4(g_res, levels) << mv_res).astype(jnp.int32)
     if multiref:
-        p0 = _jax.lax.cond(
-            any_gold,
-            lambda: obmc_predict_jax([ry, gy], PAD, h, w, g4s, 5,
-                                     ref_ids=d4),
-            lambda: obmc_predict_jax([ry], PAD, h, w, g4s, 5))
+        p0 = obmc_predict_jax([ry, gy], PAD, h, w, g4s, 5, ref_ids=d4)
     else:
         p0 = obmc_predict_jax(refs_y, PAD, h, w, g4s, 5)
     need1 = _jax.lax.optimization_barrier(jnp.any(blend == 1))
@@ -665,58 +664,26 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     ruv = jnp.stack([ru, rv])
     if multiref:
         guv = jnp.stack([gu, gv])
-        uv0 = _jax.lax.cond(
-            any_gold,
-            lambda: _jax.vmap(lambda r, gg: obmc_predict_jax(
-                [r, gg], PAD, hc, wc, g4s >> 1, 4,
-                ref_ids=d4))(ruv, guv),
-            lambda: _jax.vmap(lambda r: obmc_predict_jax(
-                [r], PAD, hc, wc, g4s >> 1, 4))(ruv))
+        uv0 = _jax.vmap(lambda r, gg: obmc_predict_jax(
+            [r, gg], PAD, hc, wc, g4s >> 1, 4,
+            ref_ids=d4))(ruv, guv)
     else:
         uv0 = _jax.vmap(lambda r: obmc_predict_jax(
             [r], PAD, hc, wc, g4s >> 1, 4))(ruv)
-    if multiref and levels_full:
-        # Veto-decoupled mode: fine SBs can sit on gold vertices, so
-        # the chroma fine-level blends must read the same fill-
-        # inherited rid lattices the decoder uses (rid all-zero makes
-        # the single-ref inner branch bit-identical).
-        def _uv1_mr():
-            return _jax.vmap(lambda r, gg: obmc_predict_jax(
-                [r, gg], PAD, hc, wc, (g[::2, ::2]) >> 1, 3,
-                ref_ids=rid_s2))(ruv, guv)
-
-        def _uv1_sr():
-            return _jax.vmap(lambda r: obmc_predict_jax(
-                [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv)
-
-        def _uv2_mr():
-            return _jax.vmap(lambda r, gg: obmc_predict_jax(
-                [r, gg], PAD, hc, wc, g >> 1, 2,
-                ref_ids=rid_s1))(ruv, guv)
-
-        def _uv2_sr():
-            return _jax.vmap(lambda r: obmc_predict_jax(
-                [r], PAD, hc, wc, g >> 1, 2))(ruv)
-
-        uv1 = _jax.lax.cond(
-            need1,
-            lambda: _jax.lax.cond(any_gold, _uv1_mr, _uv1_sr),
-            lambda: jnp.broadcast_to(zy, (2, hc, wc)))
-        uv2 = _jax.lax.cond(
-            need2,
-            lambda: _jax.lax.cond(any_gold, _uv2_mr, _uv2_sr),
-            lambda: jnp.broadcast_to(zy, (2, hc, wc)))
-    else:
-        uv1 = _jax.lax.cond(
-            need1,
-            lambda: _jax.vmap(lambda r: obmc_predict_jax(
-                [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv),
-            lambda: jnp.broadcast_to(zy, (2, hc, wc)))
-        uv2 = _jax.lax.cond(
-            need2,
-            lambda: _jax.vmap(lambda r: obmc_predict_jax(
-                [r], PAD, hc, wc, g >> 1, 2))(ruv),
-            lambda: jnp.broadcast_to(zy, (2, hc, wc)))
+    # Chroma fine-level blends are prev-only in BOTH modes: the
+    # (post-)veto guarantees no level-1/2 SB reads a gold vertex, so
+    # the single-ref cond'd passes stay bit-exact and cheap (these
+    # single-ref conds predate the refine and never faulted).
+    uv1 = _jax.lax.cond(
+        need1,
+        lambda: _jax.vmap(lambda r: obmc_predict_jax(
+            [r], PAD, hc, wc, (g[::2, ::2]) >> 1, 3))(ruv),
+        lambda: jnp.broadcast_to(zy, (2, hc, wc)))
+    uv2 = _jax.lax.cond(
+        need2,
+        lambda: _jax.vmap(lambda r: obmc_predict_jax(
+            [r], PAD, hc, wc, g >> 1, 2))(ruv),
+        lambda: jnp.broadcast_to(zy, (2, hc, wc)))
     pred_u = _select_by_sb([uv0[0], uv1[0], uv2[0]], blend, 16)
     pred_v = _select_by_sb([uv0[1], uv1[1], uv2[1]], blend, 16)
     bsy = bs_luma

@@ -279,7 +279,9 @@ def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
         *[r.ctypes.data_as(ctypes.c_void_p).value for r in refs])
     import os
 
-    steps = np.asarray([8, 4, 2], dtype=np.int64) << mv_res
+    steps_env = os.environ.get("DTPU_REFINE_STEPS", "8,4,2")
+    steps = (np.asarray([int(x) for x in steps_env.split(",")],
+                        dtype=np.int64) << mv_res)
     # Coarse quantizers: the residual is too expensive to fix what the
     # prediction misses, so spend more search (3 Gauss-Seidel sweeps).
     if quantizer >= 900:

@@ -568,7 +568,12 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
     from .mvcost import mv_cost_table8
 
     tab8 = jnp.asarray(mv_cost_table8(), dtype=jnp.int32)
-    steps = tuple(int(s) << mv_res for s in (8, 4, 2))
+    # Step schedule shared with the C++ twin (me.py passes the same
+    # env): "8,2" trades 1/3 of the step passes for ~-5 ms/frame at
+    # 1080p (RD-checked on the warp ladder before changing defaults).
+    steps_env = _os.environ.get("DTPU_REFINE_STEPS", "8,4,2")
+    steps = tuple(int(s) << mv_res
+                  for s in (int(x) for x in steps_env.split(",")))
     # Per-iteration movement cap (eighth-pel): all step passes of one
     # iteration reuse ONE fetched window per color, so the candidate
     # walk may not leave it.  The cap equals the maximum possible
@@ -776,23 +781,38 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
         return mk
 
     S = _build_S(Pcs)
-    # Step passes statically unrolled (NOT a lax.scan): the step-scan
-    # carried ~27 MB (the S accumulator + 4 per-color patch tensors)
-    # and, nested inside the chunk's frame scan with cond-gated
-    # consumers downstream, kernel-faulted the TPU backend at 1080p
-    # (round-4/5 bisect).  The unrolled form is also marginally
-    # faster — the steps are compile-time constants, so every
-    # candidate offset folds into static slices.
+    # DTPU_REFINE_UNROLL=1 unrolls the step passes statically instead
+    # of scanning (the scan carries ~27 MB: S + 4 per-color patch
+    # tensors).  Default stays the scan — the round-4 full path is
+    # proven on it at 1080p on the real chip.
+    unroll = _os.environ.get("DTPU_REFINE_UNROLL", "0") \
+        not in ("0", "false")
+    steps_arr = jnp.asarray(np.asarray(steps, np.int32))
     for _ in range(iters):
         for ci, ctx in enumerate(ctxs):
             g, Pcs[ci], S = _pass(g, Pcs[ci], S, ctx, _jump_cands)
         wins = [_fetch_win(g, ctx) for ctx in ctxs]
-        for st in steps:
-            for ci, (ctx, (win, anchor, mv0)) in enumerate(
-                    zip(ctxs, wins)):
-                g, Pcs[ci], S = _pass(
-                    g, Pcs[ci], S, ctx,
-                    _dir_cands(jnp.int32(st), win, anchor, mv0))
+        if unroll:
+            for st in steps:
+                for ci, (ctx, (win, anchor, mv0)) in enumerate(
+                        zip(ctxs, wins)):
+                    g, Pcs[ci], S = _pass(
+                        g, Pcs[ci], S, ctx,
+                        _dir_cands(jnp.int32(st), win, anchor, mv0))
+        else:
+            def sweep(carry, st):
+                g, P0, P1, P2, P3, S = carry
+                Ps = [P0, P1, P2, P3]
+                for ci, (ctx, (win, anchor, mv0)) in enumerate(
+                        zip(ctxs, wins)):
+                    g, Ps[ci], S = _pass(
+                        g, Ps[ci], S, ctx,
+                        _dir_cands(st, win, anchor, mv0))
+                return (g, Ps[0], Ps[1], Ps[2], Ps[3], S), None
+
+            (g, Pcs[0], Pcs[1], Pcs[2], Pcs[3], S), _ = jax.lax.scan(
+                sweep, (g, Pcs[0], Pcs[1], Pcs[2], Pcs[3], S),
+                steps_arr)
     return g
 
 
