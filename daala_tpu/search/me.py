@@ -279,7 +279,7 @@ def refine_mesh_lattice(cur, refs_padded, pad, grid, rids, quantizer,
         *[r.ctypes.data_as(ctypes.c_void_p).value for r in refs])
     import os
 
-    steps_env = os.environ.get("DTPU_REFINE_STEPS", "8,4,2")
+    steps_env = os.environ.get("DTPU_REFINE_STEPS", "8,2")
     steps = (np.asarray([int(x) for x in steps_env.split(",")],
                         dtype=np.int64) << mv_res)
     # Coarse quantizers: the residual is too expensive to fix what the

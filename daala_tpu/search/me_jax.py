@@ -571,7 +571,7 @@ def refine_lattice_jax(cur, refp8, g, h, w, quantizer, mv_res=0,
     # Step schedule shared with the C++ twin (me.py passes the same
     # env): "8,2" trades 1/3 of the step passes for ~-5 ms/frame at
     # 1080p (RD-checked on the warp ladder before changing defaults).
-    steps_env = _os.environ.get("DTPU_REFINE_STEPS", "8,4,2")
+    steps_env = _os.environ.get("DTPU_REFINE_STEPS", "8,2")
     steps = tuple(int(s) << mv_res
                   for s in (int(x) for x in steps_env.split(",")))
     # Per-iteration movement cap (eighth-pel): all step passes of one

@@ -44,7 +44,7 @@ def main(argv=None):
     ap.add_argument("--host-encode", action="store_true",
                     help="encode with the host EncoderSession instead "
                          "of the device session")
-    ap.add_argument("--tile-jobs", type=int, default=None,
+    ap.add_argument("--tile-jobs", type=int, default=1,
                     help="parallel tile decode workers")
     args = ap.parse_args(argv)
 
