@@ -33,13 +33,26 @@ import time
 
 import numpy as np
 
-# Round-4 path: rate-aware refinement + multiref default.  The
-# coherent checksum is stable across every round-4 run and pins
-# bit-exactness of the pipeline; the busy clip's dense near-ties in
-# the f32 cost argmins turned out to vary run to run on the axon
-# backend (three values observed on one program, 2026-08-21), so it
-# is printed but not pinned.
+# Round-5 pins.  Every encoder decision rides integer costs
+# (refine/gold/level/dering; search/me_jax.py) and the PVQ band
+# search accumulates in f64.  Measured determinism on the real chip
+# (tools/structck.py + tools/detcheck.py, 2026-08-21):
+#   * every stage bit-stable across repeated runs of one binary;
+#   * the full chunk bit-stable within any one process (the intra-run
+#     assertion below enforces this every bench run);
+#   * single-call processes reproduce IDENTICAL busy outputs across
+#     separate processes and two independent compile caches
+#     (full 138451024, decisions 39938289) —
+# but a process that first pushes a DIFFERENT clip through the same
+# binary reproducibly lands on other values (even the all-integer
+# decision layer moves), i.e. the axon backend's results depend on
+# unrelated prior calls — stale/uninitialized buffer reads, the same
+# backend-bug family as the 1080p gated-path kernel fault
+# (ROADMAP.md).  Cross-process pinning of the busy clip is therefore
+# blocked on the backend, not on this encoder's arithmetic; the
+# coherent full checksum pins outright (same value since round 4).
 EXPECT_CK = {"coherent": 122501186, "busy": None}
+EXPECT_DECISIONS = {}
 
 
 def _base(h, w, t, seed=0):
@@ -104,14 +117,23 @@ def run_clip(fn, ys, us, vs, t):
     with jax.enable_x64(True):
         _, outs = fn(*args)   # warm up / compile
         ck = int(np.asarray(outs["check"]).sum())
+        dsum = (int(np.abs(np.asarray(outs["grid"],
+                                      dtype=np.int64)).sum())
+                + int(np.asarray(outs["levels"], dtype=np.int64).sum())
+                + int(np.asarray(outs["dflags"], dtype=np.int64).sum())
+                + int(np.asarray(outs["rid4"], dtype=np.int64).sum()))
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
             _, outs = fn(*args)
-            int(np.asarray(outs["check"]).sum())  # scalar = hard sync
+            ck2 = int(np.asarray(outs["check"]).sum())  # hard sync
+            if ck2 != ck:
+                print("INTRA-RUN checksum drift: %d vs %d" % (ck2, ck),
+                      file=sys.stderr)
+                sys.exit(1)
             times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
-    return t / med, ck
+    return t / med, ck, dsum
 
 
 def main():
@@ -123,12 +145,18 @@ def main():
     fps = {}
     for name, mk in (("coherent", coherent_clip), ("busy", busy_clip)):
         ys, us, vs = mk(h, w, t)
-        fps[name], ck = run_clip(fn, ys, us, vs, t)
+        fps[name], ck, dsum = run_clip(fn, ys, us, vs, t)
         if EXPECT_CK.get(name) is not None and ck != EXPECT_CK[name]:
             print("checksum drift (%s): %d (expected %d)"
                   % (name, ck, EXPECT_CK[name]), file=sys.stderr)
         else:
             print("checksum %s: %d" % (name, ck), file=sys.stderr)
+        want_d = EXPECT_DECISIONS.get(name)
+        if want_d is not None and dsum != want_d:
+            print("DECISION checksum drift (%s): %d (expected %d)"
+                  % (name, dsum, want_d), file=sys.stderr)
+        else:
+            print("decisions %s: %d" % (name, dsum), file=sys.stderr)
 
     worst = min(fps.values())
     print(json.dumps({

@@ -48,7 +48,7 @@ from ..core.quant import N_CODED_QUANTIZERS, QM8_HVS, \
     codedquantizer_to_quantizer, init_qm
 from ..core.state import interp_pvq_qm
 from ..pvq.isynth import icompute_k
-from ..pvq.scan import BAND_OFFSETS
+from ..pvq.scan import BAND_OFFSETS, _FLAT as _FLAT_IDX
 
 __all__ = ["make_device_chunk_fn", "pack_device_frame",
            "DeviceEncoderSession", "PAD"]
@@ -348,6 +348,185 @@ def _plane_code(cur_u8, pred_u8, bs, xdec, quantizer, qm, qm_inv,
     return dp + dq, dc_idx, qg, y
 
 
+def _masked_lap_rows_2d(c, edges, colmask, inverse=False):
+    """Row laps at the given edge rows, applied only where colmask
+    (per edge x per column) is True — the 2D form the quadtree grid
+    lapping needs (an interior split edge laps only across the
+    columns of SPLIT superblocks)."""
+    import jax.numpy as jnp
+
+    from .device import lap_rows
+
+    edges = np.asarray(edges, dtype=np.int32)
+    if len(edges) == 0:
+        return c
+    idx = edges[:, None] + np.arange(-2, 2)
+    lapped = lap_rows(c, idx, inverse=inverse)
+    m = jnp.zeros(c.shape, dtype=bool)
+    m = m.at[jnp.asarray(idx.reshape(-1))].set(
+        jnp.repeat(colmask, 4, axis=0))
+    return jnp.where(m, lapped, c)
+
+
+def _masked_lap_cols_2d(c, edges, rowmask, inverse=False):
+    import jax.numpy as jnp
+
+    from .device import lap_cols
+
+    edges = np.asarray(edges, dtype=np.int32)
+    if len(edges) == 0:
+        return c
+    idx = edges[:, None] + np.arange(-2, 2)
+    lapped = lap_cols(c, idx, inverse=inverse)
+    m = jnp.zeros(c.shape, dtype=bool)
+    m = m.at[:, jnp.asarray(idx.reshape(-1))].set(
+        jnp.repeat(rowmask, 4, axis=1))
+    return jnp.where(m, lapped, c)
+
+
+def _grid_prefilter(c, split, sbn, inverse=False):
+    """Quadtree-grid lapped pre/post filter for a 2-size grid: laps at
+    every sbn-px edge (block boundaries of BOTH sizes) plus the
+    sbn/2-offset interior edges of SPLIT superblocks — the device twin
+    of grid.prefilter_plane_grid restricted to a one-level quadtree.
+    split: (nsby, nsbx) bool.  Pre: h then v; post: v then h."""
+    import jax.numpy as jnp
+
+    h, w = c.shape[-2], c.shape[-1]
+    mid = sbn >> 1
+    always_r = np.arange(sbn, h, sbn)
+    always_c = np.arange(sbn, w, sbn)
+    mid_r = np.arange(mid, h, sbn)
+    mid_c = np.arange(mid, w, sbn)
+    # Column mask for the mid ROW edges: the edge at row 32k+16 is
+    # interior to SB row k — lap across columns of split SBs.
+    cm = jnp.repeat(split, sbn, axis=1)          # (nsby, w)
+    rm = jnp.repeat(split, sbn, axis=0)          # (h, nsbx)
+
+    def rows_always(x):
+        from .device import lap_rows
+
+        return lap_rows(x, always_r[:, None] + np.arange(-2, 2),
+                        inverse=inverse)
+
+    def cols_always(x):
+        from .device import lap_cols
+
+        return lap_cols(x, always_c[:, None] + np.arange(-2, 2),
+                        inverse=inverse)
+
+    def rows_mid(x):
+        return _masked_lap_rows_2d(x, mid_r, cm, inverse=inverse)
+
+    def cols_mid(x):
+        return _masked_lap_cols_2d(x, mid_c, rm, inverse=inverse)
+
+    if not inverse:
+        x = rows_always(c)
+        x = rows_mid(x)
+        x = cols_always(x)
+        return cols_mid(x)
+    x = cols_mid(c)
+    x = cols_always(x)
+    x = rows_mid(x)
+    return rows_always(x)
+
+
+def _sb_cost_est(res, bs, quantizer, pvq_qm, sb_px):
+    """Per-SB cost estimate of coding a residual plane at uniform size
+    4 << bs: analytic K-tokens rate (the skip-RDO formula) + companded
+    gain distortion, plus a DC magnitude estimate — the cheap trial
+    that drives the 2-size grid decision (no pulse search).  Returns
+    (nsby, nsbx) float32."""
+    import jax.numpy as jnp
+
+    from ..pvq.core import PVQ_LAMBDA
+    from ..pvq.scan import qm_get_index
+
+    n = 4 << bs
+    h, w = res.shape
+    blocks = (res.reshape(h // n, n, w // n, n).swapaxes(1, 2)
+              .reshape(-1, n * n))
+    vec = blocks[:, _FLAT_IDX[n]]
+    offs = BAND_OFFSETS[bs]
+    lam = np.float32(PVQ_LAMBDA)
+    gw = np.float32(1.4)
+    cost = jnp.zeros(blocks.shape[0], dtype=jnp.float32)
+    for b in range(offs[0]):
+        lo, hi = offs[1 + b], offs[2 + b]
+        nn = hi - lo
+        qb = max(1, (int(quantizer)
+                     * int(pvq_qm[qm_get_index(bs, b + 1)])) >> 4)
+        x = vec[:, lo:hi].astype(jnp.float32)
+        g = jnp.sqrt((x * x).astype(jnp.float64).sum(-1)
+                     ).astype(jnp.float32) / np.float32(qb)
+        qg = jnp.round(g)
+        k = jnp.where(qg > 0, jnp.maximum(
+            1.0, jnp.floor(0.5 + (qg - 0.2)
+                           * np.float32(np.sqrt((nn + 3) / 2.0)))), 0.0)
+        rate = jnp.where(
+            k > 0,
+            nn * jnp.log2(1.0 + np.float32(np.log(2.0 * nn)) * k / nn)
+            + np.float32(2.5), np.float32(1.0))
+        dist = gw * (qg - g) ** 2
+        skip = gw * g * g
+        cost = cost + jnp.minimum(dist + lam * rate, skip + lam)
+    dcq = max(1, (int(quantizer)
+                  * int(pvq_qm[qm_get_index(bs, 0)])) >> 4)
+    dci = jnp.round(jnp.abs(vec[:, 0].astype(jnp.float32))
+                    / np.float32(dcq))
+    cost = cost + lam * 2.0 * jnp.log2(1.0 + dci)
+    per_blk = cost.reshape(h // n, w // n)
+    r = sb_px // n
+    return (per_blk.reshape(h // (n * r), r, w // (n * r), r)
+            .sum((1, 3)))
+
+
+def _plane_code_mixed(cur_u8, pred_u8, split, lo, hi, xdec, quantizer,
+                      qms, qm_invs, pvq_qm_pl):
+    """Residual coding of one plane with a per-SB 2-size grid: the
+    input rides the quadtree-grid lapped transform (the decoder's
+    prefilter_plane_grid semantics), the prediction reads the uniform
+    cascade tables (exact per leaf regardless of the split structure —
+    _mc_pred_tables invariant), and BOTH sizes' stream-valid PVQ
+    symbols are produced so the host pack selects per SB.  Returns
+    (recon coeff plane, per-size (dc, qg, y) pairs)."""
+    import jax.numpy as jnp
+
+    from ..pvq.device_search import pvq_symbols_frame
+
+    sbn = 4 << hi
+    c = (cur_u8.astype(jnp.int32) - 128) << 4
+    p = (pred_u8.astype(jnp.int32) - 128) << 4
+    ci = _grid_prefilter(c, split, sbn)
+    from ..ops.dct import fdct2d, idct2d
+    from .device import _to_blocks, _from_blocks
+
+    h, w = c.shape
+    outs = []
+    dq_sizes = []
+    dp_sizes = []
+    for bs in (lo, hi):
+        n = 4 << bs
+        d = _from_blocks(fdct2d(_to_blocks(ci, n), n), h, w, n)
+        dp = _fwd_pred(p, bs, xdec)
+        dq, dc_idx, qg, y = pvq_symbols_frame(
+            d - dp, bs, quantizer, qms[bs], qm_invs[bs], pvq_qm_pl)
+        outs.append((dc_idx, qg, y))
+        dq_sizes.append(dq)
+        dp_sizes.append(dp)
+    selpx = jnp.repeat(jnp.repeat(split, sbn, 0), sbn, 1)
+    dmix = jnp.where(selpx, dq_sizes[0] + dp_sizes[0],
+                     dq_sizes[1] + dp_sizes[1])
+    rec_lo = _from_blocks(idct2d(_to_blocks(dmix, 4 << lo), 4 << lo),
+                          h, w, 4 << lo)
+    rec_hi = _from_blocks(idct2d(_to_blocks(dmix, 4 << hi), 4 << hi),
+                          h, w, 4 << hi)
+    rec = jnp.where(selpx, rec_lo, rec_hi)
+    rec = _grid_prefilter(rec, split, sbn, inverse=True)
+    return rec, outs
+
+
 def _dering_select(recs, orig_y, flags_thr, quantizer, xdecs):
     """Directional dering with per-SB flags decided on luma distortion
     (encoder choice; the host codes these flags verbatim).  recs are
@@ -422,7 +601,7 @@ def _dering_select(recs, orig_y, flags_thr, quantizer, xdecs):
 
 def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
                 pvq_qms, use_dering, emit_recon, bs_luma=1,
-                rate_refine=True, multiref=False):
+                rate_refine=True, multiref=False, adaptive_bs=False):
     """One P frame of the device encode: search -> level RDO ->
     decoder-exact mixed OBMC -> residual symbols -> recon [-> dering].
     The reconstruction is carried as the next reference.
@@ -688,18 +867,50 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     pred_v = _select_by_sb([uv0[1], uv1[1], uv2[1]], blend, 16)
     bsy = bs_luma
     bsc = max(bs_luma - 1, 0)
-    ry_d, dc_y, qg_y, y_y = _plane_code(cy, pred_y, bsy, 0, quantizer,
-                                        qms[bsy], qm_invs[bsy],
-                                        pvq_qms[0])
-    ru_d, dc_u, qg_u, y_u = _plane_code(cu, pred_u, bsc, 1, quantizer,
-                                        qms[bsc], qm_invs[bsc],
-                                        pvq_qms[1])
-    rv_d, dc_v, qg_v, y_v = _plane_code(cv, pred_v, bsc, 1, quantizer,
-                                        qms[bsc], qm_invs[bsc],
-                                        pvq_qms[2])
-    rec_y = _inv(ry_d, bsy)
-    rec_u = _inv(ru_d, bsc)
-    rec_v = _inv(rv_d, bsc)
+    if adaptive_bs:
+        # Per-SB 2-size grid {bs_luma-1, bs_luma} (VERDICT round-4
+        # item 5, first tier): the split decision comes from a cheap
+        # analytic rate/dist trial on the uniform residual transforms,
+        # the final coding rides the quadtree-grid lapped transform
+        # (decoder semantics), and both sizes' stream-valid symbols
+        # travel so the host pack selects per SB.
+        lo = bs_luma - 1
+        cpx = (cy.astype(jnp.int32) - 128) << 4
+        ppx = (pred_y.astype(jnp.int32) - 128) << 4
+        rt_lo = _fwd_input(cpx, lo) - _fwd_pred(ppx, lo, 0)
+        rt_hi = _fwd_input(cpx, bsy) - _fwd_pred(ppx, bsy, 0)
+        cl = _sb_cost_est(rt_lo, lo, quantizer, pvq_qms[0], 4 << bsy)
+        ch = _sb_cost_est(rt_hi, bsy, quantizer, pvq_qms[0], 4 << bsy)
+        bias = jnp.float32(float(_os.environ.get(
+            "DTPU_BS_SPLIT_BIAS", "2.0")))
+        split = cl + bias < ch
+        ry_d, ysy = _plane_code_mixed(cy, pred_y, split, lo, bsy, 0,
+                                      quantizer, qms, qm_invs,
+                                      pvq_qms[0])
+        ru_d, usy = _plane_code_mixed(cu, pred_u, split, lo - 1,
+                                      bsy - 1, 1, quantizer, qms,
+                                      qm_invs, pvq_qms[1])
+        rv_d, vsy = _plane_code_mixed(cv, pred_v, split, lo - 1,
+                                      bsy - 1, 1, quantizer, qms,
+                                      qm_invs, pvq_qms[2])
+    else:
+        ry_d, dc_y, qg_y, y_y = _plane_code(cy, pred_y, bsy, 0,
+                                            quantizer, qms[bsy],
+                                            qm_invs[bsy], pvq_qms[0])
+        ru_d, dc_u, qg_u, y_u = _plane_code(cu, pred_u, bsc, 1,
+                                            quantizer, qms[bsc],
+                                            qm_invs[bsc], pvq_qms[1])
+        rv_d, dc_v, qg_v, y_v = _plane_code(cv, pred_v, bsc, 1,
+                                            quantizer, qms[bsc],
+                                            qm_invs[bsc], pvq_qms[2])
+    if adaptive_bs:
+        # _plane_code_mixed already applied the per-size idct + the
+        # inverse quadtree-grid laps.
+        rec_y, rec_u, rec_v = ry_d, ru_d, rv_d
+    else:
+        rec_y = _inv(ry_d, bsy)
+        rec_u = _inv(ru_d, bsc)
+        rec_v = _inv(rv_d, bsc)
     if use_dering:
         oy = (cy.astype(jnp.int32) - 128) << 4
         (rec_y, rec_u, rec_v), dflags = _dering_select(
@@ -723,21 +934,40 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
     check = (jnp.sum(r8y.astype(jnp.int32)) & 0xffffff) \
         + (jnp.sum(r8u.astype(jnp.int32)) & 0xffffff) \
         + (jnp.sum(r8v.astype(jnp.int32)) & 0xffffff)
-    # On-device symbol compaction: the pulse tensors dominate the
-    # device->host transfer (~8 MB/frame int32 at 1080p); pulses fit
-    # int8 at every practical rate, so the session fetches the int8
-    # twin (4x less wire) and falls back to the exact int32 tensor
-    # only when the per-frame overflow counter says a pulse escaped
-    # the range (exactness-preserving: k is unbounded).
-    y8 = tuple(jnp.clip(yv, -127, 127).astype(jnp.int8)
-               for yv in (y_y, y_u, y_v))
-    yovf = sum((jnp.abs(yv) > 127).sum().astype(jnp.int32)
-               for yv in (y_y, y_u, y_v))
-    outs = {
-        "grid": grid, "levels": levels, "dflags": dflags,
-        "dc": (dc_y, dc_u, dc_v), "qg": (qg_y, qg_u, qg_v),
-        "y": (y_y, y_u, y_v), "y8": y8, "yovf": yovf, "check": check,
-    }
+    if adaptive_bs:
+        # Both sizes' symbol tensors travel; the host pack selects
+        # per SB from the split grid (int8 compaction skipped in this
+        # mode — opt-in RD tier, not the throughput path).
+        outs = {
+            "grid": grid, "levels": levels, "dflags": dflags,
+            "split": split.astype(jnp.int32), "check": check,
+            "dc2": tuple(s[0] for s in (ysy[0], usy[0], vsy[0])
+                         ) + tuple(s[0] for s in (ysy[1], usy[1],
+                                                  vsy[1])),
+            "qg2": tuple(s[1] for s in (ysy[0], usy[0], vsy[0])
+                         ) + tuple(s[1] for s in (ysy[1], usy[1],
+                                                  vsy[1])),
+            "y2": tuple(s[2] for s in (ysy[0], usy[0], vsy[0])
+                        ) + tuple(s[2] for s in (ysy[1], usy[1],
+                                                 vsy[1])),
+        }
+    else:
+        # On-device symbol compaction: the pulse tensors dominate the
+        # device->host transfer (~8 MB/frame int32 at 1080p); pulses
+        # fit int8 at every practical rate, so the session fetches the
+        # int8 twin (4x less wire) and falls back to the exact int32
+        # tensor only when the per-frame overflow counter says a pulse
+        # escaped the range (exactness-preserving: k is unbounded).
+        y8 = tuple(jnp.clip(yv, -127, 127).astype(jnp.int8)
+                   for yv in (y_y, y_u, y_v))
+        yovf = sum((jnp.abs(yv) > 127).sum().astype(jnp.int32)
+                   for yv in (y_y, y_u, y_v))
+        outs = {
+            "grid": grid, "levels": levels, "dflags": dflags,
+            "dc": (dc_y, dc_u, dc_v), "qg": (qg_y, qg_u, qg_v),
+            "y": (y_y, y_u, y_v), "y8": y8, "yovf": yovf,
+            "check": check,
+        }
     if multiref:
         outs["rid4"] = rid4
     if emit_recon:
@@ -747,7 +977,7 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
 
 def make_device_chunk_fn(h, w, quantizer, use_dering=True,
                          emit_recon=False, qm_flat=False, bs_luma=1,
-                         multiref=False):
+                         multiref=False, adaptive_bs=False):
     """Jit the chunked device encode for one frame geometry.  Returns
     fn(ys (T,h,w) u8, us, vs, ref_y (h+160, w+160) u8, ref_u, ref_v)
     -> (carry, outs) with every out stacked over T.  Runs (and must be
@@ -772,6 +1002,9 @@ def make_device_chunk_fn(h, w, quantizer, use_dering=True,
                     for pli in range(3))
     if bs_luma not in (1, 2, 3):
         raise ValueError("device encode: bs_luma must be 1, 2 or 3")
+    if adaptive_bs and bs_luma < 2:
+        raise ValueError("adaptive bs needs bs_luma in (2, 3) "
+                         "(the grid mixes bs_luma-1 and bs_luma)")
     import os as _os
 
     rr = _os.environ.get("DTPU_DEV_REFINE", "1") not in ("0", "false")
@@ -780,7 +1013,8 @@ def make_device_chunk_fn(h, w, quantizer, use_dering=True,
                    qm_invs=qmis, pvq_qms=pvq_qms,
                    use_dering=bool(use_dering),
                    emit_recon=bool(emit_recon), bs_luma=int(bs_luma),
-                   rate_refine=rr, multiref=bool(multiref))
+                   rate_refine=rr, multiref=bool(multiref),
+                   adaptive_bs=bool(adaptive_bs))
 
     if multiref:
         def fn(ys, us, vs, ref_y, ref_u, ref_v, gold_y, gold_u,
@@ -1179,6 +1413,126 @@ def _pack_planes(info, quantizer, bs_luma=1):
     return pcs
 
 
+def _pack_planes_mixed(info, quantizer, split, hi):
+    """Plane contexts for the native walk with a per-SB 2-size grid:
+    luma cells take bs = hi-1 inside split superblocks, hi elsewhere
+    (legal one-level quadtree; the walk signals the split through the
+    skip symbol, _inter_recursive)."""
+    h, w = info.frame_height, info.frame_width
+    lo = hi - 1
+    nsby, nsbx = h >> 5, w >> 5
+    cells = np.where(np.asarray(split, dtype=bool), lo, hi)
+    grid = np.repeat(np.repeat(cells, 8, 0), 8, 1).astype(np.int8)
+    pcs = []
+    for pli in range(info.nplanes):
+        pc = _PackPlane()
+        pc.pli = pli
+        pc.xdec = info.xdec[pli]
+        pc.quantizer = quantizer
+        pc.grid = grid
+        pc.h = h >> info.ydec[pli]
+        pc.w = w >> pc.xdec
+        pc.mcpred = {}
+        for bs in (max(lo - pc.xdec, 0), max(hi - pc.xdec, 0)):
+            n = 4 << bs
+            ncoded = {0: 16, 1: 64, 2: 256, 3: 512}[bs]
+            predt = np.zeros((pc.h // n, pc.w // n, ncoded),
+                             dtype=np.int32)
+            pc.mcpred[bs] = (None, predt)
+        pcs.append(pc)
+    return pcs, nsby, nsbx
+
+
+def _device_pre_mixed(info, syms, split, hi):
+    """Flattened Pre for the native walk from 2-size device symbol
+    tensors.  syms: dc2/qg2/y2, each a 6-tuple [lo_y, lo_u, lo_v,
+    hi_y, hi_u, hi_v] of DENSE per-size arrays; split: (nsby, nsbx)
+    bool — slots cover hi-size leaves of unsplit SBs and lo-size
+    leaves of split SBs, in per-plane (size-major) row-major order."""
+    from ..pvq.native_walk import Pre
+
+    sb = np.asarray(split, dtype=bool)
+    pre = Pre()
+    pre.leaf_slot = []
+    band_start = []
+    dc0 = []
+    qg = []
+    ys = []
+    offsets = [0]
+    nslots = 0
+    for pli in range(info.nplanes):
+        xd = info.xdec[pli]
+        ph = info.frame_height >> info.ydec[pli]
+        pw = info.frame_width >> xd
+        sl = np.full((ph // 4, pw // 4), -1, dtype=np.int32)
+        for si, bsl in enumerate((max(hi - xd, 0), max(hi - 1 - xd, 0))):
+            # si 0: hi-size leaves (unsplit); si 1: lo (split).
+            n = 4 << bsl
+            nby, nbx = ph // n, pw // n
+            r = (nby + sb.shape[0] - 1) // sb.shape[0]
+            mask = np.repeat(np.repeat(sb, r, 0), r, 1)[:nby, :nbx]
+            mask = ~mask if si == 0 else mask
+            # Device order: [lo_y, lo_u, lo_v, hi_y, hi_u, hi_v];
+            # si 0 walks the HI-size leaves.
+            dcs = np.asarray(syms["dc2"][3 * (1 - si) + pli]).reshape(-1)
+            qgs = np.asarray(syms["qg2"][3 * (1 - si) + pli])
+            yv = np.asarray(syms["y2"][3 * (1 - si) + pli])
+            nb = BAND_OFFSETS[bsl][0]
+            offs = BAND_OFFSETS[bsl][1:]
+            lens = np.diff(np.asarray(offs[:nb + 1], dtype=np.int32))
+            bidx = np.nonzero(mask.reshape(-1))[0]
+            for bi in bidx:
+                by, bx = divmod(int(bi), nbx)
+                sl[by * (n // 4), bx * (n // 4)] = nslots
+                band_start.append(len(qg))
+                dc0.append(int(dcs[bi]))
+                for b in range(nb):
+                    qg.append(int(qgs[bi, b]))
+                    offsets.append(offsets[-1] + int(lens[b]))
+                ys.append(np.asarray(yv[bi], dtype=np.int32))
+                nslots += 1
+        pre.leaf_slot.append(sl)
+    pre.nslots = nslots
+    pre.band_start = np.asarray(band_start, dtype=np.int32)
+    pre.dc0 = np.asarray(dc0, dtype=np.int32)
+    pre.offsets = np.asarray(offsets, dtype=np.int32)
+    qga = np.asarray(qg, dtype=np.int32)
+    pre.qg = qga
+    pre.noref = (qga > 0).astype(np.int32)
+    pre.itheta = np.where(qga > 0, -1, 0).astype(np.int32)
+    pre.max_theta = np.zeros(len(qga), dtype=np.int32)
+    k = np.zeros(len(qga), dtype=np.int32)
+    pos = 0
+    # k per band from the integer rule (sizes vary per slot; walk the
+    # same slot order).
+    i = 0
+    for pli in range(info.nplanes):
+        xd = info.xdec[pli]
+        ph = info.frame_height >> info.ydec[pli]
+        pw = info.frame_width >> xd
+        for si, bsl in enumerate((max(hi - xd, 0), max(hi - 1 - xd, 0))):
+            n = 4 << bsl
+            nby, nbx = ph // n, pw // n
+            r = (nby + sb.shape[0] - 1) // sb.shape[0]
+            mask = np.repeat(np.repeat(sb, r, 0), r, 1)[:nby, :nbx]
+            mask = ~mask if si == 0 else mask
+            cnt = int(mask.sum())
+            nb = BAND_OFFSETS[bsl][0]
+            offs = BAND_OFFSETS[bsl][1:]
+            for b in range(nb):
+                nn = offs[b + 1] - offs[b]
+                sel = np.arange(i + b, i + cnt * nb, nb)
+                k[sel] = icompute_k(int(nn), True, qga[sel])
+            i += cnt * nb
+            pos += cnt
+    pre.k = k
+    pre.skip_diff = np.full(len(qga), 1e30, dtype=np.float64)
+    pre.y = (np.concatenate(ys) if ys
+             else np.zeros(0, dtype=np.int32))
+    pre.groups = []
+    return pre
+
+
 _PRE_CACHE = {}
 
 
@@ -1294,7 +1648,7 @@ def _sim_rid_grids_np(rid4, levels):
 
 def pack_device_frame(info, cq, grid, levels, syms, dflags,
                       use_dering=True, tiles=1, tile_workers=None,
-                      bs_luma=1, rid4=None):
+                      bs_luma=1, rid4=None, split=None):
     """Range-code one device-encoded P frame into a standard dres-mode
     packet (exact _code_inter_packet layout: per-plane quantizers in
     tile 0, MV mesh, coefficient walk, dering flags — each tile's rows
@@ -1335,8 +1689,15 @@ def pack_device_frame(info, cq, grid, levels, syms, dflags,
     states = _tile_states(info.nplanes, quantizer, False, len(bounds),
                           is_keyframe=False,
                           qm_flat=getattr(info, "qm", 1) == 0)
-    pcs = _pack_planes(info, quantizer, bs_luma)
-    pre = _device_pre(info, syms, bs_luma)
+    if split is not None:
+        # Per-SB 2-size grid {bs_luma-1, bs_luma}: the walk signals
+        # splits through the skip symbol and walks lo-size leaves
+        # inside split SBs (_inter_recursive semantics).
+        pcs, _, _ = _pack_planes_mixed(info, quantizer, split, bs_luma)
+        pre = _device_pre_mixed(info, syms, split, bs_luma)
+    else:
+        pcs = _pack_planes(info, quantizer, bs_luma)
+        pre = _device_pre(info, syms, bs_luma)
     dummy_dc = np.zeros(pre.nslots, dtype=np.int32)
     dummy_ac = np.zeros(pre.nslots, dtype=np.uint8)
     dummy_bk = np.zeros(pre.nslots, dtype=np.uint8)
@@ -1389,7 +1750,7 @@ class DeviceEncoderSession:
                  keyframe_rate=None, emit_recon=False,
                  gray_start=False, key=None, pack_tiles=None,
                  pack_workers=None, config=None, bs_luma=None,
-                 multiref=None):
+                 multiref=None, adaptive_bs=False):
         # config: a core.config.EncoderConfig — the same unified object
         # EncoderSession consumes.  Device-relevant fields (quality,
         # use_dering, qm, chunk, gray_gop, keyframe_rate) are honored;
@@ -1456,6 +1817,10 @@ class DeviceEncoderSession:
             bs_luma = (1 if self.quantizer < 120
                        else 2 if self.quantizer < 170 else 3)
         self.bs_luma = int(bs_luma)
+        # Per-SB adaptive block sizes (2-size grid {bs-1, bs}): the
+        # first device feature-tier lift of the uniform-bs ladder —
+        # opt-in (costs a second PVQ pass per plane on device).
+        self.adaptive_bs = bool(adaptive_bs) and self.bs_luma >= 2
         # Multi-ref P: {prev, gold} reference set with FT_GOLDEN
         # cadence (encode.c:3146-3175 rotation) — fixes the
         # re-quantization drift of long prev-only chains at coarse
@@ -1473,7 +1838,7 @@ class DeviceEncoderSession:
             info.frame_height, info.frame_width, self.quantizer,
             use_dering=self.use_dering, emit_recon=self.emit_recon,
             qm_flat=self._qm_flat, bs_luma=self.bs_luma,
-            multiref=self.multiref)
+            multiref=self.multiref, adaptive_bs=self.adaptive_bs)
 
     # -- internals -------------------------------------------------------
 
@@ -1610,6 +1975,9 @@ class DeviceEncoderSession:
         grid = np.asarray(outs["grid"])
         levels = np.asarray(outs["levels"])
         dflags = np.asarray(outs["dflags"])
+        if "split" in outs:
+            return self._pack_chunk_adaptive(outs, n, idx0, grid,
+                                             levels, dflags)
         dcs = [np.asarray(a) for a in outs["dc"]]
         qgs = [np.asarray(a) for a in outs["qg"]]
         # Compact transfer: int8 pulse tensors unless the overflow
@@ -1644,6 +2012,42 @@ class DeviceEncoderSession:
             if recs is not None:
                 d["recon"] = tuple(
                     np.asarray(outs["recon"][p])[t]
+                    [:self.info.pic_height >> self.info.ydec[p],
+                     :self.info.pic_width >> self.info.xdec[p]]
+                    for p in range(3))
+            pkts.append(d)
+        return pkts
+
+    def _pack_chunk_adaptive(self, outs, n, idx0, grid, levels,
+                             dflags):
+        """Pack chunk frames coded with the per-SB 2-size grid."""
+        split = np.asarray(outs["split"])
+        dc2 = [np.asarray(a) for a in outs["dc2"]]
+        qg2 = [np.asarray(a) for a in outs["qg2"]]
+        y2 = [np.asarray(a) for a in outs["y2"]]
+        ftypes = outs.get("_ftypes")
+        has_gold = outs.get("_has_gold")
+        rid4s = (np.asarray(outs["rid4"]) if "rid4" in outs else None)
+        recs = outs.get("recon")
+        pkts = []
+        for t in range(n):
+            syms = {"dc2": [d[t] for d in dc2],
+                    "qg2": [q[t] for q in qg2],
+                    "y2": [yv[t] for yv in y2]}
+            rid4 = (rid4s[t] if rid4s is not None
+                    and has_gold is not None and has_gold[t] else None)
+            data = pack_device_frame(
+                self.info, self.quality, grid[t], levels[t], syms,
+                dflags[t], self.use_dering, tiles=self.pack_tiles,
+                tile_workers=self.pack_workers, bs_luma=self.bs_luma,
+                rid4=rid4, split=split[t])
+            ftype = ftypes[t] if ftypes is not None else 3
+            d = {"data": data, "ftype": ftype,
+                 "display_order": idx0 + t,
+                 "use_haar": False, "dres": True}
+            if recs is not None:
+                d["recon"] = tuple(
+                    np.asarray(recs[p])[t]
                     [:self.info.pic_height >> self.info.ydec[p],
                      :self.info.pic_width >> self.info.xdec[p]]
                     for p in range(3))

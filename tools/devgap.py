@@ -67,7 +67,8 @@ def _decode_all(info, pkts, want_acct=False):
     return recons, acct_totals
 
 
-def run_point(frames, quality, want_acct=True, device=True):
+def run_point(frames, quality, want_acct=True, device=True,
+              adaptive_bs=False):
     from daala_tpu.core.state import FrameInfo
     from daala_tpu.pipeline.inter import EncoderSession
 
@@ -97,8 +98,10 @@ def run_point(frames, quality, want_acct=True, device=True):
     if device:
         from daala_tpu.pipeline.device_encode import DeviceEncoderSession
 
-        ds = DeviceEncoderSession(info, quality=quality)
-        measure("device", ds.encode_clip(frames))
+        ds = DeviceEncoderSession(info, quality=quality,
+                                  adaptive_bs=adaptive_bs)
+        measure("device" + ("_abs" if ds.adaptive_bs else ""),
+                ds.encode_clip(frames))
     return out
 
 
@@ -109,11 +112,14 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--no-acct", action="store_true")
     ap.add_argument("--no-device", action="store_true")
+    ap.add_argument("--adaptive-bs", action="store_true",
+                    help="device session with the per-SB 2-size grid")
     args = ap.parse_args(argv)
     frames = warp_clip(args.frames)
     for q in args.qualities:
         res = run_point(frames, q, want_acct=not args.no_acct,
-                        device=not args.no_device)
+                        device=not args.no_device,
+                        adaptive_bs=args.adaptive_bs)
         for name, r in res.items():
             print(f"q{q} {name}: {r['bytes']} B / {r['psnr_y']} dB  "
                   f"{r['acct']}")
