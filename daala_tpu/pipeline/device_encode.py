@@ -463,7 +463,7 @@ def _sb_cost_est(res, bs, quantizer, pvq_qm, sb_px):
         qg = jnp.round(g)
         k = jnp.where(qg > 0, jnp.maximum(
             1.0, jnp.floor(0.5 + (qg - 0.2)
-                           * np.float32(np.sqrt((nn + 3) / 2.0)))), 0.0)
+                           * np.float32(np.sqrt((nn + 3) // 2)))), 0.0)
         rate = jnp.where(
             k > 0,
             nn * jnp.log2(1.0 + np.float32(np.log(2.0 * nn)) * k / nn)

@@ -95,15 +95,17 @@ def compute_k(qcg: float, itheta: int, theta: float, noref: bool, n: int,
             return 0
         if n == 15 and qcg == 1 and beta > 1.25:
             return 1
+        # (n + 3) / 2 etc. are C INTEGER divisions in the reference
+        # (int operands, od_pvq_compute_k).
         return max(1, int(np.floor(
-            0.5 + (qcg - 0.2) * np.sqrt((n + 3) / 2) / beta)))
+            0.5 + (qcg - 0.2) * np.sqrt((n + 3) // 2) / beta)))
     if itheta == 0:
         return 0
     if nodesync:
         return max(1, int(np.floor(0.5 + (itheta - 0.2)
-                                   * np.sqrt((n + 2) / 2))))
+                                   * np.sqrt((n + 2) // 2))))
     return max(1, int(np.floor(
-        0.5 + (qcg * np.sin(theta) - 0.2) * np.sqrt((n + 2) / 2) / beta)))
+        0.5 + (qcg * np.sin(theta) - 0.2) * np.sqrt((n + 2) // 2) / beta)))
 
 
 def synthesis_partial(ypulse: np.ndarray, r: np.ndarray, n: int, noref: bool,

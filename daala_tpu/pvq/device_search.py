@@ -61,7 +61,7 @@ def _band_quant(vec, q0, qm, qm_inv):
     qg = jnp.round(cg).astype(jnp.int32)
     # K from the quantized gain (od_pvq_compute_k noref, beta = 1).
     kf = jnp.floor(0.5 + (qg.astype(jnp.float32) - 0.2)
-                   * np.float32(np.sqrt((n + 3) / 2.0)))
+                   * np.float32(np.sqrt((n + 3) // 2)))
     k = jnp.where(qg > 0, jnp.maximum(1, kf.astype(jnp.int32)), 0)
     if n == 15:
         k = jnp.where((qg == 1), 1, k)
@@ -79,7 +79,8 @@ def _band_quant(vec, q0, qm, qm_inv):
 def _icompute_k_jax(n, qg):
     """Integer k rule (isynth.icompute_k, noref) — the decoder derives
     k from qg with this exact rule in the dres stream mode."""
-    slope = int(round(np.sqrt((n + 3) / 2.0) * 65536))
+    # C integer division (reference od_pvq_compute_k semantics).
+    slope = int(round(np.sqrt((n + 3) // 2) * 65536))
     k = (qg.astype(jnp.int64) * slope - slope // 5 + (1 << 15)) >> 16
     return jnp.where(qg <= 0, 0, jnp.maximum(1, k)).astype(jnp.int32)
 

@@ -615,17 +615,17 @@ int compute_k_v(double qcg, int itheta, double theta, int noref, int n,
   if (noref) {
     if (qcg == 0) return 0;
     if (n == 15 && qcg == 1 && beta > 1.25) return 1;
-    int v = (int)std::floor(.5 + (qcg - .2) * std::sqrt((n + 3) / 2.0)
+    int v = (int)std::floor(.5 + (qcg - .2) * std::sqrt((double)((n + 3) / 2))
                             / beta);
     return v > 1 ? v : 1;
   }
   if (itheta == 0) return 0;
   int v;
   if (nodesync) {
-    v = (int)std::floor(.5 + (itheta - .2) * std::sqrt((n + 2) / 2.0));
+    v = (int)std::floor(.5 + (itheta - .2) * std::sqrt((double)((n + 2) / 2)));
   } else {
     v = (int)std::floor(.5 + (qcg * std::sin(theta) - .2)
-                        * std::sqrt((n + 2) / 2.0) / beta);
+                        * std::sqrt((double)((n + 2) / 2)) / beta);
   }
   return v > 1 ? v : 1;
 }
@@ -1620,7 +1620,7 @@ inline int icompute_k_c(int n, int noref, int64_t v) {
   if (v <= 0) return 0;
   int add = noref ? 3 : 2;
   int64_t slope =
-      (int64_t)std::llround(std::sqrt((n + add) / 2.0) * 65536.0);
+      (int64_t)std::llround(std::sqrt((double)((n + add) / 2)) * 65536.0);
   int64_t k = (v * slope - slope / 5 + ((int64_t)1 << 15)) >> 16;
   return k < 1 ? 1 : (int)k;
 }
