@@ -51,8 +51,13 @@ import numpy as np
 # (ROADMAP.md).  Cross-process pinning of the busy clip is therefore
 # blocked on the backend, not on this encoder's arithmetic; the
 # coherent full checksum pins outright (same value since round 4).
-EXPECT_CK = {"coherent": 122501186, "busy": None}
-EXPECT_DECISIONS = {}
+# (coherent re-pinned after the round-5 k-rule fix — the stream
+# changed by design; the value was 122501186 through rounds 4-5.)
+EXPECT_CK = {"coherent": 122498907, "busy": None}
+# |grid| + levels + dflags + rid4 sums — the integer decision layer;
+# coherent is stable across processes (independent runs agree), busy
+# wanders with the backend call-history bug like its full checksum.
+EXPECT_DECISIONS = {"coherent": 12727555}
 
 
 def _base(h, w, t, seed=0):
