@@ -764,10 +764,27 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         # skip branch is a pure passthrough.  DTPU_DEV_GATECOND=0
         # drops the lax.cond gating (midpoints always refine) — the
         # structural bisect knob for the 1080p TPU kernel fault.
-        gatecond = _os.environ.get("DTPU_DEV_GATECOND", "1") \
-            not in ("0", "false")
+        # Default "while": the lax.cond form of these gates
+        # kernel-faults the TPU backend at 1080p downstream of the
+        # refine (round-4 blocker); the while-once form compiles and
+        # runs (round-5 fix — XLA While instead of Conditional).
+        gatecond = _os.environ.get("DTPU_DEV_GATECOND", "while")
+
+        def _once(pred, fn, init):
+            """Run fn at most once when pred holds, as a while_loop
+            (XLA While instead of Conditional — the cond form
+            kernel-faults the backend at 1080p; see ROADMAP)."""
+            return _jax.lax.while_loop(
+                lambda c: (c[0] == 0) & pred,
+                lambda c: (jnp.int32(1), fn()),
+                (jnp.int32(0), init))[1]
+
         g16u = _upsample_grid(g32)
-        if gatecond:
+        if gatecond == "while":
+            g16 = _once(lv_used >= 1,
+                        lambda: _refine_midpoints_jax(cy, refp8, g16u,
+                                                      4, h, w), g16u)
+        elif gatecond not in ("0", "false"):
             g16 = _jax.lax.cond(
                 lv_used >= 1,
                 lambda: _refine_midpoints_jax(cy, refp8, g16u, 4, h, w),
@@ -775,7 +792,11 @@ def _frame_body(carry, xs, h, w, quantizer, mv_res, qms, qm_invs,
         else:
             g16 = _refine_midpoints_jax(cy, refp8, g16u, 4, h, w)
         g8u = _upsample_grid(g16)
-        if gatecond:
+        if gatecond == "while":
+            grid = _once(lv_used >= 2,
+                         lambda: _refine_midpoints_jax(cy, refp8, g8u,
+                                                       3, h, w), g8u)
+        elif gatecond not in ("0", "false"):
             grid = _jax.lax.cond(
                 lv_used >= 2,
                 lambda: _refine_midpoints_jax(cy, refp8, g8u, 3, h, w),
